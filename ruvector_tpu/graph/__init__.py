@@ -1,0 +1,5 @@
+from ruvector_tpu.graph.neighbors import NeighborGraph
+from ruvector_tpu.graph.csr import CSRGraph
+from ruvector_tpu.graph.build import build_knn_graph, knn_graph_numpy
+
+__all__ = ["NeighborGraph", "CSRGraph", "build_knn_graph", "knn_graph_numpy"]

@@ -1,0 +1,134 @@
+"""Batched RuvectorLayer — the flagship GNN embedding-update layer.
+
+TPU-native re-design of `RuvectorLayer::forward`
+(ruvector-gnn/src/layer.rs:315-457). The reference processes one node at a
+time (Vec<f32> loops); here one call updates ALL N nodes:
+
+    x [N, Din] --W_msg--> msg [N, H]
+    gather neighbors     nbr_msg [N, M, H]        (jnp.take, padded layout)
+    MHA(query=msg, k=v=nbr_msg, mask)             (MXU batched GEMMs)
+    + edge-weight-normalized mean of nbr_msg      (masked VPU reduce)
+    --W_agg--> GRU(input=agg, hidden=msg) --dropout-scale--> LayerNorm
+
+Semantic parity notes (encoded in tests/test_ruvector_layer.py):
+- degree-0 nodes short-circuit to LayerNorm(W_msg x) (layer.rs:385-389)
+- GRU hidden state is the *node message*, not the raw embedding
+  (layer.rs:411: `w_update.forward(&aggregated, &node_msg)`)
+- dropout is deterministic scaling by (1 - p) (layer.rs:447-451)
+- zero/negative edge-weight rows fall back to uniform (layer.rs:428-432)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ruvector_tpu.graph.neighbors import NeighborGraph
+from ruvector_tpu.nn.core import (
+    gru_apply,
+    gru_init,
+    layer_norm_apply,
+    layer_norm_init,
+    linear_apply,
+    linear_init,
+    mha_apply,
+    mha_init,
+)
+from ruvector_tpu.ops.segment import masked_weighted_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class RuvectorLayerConfig:
+    input_dim: int
+    hidden_dim: int
+    heads: int = 4
+    dropout: float = 0.0
+    eps: float = 1e-5
+
+    def __post_init__(self):
+        if not 0.0 <= self.dropout <= 1.0:
+            raise ValueError(f"dropout must be in [0, 1], got {self.dropout}")
+        if self.hidden_dim % self.heads != 0:
+            raise ValueError(
+                f"hidden_dim ({self.hidden_dim}) must be divisible by heads "
+                f"({self.heads})"
+            )
+
+
+def ruvector_layer_init(key, cfg: RuvectorLayerConfig, dtype=jnp.float32) -> dict:
+    k_msg, k_agg, k_gru, k_attn = jax.random.split(key, 4)
+    return {
+        "w_msg": linear_init(k_msg, cfg.input_dim, cfg.hidden_dim, dtype),
+        "w_agg": linear_init(k_agg, cfg.hidden_dim, cfg.hidden_dim, dtype),
+        "gru": gru_init(k_gru, cfg.hidden_dim, cfg.hidden_dim, dtype),
+        "attn": mha_init(k_attn, cfg.hidden_dim, cfg.heads, dtype),
+        "norm": layer_norm_init(cfg.hidden_dim, dtype),
+    }
+
+
+def ruvector_layer_apply(
+    params: dict,
+    cfg: RuvectorLayerConfig,
+    features: jax.Array,
+    graph: NeighborGraph,
+) -> jax.Array:
+    """Update all node embeddings: [N, Din] x graph -> [N, H]."""
+    # Step 1: message transform for every node once; neighbors gather it
+    # (layer.rs:392-396 recomputes W_msg per neighbor — algebraically equal).
+    msg = linear_apply(params["w_msg"], features)                 # [N, H]
+    nbr_msg = msg[graph.nbr_idx]                                  # [N, M, H]
+
+    # Step 2: attention aggregation (layer.rs:398-401)
+    attn_out = mha_apply(
+        params["attn"], msg, nbr_msg, nbr_msg, graph.nbr_mask, cfg.heads
+    )
+
+    # Step 3: edge-weighted mean aggregate (layer.rs:404, 421-445)
+    weighted = masked_weighted_mean(nbr_msg, graph.edge_weight, graph.nbr_mask)
+
+    # Step 4-5: combine -> W_agg -> GRU(input=aggregated, hidden=msg)
+    aggregated = linear_apply(params["w_agg"], attn_out + weighted)
+    updated = gru_apply(params["gru"], aggregated, msg)
+
+    # Step 6: deterministic dropout scaling (layer.rs:447-451)
+    dropped = updated * (1.0 - cfg.dropout)
+
+    # Step 7: layer norm; degree-0 nodes short-circuit (layer.rs:385-389)
+    out = layer_norm_apply(params["norm"], dropped, cfg.eps)
+    isolated = layer_norm_apply(params["norm"], msg, cfg.eps)
+    has_nbrs = (jnp.sum(graph.nbr_mask, axis=1, keepdims=True) > 0)
+    return jnp.where(has_nbrs, out, isolated)
+
+
+def ruvector_layer_apply_single(
+    params: dict,
+    cfg: RuvectorLayerConfig,
+    node_embedding: jax.Array,     # [Din]
+    neighbor_embeddings: jax.Array,  # [M, Din]
+    edge_weights: jax.Array,       # [M]
+    mask: jax.Array | None = None,  # [M]
+) -> jax.Array:
+    """Single-node forward with explicit neighbor features — mirrors the
+    reference call signature (layer.rs:379-418) for parity tests and the
+    hierarchical search path where neighbors are not drawn from `features`.
+    """
+    m = neighbor_embeddings.shape[0]
+    if mask is None:
+        mask = jnp.ones((m,), dtype=jnp.float32)
+
+    msg = linear_apply(params["w_msg"], node_embedding[None, :])   # [1, H]
+    nbr_msg = linear_apply(params["w_msg"], neighbor_embeddings)[None]  # [1, M, H]
+
+    attn_out = mha_apply(
+        params["attn"], msg, nbr_msg, nbr_msg, mask[None, :], cfg.heads
+    )
+    weighted = masked_weighted_mean(nbr_msg, edge_weights[None, :], mask[None, :])
+    aggregated = linear_apply(params["w_agg"], attn_out + weighted)
+    updated = gru_apply(params["gru"], aggregated, msg)
+    dropped = updated * (1.0 - cfg.dropout)
+    out = layer_norm_apply(params["norm"], dropped, cfg.eps)
+    isolated = layer_norm_apply(params["norm"], msg, cfg.eps)
+    has_nbrs = jnp.sum(mask) > 0
+    return jnp.where(has_nbrs, out, isolated)[0]
