@@ -1,0 +1,63 @@
+"""Benchmark: GNN layer-forward throughput in edges/s on one chip.
+
+Measures the flagship RuvectorLayer batched forward (message transform +
+neighbor MHA + weighted aggregate + GRU + LayerNorm) over a 100k-node,
+degree-16 kNN graph at 128-d — the shape of BASELINE.json config 1/2.
+
+Baseline: the reference's GNN re-rank claim (README.md:330-343) — 50
+candidates x 32 neighbors re-ranked in 0.4 ms on M4 Pro = 4.0M edges/s.
+vs_baseline = our edges/s / 4.0e6 (higher is better).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ruvector_tpu.graph import build_knn_graph
+    from ruvector_tpu.models import (
+        RuvectorNetConfig,
+        ruvector_net_apply,
+        ruvector_net_init,
+    )
+
+    n, d, h, k, layers = 100_000, 128, 128, 16, 1
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    graph = build_knn_graph(feats, k=k, block=2048)
+    jax.block_until_ready(graph.nbr_idx)
+
+    cfg = RuvectorNetConfig(input_dim=d, hidden_dim=h, num_layers=layers, heads=4)
+    params = ruvector_net_init(jax.random.key(0), cfg)
+
+    fwd = jax.jit(lambda p, f: ruvector_net_apply(p, cfg, f, graph))
+    out = fwd(params, feats)
+    jax.block_until_ready(out)  # compile + warmup
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, feats)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    edges = n * k * layers
+    edges_per_s = edges / dt
+    baseline = 4.0e6  # reference GNN re-rank: 1600 edges / 0.4 ms (README:330-343)
+    print(json.dumps({
+        "metric": "gnn_layer_forward_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

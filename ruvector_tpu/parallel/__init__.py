@@ -1,0 +1,18 @@
+from ruvector_tpu.parallel.mesh import make_mesh, device_count
+from ruvector_tpu.parallel.partition import HaloPlan, build_halo_plan, block_partition
+from ruvector_tpu.parallel.halo import (
+    halo_exchange,
+    make_sharded_layer_forward,
+    make_sharded_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "device_count",
+    "HaloPlan",
+    "build_halo_plan",
+    "block_partition",
+    "halo_exchange",
+    "make_sharded_layer_forward",
+    "make_sharded_train_step",
+]

@@ -1,0 +1,200 @@
+"""Halo exchange + sharded forward/train over a 1-D node mesh.
+
+The multi-chip data plane (SURVEY.md §2.2): node features live sharded in
+contiguous blocks; per layer, each shard W_msg-transforms its own block,
+exchanges exactly the boundary rows other shards need via ONE
+`jax.lax.all_to_all` over ICI (driven by the static HaloPlan), and then the
+entire neighbor aggregation — gather, attention, weighted mean, GRU, norm —
+is shard-local. Messages (hidden_dim) are exchanged instead of raw features,
+so communication shrinks with the hidden size and the W_msg GEMM runs once
+per node.
+
+Differentiation goes straight through shard_map/all_to_all, so the same
+forward powers the sharded training step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ruvector_tpu.nn.core import (
+    gru_apply,
+    layer_norm_apply,
+    linear_apply,
+    mha_apply,
+)
+from ruvector_tpu.models.ruvector_net import RuvectorNetConfig
+from ruvector_tpu.ops.segment import masked_weighted_mean
+from ruvector_tpu.parallel.partition import HaloPlan
+from ruvector_tpu.training.losses import batched_info_nce
+
+
+def halo_exchange(
+    local_rows: jax.Array,   # [block, D] this shard's rows (post-transform)
+    send_idx: jax.Array,     # [S, H] local row ids to send to each dst shard
+    send_mask: jax.Array,    # [S, H]
+    axis_name: str,
+) -> jax.Array:
+    """Exchange boundary rows: returns halo buffer [S*H, D] where slice
+    [src*H:(src+1)*H] holds the rows received from shard `src` — matching
+    the HaloPlan's src-major halo addressing."""
+    outgoing = local_rows[send_idx] * send_mask[..., None]      # [S, H, D]
+    received = jax.lax.all_to_all(
+        outgoing, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )                                                           # [S, H, D]
+    return received.reshape(-1, local_rows.shape[-1])
+
+
+def _layer_forward_block(
+    params: dict,
+    cfg,
+    feats_blk: jax.Array,       # [block, Din]
+    send_idx: jax.Array,        # [S, H]
+    send_mask: jax.Array,
+    local_nbr: jax.Array,       # [block, M]
+    nbr_mask: jax.Array,        # [block, M]
+    edge_weight: jax.Array,     # [block, M]
+    pad_mask: jax.Array,        # [block]
+    axis_name: str,
+) -> jax.Array:
+    """One RuvectorLayer on a shard block with halo'd neighbor messages.
+
+    Same math as ruvector_layer_apply (nn/ruvector_layer.py) — kept in sync
+    by tests/test_parallel.py equivalence checks.
+    """
+    msg = linear_apply(params["w_msg"], feats_blk)              # [block, Hd]
+    halo = halo_exchange(msg, send_idx, send_mask, axis_name)   # [S*H, Hd]
+    all_msg = jnp.concatenate([msg, halo], axis=0)
+    nbr_msg = all_msg[local_nbr]                                # [block, M, Hd]
+
+    attn_out = mha_apply(params["attn"], msg, nbr_msg, nbr_msg, nbr_mask, cfg.heads)
+    weighted = masked_weighted_mean(nbr_msg, edge_weight, nbr_mask)
+    aggregated = linear_apply(params["w_agg"], attn_out + weighted)
+    updated = gru_apply(params["gru"], aggregated, msg)
+    dropped = updated * (1.0 - cfg.dropout)
+    out = layer_norm_apply(params["norm"], dropped, cfg.eps)
+    isolated = layer_norm_apply(params["norm"], msg, cfg.eps)
+    has_nbrs = jnp.sum(nbr_mask, axis=1, keepdims=True) > 0
+    out = jnp.where(has_nbrs, out, isolated)
+    return out * pad_mask[:, None]
+
+
+def make_sharded_layer_forward(
+    net_cfg: RuvectorNetConfig,
+    plan: HaloPlan,
+    mesh: Mesh,
+    axis_name: str = "nodes",
+):
+    """Build jitted multi-layer forward: (params_list, feats [S*block, Din])
+    -> embeddings [S*block, hidden], sharded over the mesh."""
+    plan_arrays = plan.device_arrays()
+    layer_cfgs = net_cfg.layer_cfgs()
+
+    def block_fn(params_list, feats, send_idx, send_mask, local_nbr,
+                 nbr_mask, edge_weight, pad_mask):
+        # shard_map gives each block with a leading singleton shard axis
+        send_idx = send_idx[0]
+        send_mask = send_mask[0]
+        local_nbr = local_nbr[0]
+        nbr_mask = nbr_mask[0]
+        edge_weight = edge_weight[0]
+        pad_mask = pad_mask[0]
+        x = feats
+        for params, cfg in zip(params_list, layer_cfgs):
+            x = _layer_forward_block(
+                params, cfg, x, send_idx, send_mask, local_nbr,
+                nbr_mask, edge_weight, pad_mask, axis_name,
+            )
+        return x
+
+    sharded = shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(
+            P(),                    # params replicated
+            P(axis_name),           # feats
+            P(axis_name), P(axis_name), P(axis_name),
+            P(axis_name), P(axis_name), P(axis_name),
+        ),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def forward(params_list, feats):
+        return sharded(
+            params_list, feats,
+            plan_arrays["send_idx"], plan_arrays["send_mask"],
+            plan_arrays["local_nbr_idx"], plan_arrays["nbr_mask"],
+            plan_arrays["edge_weight"], plan_arrays["node_pad_mask"],
+        )
+
+    return forward
+
+
+def make_sharded_train_step(
+    net_cfg: RuvectorNetConfig,
+    plan: HaloPlan,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    temperature: float = 0.07,
+    axis_name: str = "nodes",
+):
+    """Sharded contrastive train step.
+
+    step(params, opt_state, feats, neg_ids [N_pad, Q]) ->
+        (params, opt_state, loss)
+
+    The forward runs under shard_map (halo exchange on ICI); the contrastive
+    loss treats every real node as an anchor with its graph neighbors as
+    positives and the supplied sampled ids as negatives. Gradients flow
+    through the all_to_all; XLA inserts the (reduce-)collectives for the
+    replicated-parameter gradient automatically.
+    """
+    forward = make_sharded_layer_forward(net_cfg, plan, mesh, axis_name)
+    # global-addressed neighbor arrays for the loss
+    g_nbr = jnp.asarray(
+        plan.local_nbr_idx  # local addressing; rebuild global below
+    )
+    # Build global neighbor ids: local ids < block are own-block rows;
+    # halo ids map back to their source shard rows via send_idx.
+    import numpy as np
+
+    S, B, M = plan.local_nbr_idx.shape
+    H = plan.halo
+    glob = np.zeros((S, B, M), np.int32)
+    for s in range(S):
+        local = plan.local_nbr_idx[s]
+        own = local < B
+        glob[s][own] = local[own] + s * B
+        halo_pos = local[~own] - B           # src*H + pos
+        src = halo_pos // H
+        pos = halo_pos % H
+        glob[s][~own] = plan.send_idx[src, s, pos] + src * B
+    global_nbr = jnp.asarray(glob.reshape(S * B, M))
+    nbr_mask = jnp.asarray(plan.nbr_mask.reshape(S * B, M))
+    pad_mask = jnp.asarray(plan.node_pad_mask.reshape(S * B))
+
+    def loss_fn(params, feats, neg_ids):
+        out = forward(params, feats)                      # [N_pad, Hd]
+        anchors = out
+        pos = out[global_nbr]                             # [N_pad, M, Hd]
+        negs = out[neg_ids]                               # [N_pad, Q, Hd]
+        per_node_mask = nbr_mask * pad_mask[:, None]
+        return batched_info_nce(anchors, pos, negs, temperature, per_node_mask)
+
+    @jax.jit
+    def step(params, opt_state, feats, neg_ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats, neg_ids)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

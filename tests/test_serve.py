@@ -1,0 +1,120 @@
+"""Serving layer tests: differentiable search, hierarchical forward, query
+modes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ruvector_tpu.graph import build_knn_graph
+from ruvector_tpu.nn import RuvectorLayerConfig, ruvector_layer_init
+from ruvector_tpu.serve import (
+    QueryMode,
+    RuvectorQuery,
+    differentiable_search,
+    execute_query,
+    hierarchical_forward,
+    softmax_temperature,
+)
+from ruvector_tpu.serve.query import QueryEngine
+
+
+def test_softmax_temperature_monotone():
+    # search.rs:194-203 — lower temperature = sharper distribution
+    v = jnp.asarray([1.0, 2.0, 3.0])
+    sharp = softmax_temperature(v, 0.1)
+    smooth = softmax_temperature(v, 10.0)
+    assert float(sharp[2]) > float(smooth[2])
+    np.testing.assert_allclose(float(jnp.sum(sharp)), 1.0, rtol=1e-5)
+
+
+def test_differentiable_search_top_match():
+    # search.rs:206-225
+    query = jnp.asarray([1.0, 0.0, 0.0])
+    candidates = jnp.asarray([
+        [1.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0],
+        [0.0, 1.0, 0.0],
+    ])
+    idx, weights = differentiable_search(query, candidates, k=2)
+    assert int(idx[0]) == 0
+    assert len(np.asarray(idx)) == 2
+    assert float(jnp.sum(weights)) <= 1.0 + 1e-6
+    # weights descending
+    assert float(weights[0]) >= float(weights[1])
+
+
+def test_differentiable_search_batched():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(30, 8)).astype(np.float32))
+    idx, w = differentiable_search(q, c, k=4)
+    assert idx.shape == (5, 4)
+    assert w.shape == (5, 4)
+
+
+def test_hierarchical_forward_shapes():
+    # search.rs:228-246 — dims preserved through the hierarchy
+    rng = np.random.default_rng(1)
+    d = 8
+    query = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    layer_embs = [
+        jnp.asarray(rng.normal(size=(4, d)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(12, d)).astype(np.float32)),
+    ]
+    cfgs = [RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=2)] * 2
+    params = [ruvector_layer_init(jax.random.key(i), cfgs[i]) for i in range(2)]
+    out = hierarchical_forward(query, layer_embs, params, cfgs)
+    assert out.shape == (d,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def make_engine(n=50, d=8, seed=2):
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    graph = build_knn_graph(feats, k=4)
+    cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=2)
+    params = ruvector_layer_init(jax.random.key(0), cfg)
+    return QueryEngine(feats, graph, [params], [cfg]), feats
+
+
+def test_vector_search_exact_self_match():
+    engine, feats = make_engine()
+    q = RuvectorQuery(vector=np.asarray(feats[7]), mode=QueryMode.VECTOR_SEARCH, k=3)
+    res = engine.execute(q)
+    assert res.nodes[0] == 7
+    np.testing.assert_allclose(res.scores[0], 1.0, rtol=1e-4)
+    assert res.latency_ms > 0
+
+
+def test_neural_search_returns_k():
+    engine, feats = make_engine()
+    q = RuvectorQuery(
+        vector=np.asarray(feats[3]), mode=QueryMode.NEURAL_SEARCH,
+        k=5, ef=20, return_embeddings=True, return_attention=True,
+    )
+    res = engine.execute(q)
+    assert len(res.nodes) == 5
+    assert res.embeddings is not None and res.embeddings.shape[0] == 5
+    assert res.attention is not None
+
+
+def test_differentiable_search_mode():
+    engine, feats = make_engine()
+    q = RuvectorQuery(vector=np.asarray(feats[0]), mode=QueryMode.DIFFERENTIABLE_SEARCH,
+                      k=4, temperature=0.5)
+    res = engine.execute(q)
+    assert len(res.nodes) == 4
+    assert res.nodes[0] == 0
+
+
+def test_subgraph_extraction():
+    engine, feats = make_engine()
+    q = RuvectorQuery(vector=np.asarray(feats[0]), mode=QueryMode.SUBGRAPH_EXTRACTION,
+                      k=3, gnn_depth=1)
+    res = engine.execute(q)
+    assert res.subgraph is not None
+    assert len(res.subgraph.nodes) >= 3
+    nodes = set(res.subgraph.nodes)
+    for (u, v, w) in res.subgraph.edges:
+        assert u in nodes and v in nodes
+        assert w > 0
