@@ -117,9 +117,16 @@ def dynamic_min_cut(
 
     Edges = positive clamped logits; s=0, t=seq_len-1. The cut is applied
     only when its cost <= lam * mean positive weight; non-positive logits
-    are always gated off.
+    are always gated off. Uses the native C++ Dinic when available.
     """
     logits = np.asarray(logits, dtype=np.float32).reshape(seq_len, seq_len)
+
+    from ruvector_tpu import native
+
+    if native.available:
+        keep, cost = native.dinic_mincut_gate(logits, lam, eps)
+        n = seq_len * seq_len
+        return GatingResult(keep.reshape(-1), cost, int(keep.sum()), n)
     clamped = np.where(logits > eps, logits, 0.0)
     n = seq_len * seq_len
     pos = clamped > 0

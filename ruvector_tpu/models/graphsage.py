@@ -47,8 +47,14 @@ def sample_fanout(
     degree <= fanout keep all neighbors (no resampling), matching the
     reference's early return.
     """
-    rng = np.random.default_rng(seed)
+    from ruvector_tpu import native
+
     nbr = np.asarray(graph.nbr_idx)
+    if native.available:
+        idx, m = native.sample_fanout(nbr, np.asarray(graph.nbr_mask), fanout, seed)
+        return jnp.asarray(idx), jnp.asarray(m)
+
+    rng = np.random.default_rng(seed)
     mask = np.asarray(graph.nbr_mask) > 0
     n = graph.num_nodes
     out_idx = np.zeros((n, fanout), np.int32)

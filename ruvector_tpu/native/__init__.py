@@ -1,0 +1,124 @@
+"""ctypes bindings for the native graph runtime (graph_runtime.cpp).
+
+Builds the shared library on first import (g++ -O3, cached next to the
+source); falls back to `available = False` when no compiler is present so
+pure-Python paths keep working.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "graph_runtime.cpp")
+_LIB = os.path.join(_HERE, "libgraph_runtime.so")
+
+available = False
+_lib = None
+
+
+def _build() -> bool:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _LIB],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib, available
+    if not _build():
+        return
+    lib = ctypes.CDLL(_LIB)
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64 = ctypes.c_int64
+    u64 = ctypes.c_uint64
+    f32 = ctypes.c_float
+
+    lib.bfs_reorder.argtypes = [i32p, f32p, i64, i64, i64p]
+    lib.halo_plan_size.argtypes = [i32p, f32p, i64, i64, i64, i64]
+    lib.halo_plan_size.restype = i64
+    lib.halo_plan_fill.argtypes = [i32p, f32p, i64, i64, i64, i64, i64,
+                                   i32p, f32p, i32p]
+    lib.sample_fanout.argtypes = [i32p, f32p, i64, i64, i64, u64, i32p, f32p]
+    lib.dinic_mincut_gate.argtypes = [f32p, i64, f32, f32, u8p]
+    lib.dinic_mincut_gate.restype = f32
+    lib.csr_count.argtypes = [f32p, i64, i64]
+    lib.csr_count.restype = i64
+    lib.csr_fill.argtypes = [i32p, f32p, f32p, i64, i64, i32p, i32p, f32p]
+
+    _lib = lib
+    available = True
+
+
+_load()
+
+
+def bfs_reorder(nbr: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    n, m = nbr.shape
+    out = np.zeros(n, np.int64)
+    _lib.bfs_reorder(np.ascontiguousarray(nbr, np.int32),
+                     np.ascontiguousarray(mask, np.float32), n, m, out)
+    return out
+
+
+def halo_plan(nbr: np.ndarray, mask: np.ndarray, n_shards: int, block: int):
+    """Returns (halo, send_idx [S,S,H], send_mask [S,S,H], local_nbr [S,block,M])."""
+    n_pad, m = nbr.shape
+    nbr_c = np.ascontiguousarray(nbr, np.int32)
+    mask_c = np.ascontiguousarray(mask, np.float32)
+    halo = int(_lib.halo_plan_size(nbr_c, mask_c, n_pad, m, n_shards, block))
+    send_idx = np.zeros((n_shards, n_shards, halo), np.int32)
+    send_mask = np.zeros((n_shards, n_shards, halo), np.float32)
+    local_nbr = np.zeros((n_shards, block, m), np.int32)
+    _lib.halo_plan_fill(nbr_c, mask_c, n_pad, m, n_shards, block, halo,
+                        send_idx, send_mask, local_nbr)
+    return halo, send_idx, send_mask, local_nbr
+
+
+def sample_fanout(nbr: np.ndarray, mask: np.ndarray, fanout: int, seed: int = 42):
+    n, m = nbr.shape
+    out_idx = np.zeros((n, fanout), np.int32)
+    out_mask = np.zeros((n, fanout), np.float32)
+    _lib.sample_fanout(np.ascontiguousarray(nbr, np.int32),
+                       np.ascontiguousarray(mask, np.float32),
+                       n, m, fanout, seed, out_idx, out_mask)
+    return out_idx, out_mask
+
+
+def dinic_mincut_gate(logits: np.ndarray, lam: float, eps: float):
+    """Returns (keep_mask [S,S] bool, applied_cut_cost)."""
+    seq = logits.shape[0]
+    keep = np.zeros(seq * seq, np.uint8)
+    cost = _lib.dinic_mincut_gate(
+        np.ascontiguousarray(logits.reshape(-1), np.float32), seq, lam, eps, keep
+    )
+    return keep.reshape(seq, seq).astype(bool), float(cost)
+
+
+def to_csr(nbr: np.ndarray, mask: np.ndarray, weight: np.ndarray):
+    """Returns (row_ptr [n+1], col_idx [E], values [E])."""
+    n, m = nbr.shape
+    mask_c = np.ascontiguousarray(mask, np.float32)
+    e = int(_lib.csr_count(mask_c, n, m))
+    row_ptr = np.zeros(n + 1, np.int32)
+    col_idx = np.zeros(e, np.int32)
+    values = np.zeros(e, np.float32)
+    _lib.csr_fill(np.ascontiguousarray(nbr, np.int32), mask_c,
+                  np.ascontiguousarray(weight, np.float32),
+                  n, m, row_ptr, col_idx, values)
+    return row_ptr, col_idx, values

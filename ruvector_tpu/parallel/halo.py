@@ -28,8 +28,8 @@ from ruvector_tpu.nn.core import (
     gru_apply,
     layer_norm_apply,
     linear_apply,
-    mha_apply,
 )
+from ruvector_tpu.nn.ruvector_layer import _folded_attention_and_aggregate
 from ruvector_tpu.models.ruvector_net import RuvectorNetConfig
 from ruvector_tpu.ops.segment import masked_weighted_mean
 from ruvector_tpu.parallel.partition import HaloPlan
@@ -74,8 +74,9 @@ def _layer_forward_block(
     all_msg = jnp.concatenate([msg, halo], axis=0)
     nbr_msg = all_msg[local_nbr]                                # [block, M, Hd]
 
-    attn_out = mha_apply(params["attn"], msg, nbr_msg, nbr_msg, nbr_mask, cfg.heads)
-    weighted = masked_weighted_mean(nbr_msg, edge_weight, nbr_mask)
+    attn_out, weighted = _folded_attention_and_aggregate(
+        params["attn"], cfg.heads, msg, nbr_msg, nbr_mask, edge_weight
+    )
     aggregated = linear_apply(params["w_agg"], attn_out + weighted)
     updated = gru_apply(params["gru"], aggregated, msg)
     dropped = updated * (1.0 - cfg.dropout)

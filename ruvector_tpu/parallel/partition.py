@@ -28,9 +28,15 @@ from ruvector_tpu.graph.neighbors import NeighborGraph
 
 def bfs_reorder(graph: NeighborGraph) -> np.ndarray:
     """BFS ordering over the neighbor graph for block locality
-    (cold_tier.rs:307 reorder_bfs). Returns perm: new_pos -> old_id."""
+    (cold_tier.rs:307 reorder_bfs). Returns perm: new_pos -> old_id.
+
+    Uses the native C++ runtime when available (ruvector_tpu/native)."""
+    from ruvector_tpu import native
+
     n = graph.num_nodes
     nbr = np.asarray(graph.nbr_idx)
+    if native.available:
+        return native.bfs_reorder(nbr, np.asarray(graph.nbr_mask))
     mask = np.asarray(graph.nbr_mask) > 0
     visited = np.zeros(n, bool)
     order = []
@@ -131,6 +137,30 @@ def build_halo_plan(
         mask = np.concatenate([mask, np.zeros((pad, m), np.float32)])
         ew = np.concatenate([ew, np.zeros((pad, m), np.float32)])
     node_pad_mask = (np.arange(n_pad) < n).astype(np.float32).reshape(n_shards, block)
+
+    from ruvector_tpu import native
+
+    if native.available:
+        halo_n, send_idx, send_mask, local_nbr = native.halo_plan(
+            nbr, mask, n_shards, block
+        )
+        halo_n = max(halo_n, min_halo)
+        if send_idx.shape[-1] < halo_n:  # min_halo padding
+            pad = halo_n - send_idx.shape[-1]
+            send_idx = np.pad(send_idx, ((0, 0), (0, 0), (0, pad)))
+            send_mask = np.pad(send_mask, ((0, 0), (0, 0), (0, pad)))
+        plan = HaloPlan(
+            n_shards=n_shards,
+            block=block,
+            halo=halo_n,
+            send_idx=send_idx,
+            send_mask=send_mask,
+            local_nbr_idx=local_nbr,
+            nbr_mask=mask.reshape(n_shards, block, m),
+            edge_weight=ew.reshape(n_shards, block, m),
+            node_pad_mask=node_pad_mask,
+        )
+        return plan, perm
 
     owner = (np.arange(n_pad) // block).astype(np.int32)
 
