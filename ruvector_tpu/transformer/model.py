@@ -1,0 +1,257 @@
+"""MincutGatedTransformer — tiered, deterministic, int8 inference.
+
+Reference: ruvector-mincut-gated-transformer/src/model.rs — infer
+(:393-465), run_layers (:534), run_single_layer (:583), output projection
+(:631), witness creation (:640). The TPU design compiles ONE static program
+per tier (normal/degraded/safe): layers_to_run, seq_len, and attention
+window are compile-time constants, so the hot path is a single XLA
+executable per tier — the analogue of the reference's allocation-free
+preplanned buffers.
+
+Layer: pre-LayerNorm → windowed causal MHA with RoPE (int8 QKV/out
+projections) → residual → LayerNorm → FFN (int8, GELU) → residual.
+Early exit: after each layer the hidden-state change is measured; once the
+relative change drops below threshold the remaining layers are skipped
+(CoherenceEarlyExit, early_exit.rs) — done with lax.while_loop so it stays
+one compiled program and fully deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ruvector_tpu.attention.rope import rope_rotate, rope_tables
+from ruvector_tpu.transformer.config import GatePolicy, TransformerConfig
+from ruvector_tpu.transformer.gate import GateController
+from ruvector_tpu.transformer.packets import (
+    GateDecision,
+    GatePacket,
+    InferOutput,
+    SpikePacket,
+    TierDecision,
+    Witness,
+)
+from ruvector_tpu.transformer.quant import int8_matmul, quantize_weight_int8
+
+
+# --- weights ----------------------------------------------------------------
+
+def init_weights(key, cfg: TransformerConfig, quantize: bool = True) -> dict:
+    """Random-init (or load) weights; int8-quantized per channel."""
+    d, f, v, lg = cfg.hidden, cfg.ffn_dim, cfg.vocab, cfg.logits
+    n_layers = cfg.layers
+
+    def dense(k, i, o):
+        w = jax.random.normal(k, (i, o)) * (2.0 / (i + o)) ** 0.5
+        if quantize:
+            wq, s = quantize_weight_int8(w)
+            return {"w_q": wq, "scale": s, "bias": jnp.zeros((o,))}
+        return {"w": w, "bias": jnp.zeros((o,))}
+
+    keys = jax.random.split(key, n_layers * 6 + 2)
+    layers = []
+    for l in range(n_layers):
+        k0, k1, k2, k3, k4, k5 = keys[l * 6 : l * 6 + 6]
+        layers.append({
+            "qkv": dense(k0, d, 3 * d),
+            "out": dense(k1, d, d),
+            "ffn_in": dense(k2, d, f),
+            "ffn_out": dense(k3, f, d),
+            "ln1": {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))},
+            "ln2": {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))},
+        })
+    emb = jax.random.normal(keys[-2], (v, d)) * 0.02
+    head = dense(keys[-1], d, lg)
+    final_ln = {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))}
+    return {"embedding": emb, "layers": layers, "head": head, "final_ln": final_ln}
+
+
+def _apply_dense(p: dict, x: jax.Array) -> jax.Array:
+    if "w_q" in p:
+        return int8_matmul(x, p["w_q"], p["scale"], p["bias"])
+    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["bias"]
+
+
+def _ln(p, x, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["gamma"] + p["beta"]
+
+
+# --- core block -------------------------------------------------------------
+
+def _windowed_causal_mask(s: int, window: int) -> jax.Array:
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    return ((cols <= rows) & (rows - cols < window)).astype(jnp.float32)
+
+
+def _layer_fn(layer_params, x, cos_t, sin_t, mask, heads):
+    s, d = x.shape
+    hd = d // heads
+    h = _ln(layer_params["ln1"], x)
+    qkv = _apply_dense(layer_params["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    pos = jnp.arange(s, dtype=jnp.int32)
+    q = rope_rotate(q.reshape(s, heads, hd).transpose(1, 0, 2),
+                    pos[None, :], cos_t, sin_t)
+    k = rope_rotate(k.reshape(s, heads, hd).transpose(1, 0, 2),
+                    pos[None, :], cos_t, sin_t)
+    v = v.reshape(s, heads, hd).transpose(1, 0, 2)          # [H, S, hd]
+
+    scale = 1.0 / (hd ** 0.5)
+    scores = jnp.einsum("hqd,hkd->hqk", q, k) * scale
+    scores = jnp.where(mask[None] > 0, scores, -1e30)
+    attn = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("hqk,hkd->hqd", attn, v)
+    ctx = ctx.transpose(1, 0, 2).reshape(s, d)
+    x = x + _apply_dense(layer_params["out"], ctx)
+
+    h2 = _ln(layer_params["ln2"], x)
+    ff = _apply_dense(layer_params["ffn_out"],
+                      jax.nn.gelu(_apply_dense(layer_params["ffn_in"], h2)))
+    return x + ff
+
+
+# --- model ------------------------------------------------------------------
+
+class MincutGatedTransformer:
+    """Gated transformer with per-tier compiled programs.
+
+    infer(input_tokens_or_embedding, gate, spikes) -> InferOutput with
+    logits + witness (model.rs:393-465 flow: gate evaluate → tier →
+    run layers with early exit → output projection → witness).
+    """
+
+    def __init__(self, config: TransformerConfig, policy: GatePolicy,
+                 weights: dict, early_exit_threshold: float = 0.0):
+        self.config = config
+        self.policy = policy
+        self.weights = weights
+        self.gate_controller = GateController(policy, config)
+        self.early_exit_threshold = early_exit_threshold
+        self._programs: dict = {}
+        cos_t, sin_t = rope_tables(
+            config.head_dim, config.seq_len_max, config.rope_base,
+            config.rope_scaling, config.rope_scaling_factor,
+        )
+        self._rope = (cos_t, sin_t)
+        self._cached_logits: np.ndarray | None = None
+
+    def _program(self, layers_to_run: int, seq_len: int, window: int):
+        """One jitted program per (layers, seq, window) tier signature."""
+        key = (layers_to_run, seq_len, window)
+        if key in self._programs:
+            return self._programs[key]
+
+        cfg = self.config
+        cos_t, sin_t = self._rope
+        thresh = self.early_exit_threshold
+
+        @jax.jit
+        def run(weights, x, last_pos):             # x: [seq_len, hidden] f32
+            mask = _windowed_causal_mask(seq_len, window)
+
+            def body(carry):
+                i, h, prev_delta, done = carry
+                h_new = jax.lax.switch(
+                    jnp.minimum(i, layers_to_run - 1),
+                    [functools.partial(_layer_fn, lp, cos_t=cos_t, sin_t=sin_t,
+                                       mask=mask, heads=cfg.heads)
+                     for lp in weights["layers"][:layers_to_run]],
+                    h,
+                )
+                # coherence early exit: relative change below threshold
+                delta = jnp.linalg.norm(h_new - h) / jnp.maximum(
+                    jnp.linalg.norm(h), 1e-8
+                )
+                exit_now = (thresh > 0) & (delta < thresh)
+                return i + 1, h_new, delta, done | exit_now
+
+            def cond(carry):
+                i, _, _, done = carry
+                return (i < layers_to_run) & (~done)
+
+            i, h, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), x, jnp.float32(1.0), jnp.bool_(False))
+            )
+            h = _ln(weights["final_ln"], h)
+            # logits at the last REAL token position (zero-padding beyond)
+            last = jax.lax.dynamic_index_in_dim(h, last_pos, 0, keepdims=False)
+            logits = _apply_dense(weights["head"], last)
+            return logits, i
+
+        self._programs[key] = run
+        return run
+
+    def infer(
+        self,
+        tokens: np.ndarray | None = None,
+        gate: GatePacket = GatePacket(),
+        spikes: SpikePacket | None = None,
+        embedding: np.ndarray | None = None,
+    ) -> InferOutput:
+        decision = self.gate_controller.evaluate(gate, spikes)
+        kv_ok = self.gate_controller.should_allow_kv_writes(gate)
+        ext_ok = self.gate_controller.should_allow_external_writes(gate)
+
+        if decision.skip:
+            # tier 3: return cached logits or zeros (model.rs:410-430)
+            logits = (
+                self._cached_logits
+                if self._cached_logits is not None
+                else np.zeros(self.config.logits, np.float32)
+            )
+            witness = Witness(
+                tier=decision.tier, decision=decision.decision,
+                reason=decision.reason, kv_writes_enabled=0,
+                external_writes_enabled=0, layers_run=0, early_exit_layer=0,
+                logits_hash=Witness.hash_logits(logits),
+            )
+            return InferOutput(logits=logits, witness=witness,
+                               stats={"skipped": True})
+
+        s = decision.effective_seq_len
+        if embedding is not None:
+            x = np.asarray(embedding, np.float32)[:s]
+        else:
+            ids = np.asarray(tokens, np.int64)[:s]
+            x = np.asarray(self.weights["embedding"])[ids]
+        # pad to tier seq_len (deterministic zero pad)
+        if x.shape[0] < s:
+            x = np.concatenate(
+                [x, np.zeros((s - x.shape[0], self.config.hidden), np.float32)]
+            )
+
+        n_real = min(
+            len(tokens) if tokens is not None else embedding.shape[0], s
+        )
+        run = self._program(decision.layers_to_run, s, decision.effective_window)
+        logits, layers_run = run(
+            self.weights, jnp.asarray(x), jnp.int32(max(n_real - 1, 0))
+        )
+        logits = np.asarray(logits)
+        self._cached_logits = logits
+
+        witness = Witness(
+            tier=decision.tier, decision=decision.decision,
+            reason=decision.reason,
+            kv_writes_enabled=int(kv_ok and decision.decision
+                                  not in (GateDecision.FLUSH_KV,
+                                          GateDecision.FREEZE_WRITES)),
+            external_writes_enabled=int(ext_ok and decision.decision
+                                        == GateDecision.ALLOW),
+            layers_run=int(layers_run),
+            early_exit_layer=int(layers_run)
+            if int(layers_run) < decision.layers_to_run else 0,
+            logits_hash=Witness.hash_logits(logits),
+        )
+        return InferOutput(
+            logits=logits, witness=witness,
+            stats={"tier": decision.tier, "layers_run": int(layers_run)},
+        )

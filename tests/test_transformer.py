@@ -1,0 +1,204 @@
+"""Mincut-gated transformer tests: determinism (bit-exact logits + witness
+equality), gate tier semantics, int8 quantization accuracy, KV cache tiers,
+early exit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ruvector_tpu.transformer import (
+    GateController,
+    GatePacket,
+    GatePolicy,
+    GateDecision,
+    KVCacheConfig,
+    MincutGatedTransformer,
+    SpikePacket,
+    TransformerConfig,
+    init_weights,
+    int8_matmul,
+    kv_cache_append,
+    kv_cache_init,
+    kv_cache_read,
+    quantize_weight_int8,
+)
+from ruvector_tpu.transformer.packets import GateReason
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(0), cfg)
+    return MincutGatedTransformer(cfg, GatePolicy(), weights)
+
+
+# --- gate controller (gate.rs semantics) ------------------------------------
+
+def test_gate_normal_tier(model):
+    d = model.gate_controller.evaluate(GatePacket(lam=100, lam_prev=100))
+    assert d.tier == 0 and not d.skip
+    assert d.layers_to_run == model.config.layers
+    assert d.effective_window == model.config.window_normal
+
+
+def test_gate_skip_flag(model):
+    d = model.gate_controller.evaluate(GatePacket(flags=GatePacket.FLAG_SKIP))
+    assert d.skip and d.tier == 3 and d.layers_to_run == 0
+
+
+def test_gate_force_safe(model):
+    d = model.gate_controller.evaluate(GatePacket(flags=GatePacket.FLAG_FORCE_SAFE))
+    assert d.tier == 2 and d.decision == GateDecision.FREEZE_WRITES
+
+
+def test_gate_lambda_below_min(model):
+    d = model.gate_controller.evaluate(GatePacket(lam=5))
+    assert d.decision == GateDecision.QUARANTINE_UPDATES
+    assert d.reason == GateReason.LAMBDA_BELOW_MIN
+
+
+def test_gate_lambda_drop_flushes_kv(model):
+    # lambda dropped 100 -> 40 = 60% > 50% threshold
+    d = model.gate_controller.evaluate(GatePacket(lam=40, lam_prev=100))
+    assert d.decision == GateDecision.FLUSH_KV
+    assert d.reason == GateReason.LAMBDA_DROPPED_FAST
+
+
+def test_gate_boundary_spike_reduces(model):
+    d = model.gate_controller.evaluate(GatePacket(boundary_edges=100))
+    assert d.tier == 1
+    assert d.layers_to_run == model.config.layers_degraded
+
+
+def test_gate_spike_inactive_skips(model):
+    d = model.gate_controller.evaluate(GatePacket(), SpikePacket(fired=0))
+    assert d.skip
+
+
+def test_gate_spike_storm_goes_safe(model):
+    d = model.gate_controller.evaluate(GatePacket(), SpikePacket(fired=1, rate_q15=30000))
+    assert d.tier == 2
+    assert d.reason == GateReason.SPIKE_STORM
+
+
+# --- determinism (tests/determinism.rs analogue) ----------------------------
+
+def test_deterministic_inference(model):
+    tokens = np.asarray([1, 2, 3, 4, 5, 6, 7, 8])
+    out1 = model.infer(tokens=tokens)
+    out2 = model.infer(tokens=tokens)
+    np.testing.assert_array_equal(out1.logits, out2.logits)  # bit-exact
+    assert out1.witness.logits_hash == out2.witness.logits_hash
+    assert out1.witness.tier == 0
+
+
+def test_different_inputs_different_witness(model):
+    w1 = model.infer(tokens=np.asarray([1, 2, 3])).witness
+    w2 = model.infer(tokens=np.asarray([4, 5, 6])).witness
+    assert w1.logits_hash != w2.logits_hash
+
+
+def test_skip_tier_returns_cached(model):
+    tokens = np.asarray([1, 2, 3, 4])
+    full = model.infer(tokens=tokens)
+    skipped = model.infer(tokens=tokens, gate=GatePacket(flags=GatePacket.FLAG_SKIP))
+    assert skipped.stats.get("skipped")
+    np.testing.assert_array_equal(skipped.logits, full.logits)
+    assert skipped.witness.layers_run == 0
+
+
+def test_tier_programs_have_static_shapes(model):
+    # degraded tier runs fewer layers on shorter sequence — still works
+    out = model.infer(
+        tokens=np.arange(20), gate=GatePacket(boundary_edges=100)
+    )
+    assert out.witness.tier == 1
+    assert out.logits.shape == (model.config.logits,)
+
+
+def test_early_exit():
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(1), cfg)
+    m = MincutGatedTransformer(cfg, GatePolicy(), weights,
+                               early_exit_threshold=1e9)  # exit immediately
+    out = m.infer(tokens=np.asarray([1, 2, 3]))
+    assert out.witness.layers_run == 1  # exited after first layer
+
+
+def test_external_writes_gating(model):
+    ok = model.infer(tokens=np.asarray([1])).witness
+    assert ok.external_writes_enabled == 1
+    frozen = model.infer(tokens=np.asarray([1]), gate=GatePacket(lam=5)).witness
+    assert frozen.external_writes_enabled == 0
+
+
+# --- int8 quantization ------------------------------------------------------
+
+def test_int8_matmul_accuracy():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    wq, s = quantize_weight_int8(w)
+    exact = np.asarray(jnp.dot(x, w))
+    approx = np.asarray(int8_matmul(x, wq, s))
+    rel = np.abs(approx - exact).max() / np.abs(exact).max()
+    assert rel < 0.05, rel
+
+
+def test_int8_matmul_deterministic():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    wq, s = quantize_weight_int8(w)
+    a = np.asarray(int8_matmul(x, wq, s))
+    b = np.asarray(int8_matmul(x, wq, s))
+    np.testing.assert_array_equal(a, b)
+
+
+# --- KV cache tiers ---------------------------------------------------------
+
+def test_kv_cache_hot_only():
+    cfg = KVCacheConfig(hot_capacity=4, warm_capacity=4, archive_capacity=4,
+                        heads=2, head_dim=8)
+    state = kv_cache_init(cfg)
+    rng = np.random.default_rng(2)
+    ks = rng.normal(size=(3, 2, 8)).astype(np.float32)
+    for i in range(3):
+        state = kv_cache_append(cfg, state, jnp.asarray(ks[i]), jnp.asarray(ks[i]))
+    k, v, mask = kv_cache_read(cfg, state)
+    assert int(mask.sum()) == 3
+    # hot tier holds exact f32 values
+    live = np.asarray(k)[np.asarray(mask) > 0]
+    np.testing.assert_allclose(live, ks, atol=1e-6)
+
+
+def test_kv_cache_spill_to_warm():
+    cfg = KVCacheConfig(hot_capacity=2, warm_capacity=4, archive_capacity=4,
+                        heads=1, head_dim=8)
+    state = kv_cache_init(cfg)
+    rng = np.random.default_rng(3)
+    ks = rng.normal(size=(5, 1, 8)).astype(np.float32)
+    for i in range(5):
+        state = kv_cache_append(cfg, state, jnp.asarray(ks[i]), jnp.asarray(ks[i]))
+    k, v, mask = kv_cache_read(cfg, state)
+    assert int(mask.sum()) == 5
+    live = np.asarray(k)[np.asarray(mask) > 0]
+    # chronological order: oldest (quantized, ~1% error) first, newest exact
+    np.testing.assert_allclose(live, ks, atol=0.05)
+    np.testing.assert_allclose(live[-2:], ks[-2:], atol=1e-6)  # hot exact
+
+
+def test_kv_cache_spill_to_archive():
+    cfg = KVCacheConfig(hot_capacity=2, warm_capacity=2, archive_capacity=4,
+                        heads=1, head_dim=8)
+    state = kv_cache_init(cfg)
+    rng = np.random.default_rng(4)
+    ks = rng.normal(size=(6, 1, 8)).astype(np.float32)
+    for i in range(6):
+        state = kv_cache_append(cfg, state, jnp.asarray(ks[i]), jnp.asarray(ks[i]))
+    k, v, mask = kv_cache_read(cfg, state)
+    assert int(mask.sum()) == 6
+    live = np.asarray(k)[np.asarray(mask) > 0]
+    # archive is int4: coarser, but recognizable
+    np.testing.assert_allclose(live, ks, atol=0.25)
