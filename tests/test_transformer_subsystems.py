@@ -1,0 +1,271 @@
+"""Tests: MoD routing, sparse attention masks, Mamba, speculative decoding,
+spectral PE, spike scheduler, energy gate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ruvector_tpu.transformer.mod_routing import (
+    MincutDepthRouter,
+    ModRoutingConfig,
+    TokenRoute,
+    apply_layer_masked,
+    apply_layer_routed,
+)
+from ruvector_tpu.transformer.packets import GateDecision, GatePacket, SpikePacket
+from ruvector_tpu.transformer.sparse_attention import (
+    MincutSparseAttention,
+    SparseMask,
+    SparsityConfig,
+    sparse_attention,
+)
+from ruvector_tpu.transformer.mamba import (
+    MambaConfig,
+    mamba_forward_sequence,
+    mamba_init,
+    mamba_state_init,
+    mamba_step,
+)
+from ruvector_tpu.transformer.speculative import (
+    DraftTree,
+    SpeculativeConfig,
+    SpeculativeDecoder,
+    generate_tree_attention_mask,
+)
+from ruvector_tpu.transformer.spectral import (
+    SpectralPEConfig,
+    SpectralPositionEncoder,
+    laplacian_from_edges,
+    lanczos,
+    power_iteration,
+)
+from ruvector_tpu.transformer.spike import EnergyGate, SpikeScheduler
+
+
+# --- MoD routing ------------------------------------------------------------
+
+def test_mod_capacity_target():
+    router = MincutDepthRouter(ModRoutingConfig(layer_capacity_ratio=0.5,
+                                                min_tokens_per_layer=2,
+                                                adaptive_capacity=False))
+    routes = router.route_tokens(GatePacket(partition_count=1), np.arange(32))
+    stats = router.routing_stats(routes)
+    assert stats.compute_tokens == 16        # 50% capacity
+    assert stats.skip_tokens == 16
+
+
+def test_mod_boundary_tokens_forced():
+    router = MincutDepthRouter(ModRoutingConfig(layer_capacity_ratio=0.25))
+    routes = router.route_tokens(GatePacket(partition_count=4), np.arange(32))
+    assert sum(r is TokenRoute.BOUNDARY for r in routes) == 4
+    # boundary positions are partition starts: 0, 8, 16, 24
+    assert routes[0] is TokenRoute.BOUNDARY
+    assert routes[8] is TokenRoute.BOUNDARY
+
+
+def test_mod_unstable_lambda_raises_capacity():
+    cfg = ModRoutingConfig(layer_capacity_ratio=0.25, adaptive_capacity=True)
+    router = MincutDepthRouter(cfg)
+    stable = router.routing_stats(
+        router.route_tokens(GatePacket(lam=100, lam_prev=100), np.arange(32)))
+    unstable = router.routing_stats(
+        router.route_tokens(GatePacket(lam=100, lam_prev=50), np.arange(32)))
+    assert unstable.compute_tokens > stable.compute_tokens
+
+
+def test_mod_apply_masked_and_routed_agree():
+    layer = lambda x: x * 2.0 + 1.0
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)).astype(np.float32))
+    mask = jnp.asarray([1, 0, 1, 0, 1, 0, 1, 0], jnp.float32)
+    out_masked = apply_layer_masked(layer, x, mask)
+    idx = jnp.asarray([0, 2, 4, 6])
+    out_routed = apply_layer_routed(layer, x, idx)
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_routed), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_masked[1]), np.asarray(x[1]))
+
+
+# --- sparse attention -------------------------------------------------------
+
+def test_sparse_mask_full_when_unstructured():
+    sa = MincutSparseAttention()
+    mask = sa.build_mask(GatePacket(partition_count=1), seq_len=32)
+    assert mask.density == 1.0  # falls back to full causal
+
+
+def test_sparse_mask_partition_structure():
+    sa = MincutSparseAttention()
+    gate = GatePacket(lam=100, partition_count=4)
+    mask = sa.build_mask(gate, seq_len=32)
+    assert 0.0 < mask.density <= 1.0
+    assert len(mask.partition_boundaries) == 4
+    # causal: no attention to the future
+    m = mask.mask
+    assert not np.any(np.triu(m, k=1))
+    # boundary tokens attendable from everywhere (causally)
+    for b in mask.boundary_tokens:
+        for q in range(b, 32):
+            assert m[q, b]
+
+
+def test_sparse_density_schedules():
+    from ruvector_tpu.transformer.sparse_attention import LambdaDensitySchedule
+    lin = MincutSparseAttention(SparsityConfig(
+        lambda_based_density=LambdaDensitySchedule("linear", 0.2, 0.8)))
+    assert lin.calculate_density(GatePacket(lam=30)) <= 0.21
+    assert lin.calculate_density(GatePacket(lam=300)) >= 0.79
+    thr = MincutSparseAttention(SparsityConfig(
+        lambda_based_density=LambdaDensitySchedule("threshold",
+                                                   dense_above_lambda=150)))
+    assert thr.calculate_density(GatePacket(lam=200)) == 0.9
+    assert thr.calculate_density(GatePacket(lam=100)) == 0.1
+
+
+def test_sparse_attention_matches_dense_on_full_mask():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    full = SparseMask.full(8)
+    out = sparse_attention(q, k, v, full.mask)
+    # manual causal attention
+    scores = np.asarray(q) @ np.asarray(k).T / 4.0
+    for i in range(8):
+        scores[i, i + 1:] = -np.inf
+    attn = np.exp(scores - scores.max(1, keepdims=True))
+    attn /= attn.sum(1, keepdims=True)
+    expect = attn @ np.asarray(v)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4)
+
+
+# --- Mamba ------------------------------------------------------------------
+
+def test_mamba_step_and_sequence_agree():
+    cfg = MambaConfig.micro()
+    weights = mamba_init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(6, cfg.d_model)).astype(np.float32))
+    seq_out = mamba_forward_sequence(cfg, weights, x)
+    state = mamba_state_init(cfg)
+    for t in range(6):
+        y, state = mamba_step(cfg, weights, x[t], state)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(seq_out[t]),
+                                   atol=1e-5, err_msg=f"t={t}")
+
+
+def test_mamba_state_carries_history():
+    cfg = MambaConfig.micro()
+    weights = mamba_init(jax.random.key(1), cfg)
+    x = jnp.ones((cfg.d_model,))
+    s0 = mamba_state_init(cfg)
+    y1, s1 = mamba_step(cfg, weights, x, s0)
+    y2, s2 = mamba_step(cfg, weights, x, s1)
+    # same input, different state -> different output
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+# --- speculative ------------------------------------------------------------
+
+def make_tree():
+    t = DraftTree()
+    r = t.add(5, 0.9, None)
+    a = t.add(7, 0.8, r)
+    b = t.add(9, 0.75, r)
+    t.add(11, 0.9, a)
+    return t
+
+
+def test_tree_attention_mask_ancestors_only():
+    t = make_tree()
+    mask = generate_tree_attention_mask(t)
+    assert mask[3, 1] and mask[3, 0] and mask[3, 3]   # leaf sees its chain
+    assert not mask[3, 2]                             # not the sibling branch
+    assert not mask[1, 2] and not mask[2, 1]
+
+
+def test_speculative_verify_accepts_matching_prefix():
+    t = make_tree()
+    vocab = 16
+    logits = np.full((4, vocab), -10.0, np.float32)
+    logits[0, 7] = 10.0     # target at root predicts 7 -> accepts node a
+    logits[1, 11] = 10.0    # at node a predicts 11 -> accepts leaf
+    logits[3, 2] = 10.0
+    # root itself: target argmax at root position must equal root token 5
+    logits[0, 5] = 5.0  # 7 still wins; root check uses its own position
+    dec = SpeculativeDecoder(SpeculativeConfig(acceptance_threshold=0.5,
+                                               use_lambda_guidance=False))
+    # root has parent None -> checked against its own position: argmax=7 != 5
+    res = dec.verify(t, logits)
+    assert res.num_accepted == 0
+    logits[0, 5] = 20.0     # now root matches
+    res = dec.verify(t, logits)
+    # path root(5)->a(7)? a checked at parent pos 0, argmax now 5 != 7 -> stop
+    assert res.accepted_tokens[:1] == [5]
+
+
+def test_speculative_lambda_guidance_raises_threshold():
+    dec = SpeculativeDecoder(SpeculativeConfig(acceptance_threshold=0.7))
+    calm = dec.effective_threshold(GatePacket(lam=100, lam_prev=100))
+    crisis = dec.effective_threshold(GatePacket(lam=30, lam_prev=100))
+    assert crisis > calm
+
+
+# --- spectral ---------------------------------------------------------------
+
+def test_laplacian_rows_sum_zero():
+    lap = laplacian_from_edges([(0, 1), (1, 2), (2, 3)], 4)
+    np.testing.assert_allclose(lap.sum(axis=1), 0.0, atol=1e-6)
+
+
+def test_power_iteration_finds_dominant():
+    m = jnp.asarray(np.diag([1.0, 5.0, 2.0]).astype(np.float32))
+    v = np.abs(np.asarray(power_iteration(m, 64)))
+    np.testing.assert_allclose(v, [0.0, 1.0, 0.0], atol=1e-3)
+
+
+def test_lanczos_eigenvalues_match_numpy():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(12, 12))
+    sym = (a + a.T) / 2
+    evals, evecs = lanczos(jnp.asarray(sym, dtype=jnp.float32), k=3, max_iters=12)
+    expect = np.linalg.eigvalsh(sym)[:3]
+    np.testing.assert_allclose(evals, expect, atol=1e-3)
+    # eigenvector property: A v ≈ λ v
+    for i in range(3):
+        np.testing.assert_allclose(sym @ evecs[:, i], evals[i] * evecs[:, i],
+                                   atol=1e-2)
+
+
+def test_spectral_pe_separates_components():
+    # two disconnected cliques -> Fiedler-like vector separates them
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    enc = SpectralPositionEncoder(SpectralPEConfig(num_eigenvectors=2))
+    pe = enc.encode_from_edges(edges, 6)
+    assert pe.shape == (6, 2)
+    d_within = enc.spectral_distance(pe, 0, 1)
+    d_across = enc.spectral_distance(pe, 0, 5)
+    assert d_across > d_within
+
+
+# --- spike scheduler + energy gate ------------------------------------------
+
+def test_spike_scheduler_fires_on_novelty():
+    s = SpikeScheduler(novelty_threshold=0.1)
+    x = np.ones(8)
+    p1 = s.observe(x)
+    assert p1.is_active()              # first observation fires
+    p2 = s.observe(x)
+    assert not p2.is_active()          # identical input: no spike
+    p3 = s.observe(x * 5.0)
+    assert p3.is_active()              # big change fires
+    assert p3.novelty_q15 > p2.novelty_q15
+
+
+def test_energy_gate_decisions():
+    g = EnergyGate()
+    calm = GatePacket(lam=200, lam_prev=200)
+    dec, conf = g.decide(calm)
+    assert dec == GateDecision.ALLOW and conf >= 0.7
+    crisis = GatePacket(lam=5, lam_prev=200, boundary_concentration_q15=30000,
+                        partition_count=20)
+    dec, conf = g.decide(crisis)
+    assert dec == GateDecision.FREEZE_WRITES and conf >= 0.7
