@@ -1,0 +1,173 @@
+"""Aux subsystem tests: checkpoint roundtrip + corruption detection,
+metrics, profiler, witness chains, cold-tier streaming."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ruvector_tpu.utils import (
+    Counter,
+    Histogram,
+    MetricsRegistry,
+    Profiler,
+    WitnessLog,
+    restore_checkpoint,
+    save_checkpoint,
+    tensor_witness,
+)
+from ruvector_tpu.utils.cold_tier import (
+    AdaptiveHotset,
+    ColdTierTrainer,
+    FeatureStorage,
+    HyperbatchConfig,
+    HyperbatchIterator,
+)
+
+
+def test_checkpoint_roundtrip_npz(tmp_path):
+    tree = {"a": jnp.asarray([1.0, 2.0]), "b": {"c": jnp.ones((3, 4))},
+            "lst": [jnp.zeros(2), jnp.ones(2)]}
+    save_checkpoint(tmp_path, tree, step=7, use_orbax=False)
+    restored = restore_checkpoint(tmp_path, tree, step=7, use_orbax=False)
+    for a, b in zip(jax.tree_util.tree_leaves(tree),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_detects_corruption(tmp_path):
+    tree = {"w": jnp.ones(8)}
+    path = save_checkpoint(tmp_path, tree, step=0, use_orbax=False)
+    # corrupt the file
+    data = np.load(path)
+    np.savez(path[:-4], w=np.asarray(data["w"]) + 1.0)
+    with pytest.raises(ValueError, match="checksum"):
+        restore_checkpoint(tmp_path, tree, step=0, use_orbax=False)
+
+
+def test_metrics_counter_histogram():
+    reg = MetricsRegistry()
+    c = reg.counter("search_total", "searches")
+    c.inc(collection="a")
+    c.inc(collection="a")
+    c.inc(collection="b")
+    assert c.get(collection="a") == 2
+
+    h = reg.histogram("latency_seconds")
+    for v in [0.0002, 0.003, 0.004, 0.2]:
+        h.observe(v, op="search")
+    assert h.percentile(50, op="search") <= 0.005
+    text = reg.expose()
+    assert "search_total" in text and "latency_seconds_bucket" in text
+    assert reg.health()["status"] == "healthy"
+
+
+def test_histogram_timer():
+    h = Histogram("t")
+    with h.time():
+        pass
+    assert h._total[()] == 1
+
+
+def test_profiler_regions_and_csv():
+    prof = Profiler()
+    x = jnp.ones((100, 100))
+    for _ in range(3):
+        with prof.region("matmul") as holder:
+            holder.append(jnp.dot(x, x))
+    s = prof.summary()
+    assert s["matmul"]["count"] == 3
+    assert s["matmul"]["mean_ms"] > 0
+    csv_text = prof.to_csv()
+    assert "matmul" in csv_text
+    assert len(Profiler.config_hash({"a": 1})) == 16
+
+
+def test_witness_deterministic_and_chained():
+    log1, log2 = WitnessLog(), WitnessLog()
+    x = np.arange(10, dtype=np.float32)
+    for log in (log1, log2):
+        log.record("logits", x, step=1)
+        log.record("activations", x * 2, step=2)
+    assert log1.head == log2.head
+    assert log1.verify()
+    # different data -> different chain
+    log3 = WitnessLog()
+    log3.record("logits", x + 1, step=1)
+    assert log3.head != log1.head
+    # tamper detection
+    log1.records[0].tensor_hash = "0" * 64
+    assert not log1.verify()
+
+
+def test_tensor_witness_shape_sensitivity():
+    a = np.zeros((2, 3), np.float32)
+    b = np.zeros((3, 2), np.float32)
+    assert tensor_witness(a) != tensor_witness(b)
+
+
+# --- cold tier --------------------------------------------------------------
+
+def test_feature_storage_roundtrip(tmp_path):
+    fs = FeatureStorage.create(tmp_path / "feat.npy", dim=8, num_nodes=100)
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(100, 8)).astype(np.float32)
+    fs.write_batch(np.arange(100), data)
+    fs.flush()
+    fs2 = FeatureStorage.open(tmp_path / "feat.npy")
+    got = fs2.read_batch(np.asarray([5, 50, 99]))
+    np.testing.assert_array_equal(got, data[[5, 50, 99]])
+
+
+def test_hyperbatch_iterator_covers_epoch(tmp_path):
+    fs = FeatureStorage.create(tmp_path / "f.npy", dim=4, num_nodes=25)
+    data = np.arange(100, dtype=np.float32).reshape(25, 4)
+    fs.write_batch(np.arange(25), data)
+    order = np.random.default_rng(1).permutation(25)
+    it = HyperbatchIterator(fs, HyperbatchConfig(batch_size=10), order)
+    seen = []
+    while True:
+        batch = it.next_batch()
+        if batch is None:
+            break
+        ids, feats = batch
+        seen.extend(ids.tolist())
+        np.testing.assert_array_equal(np.asarray(feats), data[ids])
+    assert sorted(seen) == list(range(25))
+    assert it.batch_counter == 3
+
+
+def test_cold_tier_trainer_epoch(tmp_path):
+    fs = FeatureStorage.create(tmp_path / "f.npy", dim=4, num_nodes=32)
+    fs.write_batch(np.arange(32),
+                   np.ones((32, 4), np.float32))
+
+    def step(ids, feats):
+        return jnp.mean(feats ** 2)
+
+    trainer = ColdTierTrainer(fs, HyperbatchConfig(batch_size=8))
+    stats = trainer.train_epoch(step)
+    assert stats.batches == 4
+    np.testing.assert_allclose(stats.loss, 1.0, atol=1e-6)
+    assert stats.io_time_s >= 0 and stats.compute_time_s > 0
+
+
+def test_adaptive_hotset_lfu():
+    hs = AdaptiveHotset(capacity=2)
+    loads = []
+
+    def loader(i):
+        loads.append(i)
+        return i * 10
+
+    # 0 and 1 become hot
+    for _ in range(3):
+        hs.access(0, loader)
+        hs.access(1, loader)
+    assert hs.access(0, loader) == 0
+    assert loads.count(0) == 1          # cached after first load
+    # 2 is cold: loaded but not necessarily retained over hot entries
+    hs.access(2, loader)
+    assert 0 in hs.hit_rate_nodes() and 1 in hs.hit_rate_nodes()
+    hs.decay_scores()
+    assert all(v < 4 for v in hs.scores.values())
