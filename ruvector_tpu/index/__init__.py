@@ -1,0 +1,12 @@
+from ruvector_tpu.index.hnsw import HnswIndex, HnswConfig
+from ruvector_tpu.index.vector_db import VectorDB, DbOptions, SearchResult
+from ruvector_tpu.index.hyperbolic_hnsw import HyperbolicIndex
+
+__all__ = [
+    "HnswIndex",
+    "HnswConfig",
+    "VectorDB",
+    "DbOptions",
+    "SearchResult",
+    "HyperbolicIndex",
+]

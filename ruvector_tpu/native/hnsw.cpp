@@ -1,0 +1,256 @@
+// Native HNSW index — hierarchical navigable small-world ANN.
+//
+// TPU-framework equivalent of the reference's index layer
+// (ruvector-core/src/index/hnsw.rs, which wraps the hnsw_rs crate with
+// m=32, ef_construction=200, ef_search=100 defaults,
+// ruvector-core/src/types.rs:86-97). Implemented from the HNSW algorithm
+// (Malkov & Yashunin 2016): per-level greedy descent + ef-bounded beam
+// search, level assignment ~ geometric(1/ln M).
+//
+// The index lives host-side and feeds candidate lists to the TPU re-rank
+// path; bulk distance math on-device remains the brute-force kNN builder
+// (graph/build.py) which is faster for offline construction — HNSW here
+// serves the online insert/search serving path.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <queue>
+#include <random>
+#include <algorithm>
+#include <unordered_set>
+
+namespace {
+
+struct Hnsw {
+    int64_t dim;
+    int64_t m;                 // max neighbors per level (level 0: 2m)
+    int64_t ef_construction;
+    std::string metric;        // "l2" or "cosine" (cosine pre-normalizes)
+    bool cosine;
+    std::mt19937_64 rng;
+    double level_mult;
+
+    std::vector<float> data;             // [n, dim]
+    std::vector<int32_t> levels;         // level per node
+    // adjacency: per node, per level, neighbor list
+    std::vector<std::vector<std::vector<int32_t>>> links;
+    int32_t entry = -1;
+    int32_t max_level = -1;
+
+    Hnsw(int64_t d, int64_t m_, int64_t efc, bool cos, uint64_t seed)
+        : dim(d), m(m_), ef_construction(efc), cosine(cos), rng(seed),
+          level_mult(1.0 / std::log(std::max<double>(m_, 2))) {}
+
+    int64_t size() const { return levels.size(); }
+
+    float dist(const float* a, const float* b) const {
+        float s = 0;
+        for (int64_t i = 0; i < dim; ++i) {
+            float d = a[i] - b[i];
+            s += d * d;
+        }
+        return s;   // squared L2 (cosine handled by pre-normalization)
+    }
+
+    const float* vec(int32_t id) const { return data.data() + id * dim; }
+
+    // ef-bounded best-first search at one level. Returns (dist, id) sorted asc.
+    std::vector<std::pair<float, int32_t>> search_layer(
+        const float* q, int32_t ep, int64_t ef, int32_t level) const {
+        std::priority_queue<std::pair<float, int32_t>> best;       // max-heap (worst on top)
+        std::priority_queue<std::pair<float, int32_t>,
+                            std::vector<std::pair<float, int32_t>>,
+                            std::greater<>> cand;                   // min-heap
+        std::unordered_set<int32_t> visited;
+
+        float d0 = dist(q, vec(ep));
+        best.emplace(d0, ep);
+        cand.emplace(d0, ep);
+        visited.insert(ep);
+
+        while (!cand.empty()) {
+            auto [dc, c] = cand.top();
+            if (dc > best.top().first && (int64_t)best.size() >= ef) break;
+            cand.pop();
+            if (level < (int32_t)links[c].size()) {
+                for (int32_t nb : links[c][level]) {
+                    if (visited.count(nb)) continue;
+                    visited.insert(nb);
+                    float d = dist(q, vec(nb));
+                    if ((int64_t)best.size() < ef || d < best.top().first) {
+                        best.emplace(d, nb);
+                        cand.emplace(d, nb);
+                        if ((int64_t)best.size() > ef) best.pop();
+                    }
+                }
+            }
+        }
+        std::vector<std::pair<float, int32_t>> out;
+        out.reserve(best.size());
+        while (!best.empty()) { out.push_back(best.top()); best.pop(); }
+        std::sort(out.begin(), out.end());
+        return out;
+    }
+
+    // simple neighbor selection: closest M (heuristic selection is a
+    // quality refinement; closest-M matches hnsw_rs's default behavior)
+    void connect(int32_t id, int32_t level,
+                 const std::vector<std::pair<float, int32_t>>& candidates) {
+        int64_t cap = level == 0 ? 2 * m : m;
+        auto& lk = links[id][level];
+        for (auto& [d, nb] : candidates) {
+            if ((int64_t)lk.size() >= cap) break;
+            if (nb == id) continue;
+            lk.push_back(nb);
+            // back-link with pruning
+            auto& back = links[nb][level];
+            back.push_back(id);
+            if ((int64_t)back.size() > cap) {
+                // prune: keep the cap closest to nb
+                const float* nv = vec(nb);
+                std::sort(back.begin(), back.end(), [&](int32_t a, int32_t b2) {
+                    return dist(nv, vec(a)) < dist(nv, vec(b2));
+                });
+                back.resize(cap);
+            }
+        }
+    }
+
+    void insert(const float* v_in) {
+        std::vector<float> v(v_in, v_in + dim);
+        if (cosine) {
+            float n = 0;
+            for (auto x : v) n += x * x;
+            n = std::sqrt(std::max(n, 1e-12f));
+            for (auto& x : v) x /= n;
+        }
+        int32_t id = (int32_t)size();
+        std::uniform_real_distribution<double> u(0.0, 1.0);
+        int32_t lvl = (int32_t)(-std::log(std::max(u(rng), 1e-12)) * level_mult);
+
+        data.insert(data.end(), v.begin(), v.end());
+        levels.push_back(lvl);
+        links.emplace_back(lvl + 1);
+
+        if (entry < 0) {
+            entry = id;
+            max_level = lvl;
+            return;
+        }
+
+        int32_t ep = entry;
+        // greedy descent through upper levels
+        for (int32_t L = max_level; L > lvl; --L) {
+            bool improved = true;
+            float best_d = dist(v.data(), vec(ep));
+            while (improved) {
+                improved = false;
+                if (L < (int32_t)links[ep].size()) {
+                    for (int32_t nb : links[ep][L]) {
+                        float d = dist(v.data(), vec(nb));
+                        if (d < best_d) { best_d = d; ep = nb; improved = true; }
+                    }
+                }
+            }
+        }
+        // ef-bounded insert at each level from min(lvl, max_level) down
+        for (int32_t L = std::min(lvl, max_level); L >= 0; --L) {
+            auto cands = search_layer(v.data(), ep, ef_construction, L);
+            connect(id, L, cands);
+            if (!cands.empty()) ep = cands[0].second;
+        }
+        if (lvl > max_level) { max_level = lvl; entry = id; }
+    }
+
+    void search(const float* q_in, int64_t k, int64_t ef,
+                int32_t* out_ids, float* out_dists) const {
+        std::vector<float> q(q_in, q_in + dim);
+        if (cosine) {
+            float n = 0;
+            for (auto x : q) n += x * x;
+            n = std::sqrt(std::max(n, 1e-12f));
+            for (auto& x : q) x /= n;
+        }
+        for (int64_t i = 0; i < k; ++i) { out_ids[i] = -1; out_dists[i] = 1e30f; }
+        if (entry < 0) return;
+
+        int32_t ep = entry;
+        for (int32_t L = max_level; L > 0; --L) {
+            bool improved = true;
+            float best_d = dist(q.data(), vec(ep));
+            while (improved) {
+                improved = false;
+                if (L < (int32_t)links[ep].size()) {
+                    for (int32_t nb : links[ep][L]) {
+                        float d = dist(q.data(), vec(nb));
+                        if (d < best_d) { best_d = d; ep = nb; improved = true; }
+                    }
+                }
+            }
+        }
+        auto res = search_layer(q.data(), ep, std::max(ef, k), 0);
+        int64_t n = std::min<int64_t>(k, res.size());
+        for (int64_t i = 0; i < n; ++i) {
+            out_ids[i] = res[i].second;
+            out_dists[i] = res[i].first;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_new(int64_t dim, int64_t m, int64_t ef_construction,
+               int32_t cosine, uint64_t seed) {
+    return new Hnsw(dim, m, ef_construction, cosine != 0, seed);
+}
+
+void hnsw_free(void* h) { delete (Hnsw*)h; }
+
+void hnsw_add_batch(void* h, const float* vecs, int64_t n) {
+    Hnsw* idx = (Hnsw*)h;
+    for (int64_t i = 0; i < n; ++i) idx->insert(vecs + i * idx->dim);
+}
+
+int64_t hnsw_size(void* h) { return ((Hnsw*)h)->size(); }
+
+void hnsw_search_batch(void* h, const float* queries, int64_t nq,
+                       int64_t k, int64_t ef,
+                       int32_t* out_ids, float* out_dists) {
+    Hnsw* idx = (Hnsw*)h;
+    for (int64_t i = 0; i < nq; ++i) {
+        idx->search(queries + i * idx->dim, k, ef,
+                    out_ids + i * k, out_dists + i * k);
+    }
+}
+
+// Fetch adjacency of level 0 as padded [n, max_deg] (for GNN consumption).
+int64_t hnsw_max_degree(void* h) {
+    Hnsw* idx = (Hnsw*)h;
+    int64_t mx = 1;
+    for (auto& nl : idx->links)
+        if (!nl.empty() && (int64_t)nl[0].size() > mx) mx = nl[0].size();
+    return mx;
+}
+
+void hnsw_adjacency(void* h, int64_t max_deg, int32_t* out_idx,
+                    float* out_mask) {
+    Hnsw* idx = (Hnsw*)h;
+    int64_t n = idx->size();
+    std::memset(out_idx, 0, sizeof(int32_t) * n * max_deg);
+    std::memset(out_mask, 0, sizeof(float) * n * max_deg);
+    for (int64_t i = 0; i < n; ++i) {
+        if (idx->links[i].empty()) continue;
+        auto& nb = idx->links[i][0];
+        int64_t c = std::min<int64_t>(nb.size(), max_deg);
+        for (int64_t j = 0; j < c; ++j) {
+            out_idx[i * max_deg + j] = nb[j];
+            out_mask[i * max_deg + j] = 1.0f;
+        }
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,102 @@
+"""Index layer tests: native HNSW recall, VectorDB facade, hyperbolic index
+with tangent pruning."""
+
+import numpy as np
+import pytest
+
+from ruvector_tpu.graph import knn_graph_numpy
+from ruvector_tpu.index import (
+    DbOptions,
+    HnswConfig,
+    HnswIndex,
+    HyperbolicIndex,
+    VectorDB,
+)
+from ruvector_tpu.index.hyperbolic_hnsw import HyperbolicConfig
+
+
+def test_hnsw_exact_self_search():
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(200, 32)).astype(np.float32)
+    idx = HnswIndex(HnswConfig(dim=32, metric="l2"))
+    idx.add_batch(data)
+    assert len(idx) == 200
+    ids, dists = idx.search(data[17], k=1)
+    assert ids[0] == 17
+    assert dists[0] < 1e-9
+
+
+def test_hnsw_recall_at_10():
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(1000, 16)).astype(np.float32)
+    idx = HnswIndex(HnswConfig(dim=16, metric="cosine", m=16,
+                               ef_construction=100, ef_search=100))
+    idx.add_batch(data)
+    # brute-force ground truth (cosine)
+    gt_idx, _ = knn_graph_numpy(data, k=10, metric="cosine")
+    hits = 0
+    total = 0
+    queries = rng.integers(0, 1000, size=50)
+    for q in queries:
+        ids, _ = idx.search(data[q], k=11)   # includes self
+        got = set(int(i) for i in ids if i >= 0 and i != q)
+        expect = set(gt_idx[q][:10].tolist())
+        hits += len(got & expect)
+        total += 10
+    recall = hits / total
+    assert recall > 0.85, recall
+
+
+def test_hnsw_neighbor_graph_export():
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(100, 8)).astype(np.float32)
+    idx = HnswIndex(HnswConfig(dim=8, m=8))
+    idx.add_batch(data)
+    g = idx.to_neighbor_graph()
+    assert g.num_nodes == 100
+    deg = np.asarray(g.degrees())
+    assert deg.mean() > 1   # connected structure
+    nbr = np.asarray(g.nbr_idx)
+    mask = np.asarray(g.nbr_mask) > 0
+    assert nbr[mask].max() < 100
+
+
+def test_vector_db_insert_search():
+    db = VectorDB(DbOptions(dimensions=8))
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    ids = db.insert_batch(vecs, payloads=[{"i": i} for i in range(50)])
+    assert len(db) == 50
+    res = db.search(vecs[10], k=3, with_vectors=True)
+    assert res[0].id == ids[10]
+    assert res[0].score > 0.99
+    assert res[0].payload == {"i": 10}
+    np.testing.assert_allclose(res[0].vector, vecs[10])
+    # single insert with custom id
+    vid = db.insert(vecs[0] + 0.001, id="custom")
+    assert db.get("custom") is not None
+
+
+def test_hyperbolic_tangent_pruning_matches_exact():
+    rng = np.random.default_rng(4)
+    idx = HyperbolicIndex(HyperbolicConfig(dim=8, prune_candidates=32))
+    pts = 0.1 * rng.normal(size=(200, 8)).astype(np.float32)
+    idx.insert_batch(pts)
+    q = 0.1 * rng.normal(size=8).astype(np.float32)
+    pruned = idx.search(q, k=5)
+    exact = idx.search_exact(q, k=5)
+    # top-5 via tangent pruning mostly agrees with the exact ranking
+    overlap = len({i for i, _ in pruned} & {i for i, _ in exact})
+    assert overlap >= 4, (pruned, exact)
+    # distances ordered ascending
+    dists = [d for _, d in pruned]
+    assert dists == sorted(dists)
+
+
+def test_hyperbolic_self_match():
+    idx = HyperbolicIndex(HyperbolicConfig(dim=4))
+    pts = 0.3 * np.eye(4, dtype=np.float32)
+    idx.insert_batch(pts)
+    res = idx.search(pts[2], k=1)
+    assert res[0][0] == 2
+    assert res[0][1] < 1e-4
