@@ -30,9 +30,24 @@ def main():
 
     n, d, h, k, layers = 100_000, 128, 128, 16, 1
     rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    graph = build_knn_graph(feats, k=k, block=2048)
-    jax.block_until_ready(graph.nbr_idx)
+    feats_np = rng.normal(size=(n, d)).astype(np.float32)
+    feats = jnp.asarray(feats_np)
+
+    # cache the kNN graph across bench invocations (construction is itself
+    # benchmarked separately; here it's just input data)
+    import os
+    cache = f"/tmp/ruvector_bench_graph_{n}_{d}_{k}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        from ruvector_tpu.graph import NeighborGraph
+        graph = NeighborGraph(jnp.asarray(z["idx"]), jnp.asarray(z["mask"]),
+                              jnp.asarray(z["w"]))
+    else:
+        graph = build_knn_graph(feats, k=k, block=2048)
+        jax.block_until_ready(graph.nbr_idx)
+        np.savez(cache, idx=np.asarray(graph.nbr_idx),
+                 mask=np.asarray(graph.nbr_mask),
+                 w=np.asarray(graph.edge_weight))
 
     cfg = RuvectorNetConfig(input_dim=d, hidden_dim=h, num_layers=layers, heads=4)
     params = ruvector_net_init(jax.random.key(0), cfg)

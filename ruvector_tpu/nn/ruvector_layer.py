@@ -46,6 +46,10 @@ class RuvectorLayerConfig:
     heads: int = 4
     dropout: float = 0.0
     eps: float = 1e-5
+    # 'float32' (exact reference parity) or 'bfloat16' (half the HBM traffic
+    # on the gather-bound edge path; matmuls accumulate in f32 — ~1e-2
+    # relative accuracy, the production-serving configuration)
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if not 0.0 <= self.dropout <= 1.0:
@@ -89,6 +93,7 @@ def _folded_attention_and_aggregate(
     """
     n, m, d = nbr_msg.shape
     hd = d // heads
+    cdt = nbr_msg.dtype  # compute dtype flows from the (possibly bf16) gather
     q = linear_apply(attn_params["q"], msg).reshape(n, heads, hd)
     wk = attn_params["k"]["kernel"].reshape(d, heads, hd)
     bk = attn_params["k"]["bias"].reshape(heads, hd)
@@ -99,7 +104,11 @@ def _folded_attention_and_aggregate(
     u = jnp.einsum("nhf,dhf->nhd", q, wk)
     score_bias = jnp.einsum("nhf,hf->nh", q, bk)
     scale = 1.0 / (hd ** 0.5)
-    scores = (jnp.einsum("nhd,nmd->nhm", u, nbr_msg) + score_bias[..., None]) * scale
+    scores = (
+        jnp.einsum("nhd,nmd->nhm", u.astype(cdt), nbr_msg,
+                   preferred_element_type=jnp.float32)
+        + score_bias[..., None]
+    ) * scale
     attn_w = masked_softmax(scores, mask[:, None, :], axis=-1)    # [N, H, M]
 
     # normalized edge weights with uniform fallback (layer.rs:428-432)
@@ -110,7 +119,8 @@ def _folded_attention_and_aggregate(
 
     # one einsum aggregates all H attention heads AND the weighted mean
     allw = jnp.concatenate([attn_w, wnorm[:, None, :]], axis=1)   # [N, H+1, M]
-    mixed = jnp.einsum("nhm,nmd->nhd", allw, nbr_msg)             # [N, H+1, D]
+    mixed = jnp.einsum("nhm,nmd->nhd", allw.astype(cdt), nbr_msg,
+                       preferred_element_type=jnp.float32)        # [N, H+1, D]
     tv, weighted = mixed[:, :heads, :], mixed[:, heads, :]
 
     o = jnp.einsum("nhd,dhf->nhf", tv, wv)                        # [N, H, hd]
@@ -130,7 +140,10 @@ def ruvector_layer_apply(
     # Step 1: message transform for every node once; neighbors gather it
     # (layer.rs:392-396 recomputes W_msg per neighbor — algebraically equal).
     msg = linear_apply(params["w_msg"], features)                 # [N, H]
-    nbr_msg = msg[graph.nbr_idx]                                  # [N, M, H]
+    gather_src = (
+        msg.astype(jnp.bfloat16) if cfg.compute_dtype == "bfloat16" else msg
+    )
+    nbr_msg = gather_src[graph.nbr_idx]                           # [N, M, H]
 
     # Steps 2+3: attention (layer.rs:398-401) + edge-weighted mean
     # (layer.rs:404, 421-445) in one HBM pass over the gathered messages.

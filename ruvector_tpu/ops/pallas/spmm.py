@@ -1,0 +1,90 @@
+"""Pallas gather-fused SpMM: out[i] = Σ_m w[i,m] · feat[nbr[i,m]].
+
+The padded-layout sparse matmul with the gather INSIDE the kernel: per node
+tile, neighbor rows are DMA'd from HBM straight into VMEM scratch and
+reduced in place — the [N, M, D] gathered tensor never exists in HBM
+(the XLA path ops/segment.spmm_padded materializes it: write + read of
+N·M·D·4 bytes; this kernel reads N·M·D·4 once).
+
+Neighbor indices arrive via PrefetchScalarGridSpec so DMA addresses are
+known before the kernel body runs; row DMAs are issued back-to-back and
+waited together (the DMA engines pipeline them).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def spmm_pallas(
+    features: jax.Array,     # [N, D]
+    nbr_idx: jax.Array,      # [B, M] int32
+    weights: jax.Array,      # [B, M] (weight * mask; 0 on padding)
+    tile_b: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    b, m = nbr_idx.shape
+    n, d = features.shape
+    pb = -(-b // tile_b) * tile_b
+    if pb != b:
+        nbr_idx = jnp.pad(nbr_idx, ((0, pb - b), (0, 0)))
+        weights = jnp.pad(weights, ((0, pb - b), (0, 0)))
+
+    flat_idx = nbr_idx.reshape(-1).astype(jnp.int32)
+
+    def kernel(idx_pref, w_ref, feat_ref, out_ref, gathered, sems):
+        i = pl.program_id(0)
+        base = i * tile_b * m
+        n_rows = tile_b * m
+
+        def issue(r, carry):
+            pltpu.make_async_copy(
+                feat_ref.at[idx_pref[base + r]], gathered.at[r], sems.at[r]
+            ).start()
+            return carry
+
+        jax.lax.fori_loop(0, n_rows, issue, None)
+
+        def wait(r, carry):
+            pltpu.make_async_copy(
+                feat_ref.at[idx_pref[base + r]], gathered.at[r], sems.at[r]
+            ).wait()
+            return carry
+
+        jax.lax.fori_loop(0, n_rows, wait, None)
+
+        g = gathered[:].reshape(tile_b, m, d)
+        out_ref[:] = jnp.einsum(
+            "tm,tmd->td", w_ref[:], g, preferred_element_type=jnp.float32
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pb // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, m), lambda i, idx: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # features stay in HBM
+        ],
+        out_specs=pl.BlockSpec((tile_b, d), lambda i, idx: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b * m, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((tile_b * m,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pb, d), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(flat_idx, weights, features)
+    return out[:b]

@@ -1,0 +1,279 @@
+"""Extended attention family: dual-space, transport/OT, info-bottleneck,
+diffusion/PDE, sheaf, SDK builder + presets, mining/curriculum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ruvector_tpu.attention.dual_space import (
+    DualSpaceConfig,
+    dual_space_attention,
+    dual_space_init,
+)
+from ruvector_tpu.attention.transport import (
+    TransportConfig,
+    centroid_ot_attention,
+    sliced_wasserstein_attention,
+    sliced_wasserstein_distance,
+    transport_init,
+)
+from ruvector_tpu.attention.info_bottleneck import (
+    IBConfig,
+    ib_attention,
+    ib_init,
+    kl_diagonal_gaussian,
+)
+from ruvector_tpu.attention.pde import (
+    DiffusionConfig,
+    diffusion_attention,
+    graph_laplacian,
+)
+from ruvector_tpu.attention.sheaf import (
+    ComputeLane,
+    SheafAttentionConfig,
+    process_with_early_exit,
+    restriction_map_init,
+    route_tokens_by_energy,
+    sheaf_attention,
+    sheaf_init,
+)
+from ruvector_tpu.attention.sdk import (
+    PRESETS,
+    AttentionBuilder,
+    AttentionPipeline,
+    preset,
+)
+from ruvector_tpu.attention import list_attention
+from ruvector_tpu.training.mining import (
+    CurriculumScheduler,
+    MiningConfig,
+    anneal_temperature,
+    in_batch_negatives,
+    mine_negatives,
+    spectral_regularizer,
+)
+
+
+def rand(*shape, seed=0, scale=1.0):
+    return jnp.asarray(
+        scale * np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+    )
+
+
+# --- dual space --------------------------------------------------------------
+
+def test_dual_space_blend():
+    q, k, v = rand(3, 16, seed=1, scale=0.3), rand(3, 6, 16, seed=2, scale=0.3), rand(3, 6, 16, seed=3)
+    euc_only = dual_space_attention(q, k, v, cfg=DualSpaceConfig(
+        dim=16, euclidean_weight=1.0, hyperbolic_weight=0.0))
+    hyp_only = dual_space_attention(q, k, v, cfg=DualSpaceConfig(
+        dim=16, euclidean_weight=0.0, hyperbolic_weight=1.0))
+    blend = dual_space_attention(q, k, v, cfg=DualSpaceConfig(dim=16))
+    assert not np.allclose(np.asarray(euc_only), np.asarray(hyp_only))
+    assert np.all(np.isfinite(np.asarray(blend)))
+
+
+def test_dual_space_learnable_weights_grad():
+    cfg = DualSpaceConfig(dim=8, learn_weights=True)
+    params = dual_space_init(jax.random.key(0), cfg)
+    q, k, v = rand(2, 8, seed=4, scale=0.3), rand(2, 4, 8, seed=5, scale=0.3), rand(2, 4, 8, seed=6)
+
+    def loss(p):
+        return jnp.sum(dual_space_attention(q, k, v, cfg=cfg, params=p) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.abs(np.asarray(g["blend"])).max() > 0
+
+
+# --- transport ---------------------------------------------------------------
+
+def test_sliced_wasserstein_identity_zero():
+    cfg = TransportConfig(dim=8, num_projections=32)
+    params = transport_init(jax.random.key(1), cfg)
+    x = rand(5, 8, seed=7)
+    d = sliced_wasserstein_distance(x, x, params["proj"])
+    np.testing.assert_allclose(float(d), 0.0, atol=1e-5)
+    y = rand(5, 8, seed=8) + 3.0
+    assert float(sliced_wasserstein_distance(x, y, params["proj"])) > 0.5
+
+
+def test_sw_attention_prefers_similar_keys():
+    cfg = TransportConfig(dim=8, temperature=0.1)
+    params = transport_init(jax.random.key(2), cfg)
+    q = rand(1, 8, seed=9)
+    k = jnp.concatenate([q[:, None, :], 5.0 + rand(1, 3, 8, seed=10)], axis=1)
+    v = jnp.eye(4)[None, :, :2].repeat(1, axis=0) * 1.0
+    v = jnp.concatenate([jnp.ones((1, 1, 8)), jnp.zeros((1, 3, 8))], axis=1)
+    out = sliced_wasserstein_attention(params, cfg, q, k, v)
+    assert float(out[0, 0]) > 0.7   # mass concentrated on the matching key
+
+
+def test_centroid_ot_attention():
+    cfg = TransportConfig(dim=8, num_centroids=3)
+    params = transport_init(jax.random.key(3), cfg)
+    q, k, v = rand(2, 8, seed=11), rand(2, 12, 8, seed=12), rand(2, 12, 8, seed=13)
+    out = centroid_ot_attention(params, cfg, q, k, v)
+    assert out.shape == (2, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+# --- info bottleneck ---------------------------------------------------------
+
+def test_kl_diagonal_gaussian():
+    mu = jnp.zeros((3, 4))
+    logvar = jnp.zeros((3, 4))
+    np.testing.assert_allclose(np.asarray(kl_diagonal_gaussian(mu, logvar)),
+                               0.0, atol=1e-6)
+    assert float(kl_diagonal_gaussian(jnp.ones((1, 4)), jnp.zeros((1, 4)))[0]) > 0
+
+
+def test_ib_attention_deterministic_at_inference():
+    cfg = IBConfig(dim=16, bottleneck_dim=8)
+    params = ib_init(jax.random.key(4), cfg)
+    q, k, v = rand(3, 16, seed=14), rand(3, 5, 16, seed=15), rand(3, 5, 16, seed=16)
+    o1, r1 = ib_attention(params, cfg, q, k, v)
+    o2, r2 = ib_attention(params, cfg, q, k, v)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert float(r1) >= 0
+    # stochastic path differs
+    o3, _ = ib_attention(params, cfg, q, k, v, rng=jax.random.key(5))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+
+# --- diffusion ---------------------------------------------------------------
+
+def test_graph_laplacian_rows_sum_zero_unnormalized():
+    k = rand(2, 5, 8, seed=17)
+    mask = jnp.ones((2, 5))
+    lap = graph_laplacian(k, mask, normalized=False)
+    np.testing.assert_allclose(np.asarray(jnp.sum(lap, axis=-1)), 0.0, atol=1e-4)
+
+
+def test_diffusion_attention_smooths():
+    q, k, v = rand(2, 8, seed=18), rand(2, 6, 8, seed=19), rand(2, 6, 8, seed=20)
+    out0 = diffusion_attention(q, k, v, cfg=DiffusionConfig(dim=8, num_steps=0))
+    out4 = diffusion_attention(q, k, v, cfg=DiffusionConfig(dim=8, num_steps=4))
+    assert not np.allclose(np.asarray(out0), np.asarray(out4))
+    assert np.all(np.isfinite(np.asarray(out4)))
+
+
+# --- sheaf -------------------------------------------------------------------
+
+def test_restriction_map_orthonormal():
+    r = restriction_map_init(jax.random.key(6), 16, 16)
+    np.testing.assert_allclose(np.asarray(r.T @ r), np.eye(16), atol=1e-4)
+
+
+def test_sheaf_attention_coherence_weighting():
+    cfg = SheafAttentionConfig(dim=8, restriction_dim=8, beta=1.0)
+    params = sheaf_init(jax.random.key(7), cfg)
+    # two identical tokens + one outlier: coherent pair attends each other
+    base = np.asarray(np.random.default_rng(21).normal(size=8), np.float32)
+    x = jnp.asarray(np.stack([base, base, base + 50.0]))
+    out, energy = sheaf_attention(params, cfg, x)
+    assert out.shape == (3, 8)
+    e = np.asarray(energy)
+    assert e[2] > e[0]      # outlier carries the energy
+
+
+def test_sheaf_token_routing():
+    energy = jnp.asarray([0.1, 0.2, 5.0, 0.15, 8.0, 0.05])
+    lanes = route_tokens_by_energy(energy, full_quantile=0.7, skip_quantile=0.3)
+    assert lanes[4] is ComputeLane.FULL
+    assert lanes[5] is ComputeLane.SKIP
+
+
+def test_sheaf_early_exit_converges():
+    cfg = SheafAttentionConfig(dim=8, restriction_dim=8, exit_energy_tol=0.5)
+    params = sheaf_init(jax.random.key(8), cfg)
+    x = rand(4, 8, seed=22, scale=0.1)
+    out, layers = process_with_early_exit(params, cfg, x, max_layers=8)
+    assert layers < 8
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+# --- SDK ---------------------------------------------------------------------
+
+def test_builder_and_presets():
+    q, k, v = rand(2, 32, seed=23), rand(2, 8, 32, seed=24), rand(2, 8, 32, seed=25)
+    for name in PRESETS:
+        if name in ("longformer",):   # sequence-form signature
+            continue
+        built = preset(name, 32)
+        out = built(q, k, v)
+        assert out.shape[0] == 2, name
+        assert np.all(np.isfinite(np.asarray(out))), name
+
+
+def test_attention_pipeline():
+    q, k, v = rand(2, 16, seed=26), rand(2, 4, 16, seed=27), rand(2, 4, 16, seed=28)
+    p = AttentionPipeline([
+        AttentionBuilder(16).mechanism("scaled_dot").build(),
+        AttentionBuilder(16).mechanism("flash").build(),
+    ])
+    out = p(q, k, v)
+    assert out.shape == (2, 16)
+
+
+def test_registry_covers_full_family():
+    names = set(list_attention())
+    for want in ["scaled_dot", "flash", "linear", "local_global",
+                 "edge_featured", "mincut", "hyperbolic", "moe",
+                 "dual_space", "sliced_wasserstein", "centroid_ot",
+                 "info_bottleneck", "diffusion", "sheaf"]:
+        assert want in names, want
+
+
+# --- mining / curriculum -----------------------------------------------------
+
+def test_hard_mining_picks_confusable():
+    anchors = jnp.asarray([[1.0, 0.0]])
+    positives = jnp.asarray([[1.0, 0.1]])
+    cands = jnp.asarray([[0.99, 0.01], [0.0, 1.0], [-1.0, 0.0]])
+    idx = mine_negatives(anchors, cands, positives,
+                         MiningConfig(strategy="hard", n_negatives=1))
+    assert int(idx[0, 0]) == 0
+
+
+def test_semi_hard_band():
+    anchors = jnp.asarray([[1.0, 0.0]])
+    positives = jnp.asarray([[1.0, 0.0]])   # pos_sim = 1
+    cands = jnp.asarray([[0.95, 0.31], [0.5, 0.87], [-1.0, 0.0]])
+    idx = mine_negatives(anchors, cands, positives,
+                         MiningConfig(strategy="semi_hard", margin=0.2,
+                                      n_negatives=1))
+    assert int(idx[0, 0]) == 0   # within (0.8, 1.0) band
+
+
+def test_in_batch_negatives_excludes_self():
+    idx = np.asarray(in_batch_negatives(4))
+    assert idx.shape == (4, 3)
+    for i in range(4):
+        assert i not in idx[i]
+
+
+def test_curriculum_progression():
+    sched = CurriculumScheduler.default_curriculum(300)
+    assert sched.current_stage().name == "easy"
+    for _ in range(120):
+        sched.step()
+    assert sched.current_stage().name == "medium"
+    for _ in range(120):
+        sched.step()
+    assert sched.current_stage().name == "hard"
+    assert sched.current_stage().negative_count == 32
+
+
+def test_anneal_temperature():
+    assert anneal_temperature(0, 100) == pytest.approx(0.1)
+    assert anneal_temperature(100, 100) == pytest.approx(0.05)
+    assert anneal_temperature(50, 100) == pytest.approx(0.075)
+
+
+def test_spectral_regularizer():
+    params = {"w": jnp.eye(4) * 3.0, "b": jnp.ones(4)}
+    val = float(spectral_regularizer(params))
+    np.testing.assert_allclose(val, 9.0, rtol=1e-3)   # sigma_max^2 = 9
+    g = jax.grad(lambda p: spectral_regularizer(p))(params)
+    assert np.abs(np.asarray(g["w"])).max() > 0
