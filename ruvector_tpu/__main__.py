@@ -1,0 +1,153 @@
+"""CLI: create / insert / search / info / benchmark / serve.
+
+Reference: ruvector-cli (clap CLI, main.rs:36-260) — the operational surface
+for the framework, argparse-based, collections persisted as npz files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_db(path: Path):
+    from ruvector_tpu.index.vector_db import DbOptions, VectorDB
+
+    meta = json.loads((path / "meta.json").read_text())
+    db = VectorDB(DbOptions(**meta["options"]))
+    data = np.load(path / "vectors.npz", allow_pickle=True)
+    vecs = data["vectors"]
+    ids = data["ids"].tolist()
+    payloads = data["payloads"].tolist()
+    if len(vecs):
+        db.insert_batch(vecs, ids=ids, payloads=payloads)
+    return db
+
+
+def _save_db(db, path: Path):
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "meta.json").write_text(json.dumps({
+        "options": {
+            "dimensions": db.options.dimensions,
+            "metric": db.options.metric,
+            "m": db.options.m,
+            "ef_construction": db.options.ef_construction,
+            "ef_search": db.options.ef_search,
+        }
+    }))
+    np.savez(
+        path / "vectors.npz",
+        vectors=np.stack(db._vectors) if db._vectors else np.zeros((0, db.options.dimensions), np.float32),
+        ids=np.asarray(db._ids, dtype=object),
+        payloads=np.asarray([db._payloads.get(i) for i in range(len(db._vectors))],
+                            dtype=object),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ruvector_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="create a collection")
+    c.add_argument("path")
+    c.add_argument("--dim", type=int, required=True)
+    c.add_argument("--metric", default="cosine")
+
+    i = sub.add_parser("insert", help="insert vectors from a .npy file")
+    i.add_argument("path")
+    i.add_argument("--vectors", required=True)
+
+    s = sub.add_parser("search", help="search with a query vector (json list)")
+    s.add_argument("path")
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+
+    sub.add_parser("info", help="collection info").add_argument("path")
+
+    b = sub.add_parser("benchmark", help="insert+search micro benchmark")
+    b.add_argument("--dim", type=int, default=128)
+    b.add_argument("--n", type=int, default=10000)
+    b.add_argument("--queries", type=int, default=100)
+
+    sv = sub.add_parser("serve", help="start the HTTP server")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=6333)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "create":
+        from ruvector_tpu.index.vector_db import DbOptions, VectorDB
+
+        db = VectorDB(DbOptions(dimensions=args.dim, metric=args.metric))
+        _save_db(db, Path(args.path))
+        print(f"created collection at {args.path} (dim={args.dim})")
+
+    elif args.cmd == "insert":
+        db = _load_db(Path(args.path))
+        vecs = np.load(args.vectors)
+        t0 = time.perf_counter()
+        db.insert_batch(vecs.astype(np.float32))
+        dt = time.perf_counter() - t0
+        _save_db(db, Path(args.path))
+        print(f"inserted {len(vecs)} vectors in {dt:.3f}s "
+              f"({len(vecs)/dt:.0f}/s)")
+
+    elif args.cmd == "search":
+        db = _load_db(Path(args.path))
+        q = np.asarray(json.loads(args.query), np.float32)
+        t0 = time.perf_counter()
+        res = db.search(q, k=args.k)
+        dt = (time.perf_counter() - t0) * 1e3
+        print(json.dumps({
+            "results": [{"id": r.id, "score": round(r.score, 6)} for r in res],
+            "latency_ms": round(dt, 3),
+        }))
+
+    elif args.cmd == "info":
+        db = _load_db(Path(args.path))
+        print(json.dumps({
+            "points_count": len(db),
+            "dimensions": db.options.dimensions,
+            "metric": db.options.metric,
+        }))
+
+    elif args.cmd == "benchmark":
+        from ruvector_tpu.index.vector_db import DbOptions, VectorDB
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(args.n, args.dim)).astype(np.float32)
+        db = VectorDB(DbOptions(dimensions=args.dim))
+        t0 = time.perf_counter()
+        db.insert_batch(data)
+        insert_dt = time.perf_counter() - t0
+        queries = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
+        t0 = time.perf_counter()
+        for q in queries:
+            db.search(q, k=10)
+        search_dt = time.perf_counter() - t0
+        print(json.dumps({
+            "insert_per_s": round(args.n / insert_dt, 1),
+            "search_qps": round(args.queries / search_dt, 1),
+            "search_p50_ms": round(search_dt / args.queries * 1e3, 3),
+        }))
+
+    elif args.cmd == "serve":
+        from ruvector_tpu.serve.server import RuvectorServer
+
+        server = RuvectorServer(args.host, args.port)
+        print(f"serving on http://{args.host}:{server.port}")
+        server.start()
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Distributed scatter-gather search, HTTP server routes, CLI."""
+
+import json
+import subprocess
+import sys
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ruvector_tpu.ops.distance import pairwise_cosine
+from ruvector_tpu.parallel import make_mesh
+from ruvector_tpu.serve.distributed import make_distributed_search
+
+requires_multi = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_multi
+def test_distributed_search_matches_single_device():
+    rng = np.random.default_rng(0)
+    n, d, k, b = 256, 16, 5, 4
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+
+    mesh = make_mesh(8)
+    search = make_distributed_search(mesh, n, k)
+    ids, scores = search(queries, feats)
+
+    sims = np.asarray(pairwise_cosine(queries, feats))
+    expect_ids = np.argsort(-sims, axis=1)[:, :k]
+    for i in range(b):
+        assert set(np.asarray(ids)[i].tolist()) == set(expect_ids[i].tolist())
+        np.testing.assert_allclose(
+            np.asarray(scores)[i], np.sort(sims[i])[::-1][:k], rtol=1e-5
+        )
+
+
+def test_http_server_roundtrip():
+    from ruvector_tpu.serve.server import RuvectorServer
+
+    server = RuvectorServer(port=0).start()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def req(method, path, payload=None):
+        data = json.dumps(payload).encode() if payload is not None else None
+        r = urllib.request.Request(base + path, data=data, method=method,
+                                   headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return json.loads(resp.read())
+
+    try:
+        assert req("GET", "/health")["status"] == "healthy"
+        req("PUT", "/collections/test",
+            {"vectors": {"size": 4, "distance": "Cosine"}})
+        cols = req("GET", "/collections")["result"]["collections"]
+        assert cols[0]["name"] == "test"
+
+        req("PUT", "/collections/test/points", {"points": [
+            {"id": 1, "vector": [1, 0, 0, 0], "payload": {"tag": "a"}},
+            {"id": 2, "vector": [0, 1, 0, 0]},
+            {"id": 3, "vector": [0.9, 0.1, 0, 0]},
+        ]})
+        info = req("GET", "/collections/test")["result"]
+        assert info["points_count"] == 3
+
+        res = req("POST", "/collections/test/points/search",
+                  {"vector": [1, 0, 0, 0], "limit": 2})["result"]
+        assert res[0]["id"] == 1
+        assert res[1]["id"] == 3
+        assert res[0].get("payload") == {"tag": "a"}
+
+        metrics = urllib.request.urlopen(base + "/metrics", timeout=10).read()
+        assert b"search_latency_seconds" in metrics
+    finally:
+        server.stop()
+
+
+def test_cli_create_insert_search(tmp_path):
+    vecs = np.random.default_rng(1).normal(size=(20, 8)).astype(np.float32)
+    np.save(tmp_path / "vecs.npy", vecs)
+    col = str(tmp_path / "col")
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "ruvector_tpu", *args],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+    run("create", col, "--dim", "8")
+    out = run("insert", col, "--vectors", str(tmp_path / "vecs.npy"))
+    assert "inserted 20" in out
+    q = json.dumps(vecs[5].tolist())
+    res = json.loads(run("search", col, "--query", q, "-k", "3"))
+    assert res["results"][0]["id"] == 5
+    info = json.loads(run("info", col))
+    assert info["points_count"] == 20
