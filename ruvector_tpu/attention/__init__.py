@@ -56,6 +56,14 @@ from ruvector_tpu.attention.moe import (
     moe_attention_init,
     moe_attention_apply,
 )
+# register the extended family (side-effect imports populate the registry)
+from ruvector_tpu.attention import dual_space as _dual_space  # noqa: F401
+from ruvector_tpu.attention import transport as _transport  # noqa: F401
+from ruvector_tpu.attention import info_bottleneck as _ib  # noqa: F401
+from ruvector_tpu.attention import pde as _pde  # noqa: F401
+from ruvector_tpu.attention import sheaf as _sheaf  # noqa: F401
+from ruvector_tpu.attention import mixed_curvature as _mixed  # noqa: F401
+from ruvector_tpu.attention import topology as _topology  # noqa: F401
 
 __all__ = [
     "AttentionMechanism",

@@ -277,3 +277,77 @@ def test_spectral_regularizer():
     np.testing.assert_allclose(val, 9.0, rtol=1e-3)   # sigma_max^2 = 9
     g = jax.grad(lambda p: spectral_regularizer(p))(params)
     assert np.abs(np.asarray(g["w"])).max() > 0
+
+
+# --- mixed curvature / Lorentz / topology ------------------------------------
+
+def test_mixed_curvature_attention():
+    from ruvector_tpu.attention.mixed_curvature import (
+        MixedCurvatureConfig, mixed_curvature_attention, mixed_curvature_distance)
+    cfg = MixedCurvatureConfig(dim=24)
+    q = rand(2, 24, seed=30, scale=0.2)
+    k = rand(2, 5, 24, seed=31, scale=0.2)
+    v = rand(2, 5, 24, seed=32)
+    out = mixed_curvature_attention(q, k, v, cfg=cfg)
+    assert out.shape == (2, 24)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # distance to self is ~0
+    d = mixed_curvature_distance(q, q, cfg)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-2)
+
+
+def test_lorentz_distance_matches_poincare():
+    from ruvector_tpu.attention.mixed_curvature import (
+        lorentz_distance, to_lorentz)
+    from ruvector_tpu.attention.hyperbolic import (
+        poincare_distance, project_to_ball)
+    rng = np.random.default_rng(33)
+    # Lorentz lift of Klein?? — our lift is of the hyperboloid coordinates:
+    # verify metric properties instead: symmetry, zero self-distance,
+    # triangle inequality
+    x = jnp.asarray(0.3 * rng.normal(size=(3, 4)).astype(np.float32))
+    xl = to_lorentz(project_to_ball(x), 1.0)
+    d01 = float(lorentz_distance(xl[0], xl[1]))
+    d10 = float(lorentz_distance(xl[1], xl[0]))
+    d00 = float(lorentz_distance(xl[0], xl[0]))
+    d02 = float(lorentz_distance(xl[0], xl[2]))
+    d12 = float(lorentz_distance(xl[1], xl[2]))
+    assert abs(d01 - d10) < 1e-4
+    assert d00 < 1e-2
+    assert d02 <= d01 + d12 + 1e-4
+
+
+def test_lorentz_cascade_attention():
+    from ruvector_tpu.attention.mixed_curvature import lorentz_cascade_attention
+    q = rand(2, 8, seed=34, scale=0.2)
+    k = rand(2, 6, 8, seed=35, scale=0.2)
+    v = rand(2, 6, 8, seed=36)
+    out = lorentz_cascade_attention(q, k, v)
+    assert out.shape == (2, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_coherence_gating():
+    from ruvector_tpu.attention.topology import (
+        TopologyConfig, coherence_gated_attention, fiedler_value)
+    from ruvector_tpu.attention.pde import graph_laplacian
+    rng = np.random.default_rng(37)
+    # coherent set: one tight cluster -> high lambda2
+    base = rng.normal(size=8).astype(np.float32)
+    coherent = jnp.asarray(base + 0.05 * rng.normal(size=(1, 6, 8)).astype(np.float32))
+    # fragmented: two opposite clusters -> low lambda2
+    frag = jnp.asarray(np.concatenate([
+        base + 0.05 * rng.normal(size=(3, 8)),
+        -base + 0.05 * rng.normal(size=(3, 8)),
+    ])[None].astype(np.float32))
+    mask = jnp.ones((1, 6))
+    lam_c = float(fiedler_value(graph_laplacian(coherent, mask, True))[0])
+    lam_f = float(fiedler_value(graph_laplacian(frag, mask, True))[0])
+    assert lam_c > lam_f
+
+    q = jnp.asarray(base[None])
+    v = rand(1, 6, 8, seed=38)
+    out, lam2 = coherence_gated_attention(q, frag, v,
+                                          cfg=TopologyConfig(dim=8))
+    assert out.shape == (1, 8)
+    assert np.isfinite(float(lam2[0]))
