@@ -1,0 +1,158 @@
+"""Benchmark suite: per-subsystem throughput/latency on the current backend.
+
+Run: python benchmarks/suite.py [--json out.json] [--quick]
+
+Covers the reference's benchmark surface (BASELINE.md rows):
+- GNN layer forward (edges/s)              vs GNN re-rank claim
+- SpMM padded (edges/s)
+- flash attention (queries/s at M=512)
+- batched cosine distance (distances/s)    vs SIMD distance rows
+- HNSW insert + search QPS (native C++)    vs HNSW rows
+- int8/PQ/binary quantized distance        vs quantization rows
+- mincut-gated transformer infer latency
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(f, *a, iters=10):
+    import jax
+
+    o = f(*a)
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = f(*a)
+    jax.block_until_ready(o)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ruvector_tpu.graph import NeighborGraph, build_knn_graph
+    from ruvector_tpu.nn import RuvectorLayerConfig, ruvector_layer_init
+    from ruvector_tpu.nn.ruvector_layer import ruvector_layer_apply
+    from ruvector_tpu.ops.distance import pairwise_cosine
+    from ruvector_tpu.ops.segment import spmm_padded
+    from ruvector_tpu.attention.flash import flash_attention
+
+    results = {}
+    rng = np.random.default_rng(0)
+    n = 20_000 if args.quick else 100_000
+    d, k = 128, 16
+
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    cache = f"/tmp/ruvector_bench_graph_{n}_{d}_{k}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        graph = NeighborGraph(jnp.asarray(z["idx"]), jnp.asarray(z["mask"]),
+                              jnp.asarray(z["w"]))
+    else:
+        t0 = time.perf_counter()
+        graph = build_knn_graph(feats, k=k, block=2048)
+        jax.block_until_ready(graph.nbr_idx)
+        results["knn_build_s"] = round(time.perf_counter() - t0, 2)
+        np.savez(cache, idx=np.asarray(graph.nbr_idx),
+                 mask=np.asarray(graph.nbr_mask),
+                 w=np.asarray(graph.edge_weight))
+
+    # 1. GNN layer forward
+    cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
+    params = ruvector_layer_init(jax.random.key(0), cfg)
+    layer = jax.jit(lambda p, f: ruvector_layer_apply(p, cfg, f, graph))
+    dt = timeit(layer, params, feats)
+    results["gnn_layer_forward_ms"] = round(dt * 1e3, 3)
+    results["gnn_layer_edges_per_s"] = round(n * k / dt, 0)
+
+    # 2. SpMM
+    spmm = jax.jit(lambda f: spmm_padded(f, graph.nbr_idx, graph.edge_weight,
+                                         graph.nbr_mask))
+    dt = timeit(spmm, feats)
+    results["spmm_edges_per_s"] = round(n * k / dt, 0)
+
+    # 3. flash attention over candidate pools
+    b, m = 1024, 512
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    kk = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
+    vv = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
+    dt = timeit(lambda: flash_attention(q, kk, vv, block_size=128))
+    results["flash_attention_queries_per_s"] = round(b / dt, 0)
+
+    # 4. batched cosine distance
+    queries = jnp.asarray(rng.normal(size=(256, d)).astype(np.float32))
+    dt = timeit(lambda: pairwise_cosine(queries, feats))
+    results["cosine_distances_per_s"] = round(256 * n / dt, 0)
+
+    # 5. HNSW (native, host-side)
+    from ruvector_tpu.index import HnswConfig, HnswIndex
+
+    n_index = 10_000
+    data = rng.normal(size=(n_index, d)).astype(np.float32)
+    idx = HnswIndex(HnswConfig(dim=d, m=16, ef_construction=100))
+    t0 = time.perf_counter()
+    idx.add_batch(data)
+    results["hnsw_insert_per_s"] = round(n_index / (time.perf_counter() - t0), 0)
+    qs = data[rng.integers(0, n_index, size=200)]
+    t0 = time.perf_counter()
+    idx.search_batch(qs, k=10, ef=100)
+    dt = time.perf_counter() - t0
+    results["hnsw_search_qps"] = round(200 / dt, 0)
+    results["hnsw_search_p50_ms"] = round(dt / 200 * 1e3, 3)
+
+    # 6. quantized distances
+    from ruvector_tpu.ops.quantization import (
+        binary_quantize, hamming_distance, scalar_distance, scalar_quantize,
+    )
+
+    sq = scalar_quantize(feats)
+    dt = timeit(lambda: scalar_distance(queries, sq))
+    results["int8_distances_per_s"] = round(256 * n / dt, 0)
+    bq = binary_quantize(feats)
+    bq_q = binary_quantize(queries)
+    dt = timeit(lambda: hamming_distance(bq_q, bq))
+    results["binary_distances_per_s"] = round(256 * n / dt, 0)
+
+    # 7. transformer inference
+    from ruvector_tpu.transformer import (
+        GatePolicy, MincutGatedTransformer, TransformerConfig, init_weights,
+    )
+
+    tcfg = TransformerConfig.baseline()
+    model = MincutGatedTransformer(tcfg, GatePolicy(),
+                                   init_weights(jax.random.key(1), tcfg))
+    tokens = np.arange(32) % tcfg.vocab
+    model.infer(tokens=tokens)  # warm tier program
+    t0 = time.perf_counter()
+    iters = 50
+    for _ in range(iters):
+        model.infer(tokens=tokens)
+    results["transformer_infer_ms"] = round(
+        (time.perf_counter() - t0) / iters * 1e3, 3
+    )
+
+    results["backend"] = jax.devices()[0].platform
+    print(json.dumps(results, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,7 +129,13 @@ class MincutGatedTransformer:
     """
 
     def __init__(self, config: TransformerConfig, policy: GatePolicy,
-                 weights: dict, early_exit_threshold: float = 0.0):
+                 weights: dict, early_exit_threshold: float = 0.0,
+                 sparsity_config=None, mod_config=None):
+        """sparsity_config: transformer.sparse_attention.SparsityConfig —
+        min-cut partition-structured attention masks built from the gate.
+        mod_config: transformer.mod_routing.ModRoutingConfig — Mixture-of-
+        Depths token routing (tokens off the route keep their residual).
+        """
         self.config = config
         self.policy = policy
         self.weights = weights
@@ -142,6 +148,16 @@ class MincutGatedTransformer:
         )
         self._rope = (cos_t, sin_t)
         self._cached_logits: np.ndarray | None = None
+        self._sparse = None
+        if sparsity_config is not None:
+            from ruvector_tpu.transformer.sparse_attention import (
+                MincutSparseAttention,
+            )
+            self._sparse = MincutSparseAttention(sparsity_config)
+        self._router = None
+        if mod_config is not None:
+            from ruvector_tpu.transformer.mod_routing import MincutDepthRouter
+            self._router = MincutDepthRouter(mod_config)
 
     def _program(self, layers_to_run: int, seq_len: int, window: int):
         """One jitted program per (layers, seq, window) tier signature."""
@@ -154,8 +170,11 @@ class MincutGatedTransformer:
         thresh = self.early_exit_threshold
 
         @jax.jit
-        def run(weights, x, last_pos):             # x: [seq_len, hidden] f32
-            mask = _windowed_causal_mask(seq_len, window)
+        def run(weights, x, last_pos, extra_mask, mod_masks):
+            # x: [seq_len, hidden]; extra_mask: [S, S] (sparse-attention
+            # structure ANDed with the windowed causal mask); mod_masks:
+            # [layers_to_run, S] per-layer MoD compute masks (1 = compute).
+            mask = _windowed_causal_mask(seq_len, window) * extra_mask
 
             def body(carry):
                 i, h, prev_delta, done = carry
@@ -166,6 +185,9 @@ class MincutGatedTransformer:
                      for lp in weights["layers"][:layers_to_run]],
                     h,
                 )
+                # MoD: skipped tokens keep their residual (mod_routing.rs)
+                layer_mask = mod_masks[jnp.minimum(i, layers_to_run - 1)]
+                h_new = jnp.where(layer_mask[:, None] > 0, h_new, h)
                 # coherence early exit: relative change below threshold
                 delta = jnp.linalg.norm(h_new - h) / jnp.maximum(
                     jnp.linalg.norm(h), 1e-8
@@ -231,9 +253,32 @@ class MincutGatedTransformer:
         n_real = min(
             len(tokens) if tokens is not None else embedding.shape[0], s
         )
+
+        # sparse-attention structure from the gate (sparse_attention.rs)
+        if self._sparse is not None:
+            extra_mask = jnp.asarray(
+                self._sparse.build_mask(gate, s).mask.astype(np.float32)
+            )
+        else:
+            extra_mask = jnp.ones((s, s), jnp.float32)
+
+        # MoD routing from the gate (mod_routing.rs); padding never computes
+        if self._router is not None:
+            routes = self._router.route_tokens(gate, np.arange(n_real))
+            base = self._router.compute_layer_mask(routes).astype(np.float32)
+            row = np.zeros(s, np.float32)
+            row[:n_real] = base
+            row[max(n_real - 1, 0)] = 1.0   # logits position always computes
+            mod_masks = jnp.asarray(
+                np.tile(row, (decision.layers_to_run, 1))
+            )
+        else:
+            mod_masks = jnp.ones((decision.layers_to_run, s), jnp.float32)
+
         run = self._program(decision.layers_to_run, s, decision.effective_window)
         logits, layers_run = run(
-            self.weights, jnp.asarray(x), jnp.int32(max(n_real - 1, 0))
+            self.weights, jnp.asarray(x), jnp.int32(max(n_real - 1, 0)),
+            extra_mask, mod_masks,
         )
         logits = np.asarray(logits)
         self._cached_logits = logits

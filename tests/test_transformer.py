@@ -202,3 +202,33 @@ def test_kv_cache_spill_to_archive():
     live = np.asarray(k)[np.asarray(mask) > 0]
     # archive is int4: coarser, but recognizable
     np.testing.assert_allclose(live, ks, atol=0.25)
+
+
+# --- integrated MoD + sparse attention --------------------------------------
+
+def test_model_with_sparse_attention_and_mod():
+    from ruvector_tpu.transformer.mod_routing import ModRoutingConfig
+    from ruvector_tpu.transformer.sparse_attention import SparsityConfig
+
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(2), cfg)
+    m = MincutGatedTransformer(
+        cfg, GatePolicy(), weights,
+        sparsity_config=SparsityConfig(),
+        mod_config=ModRoutingConfig(layer_capacity_ratio=0.15,
+                                    min_tokens_per_layer=2,
+                                    adaptive_capacity=False),
+    )
+    tokens = np.arange(24)
+    # partitioned gate triggers the sparse mask path
+    gate = GatePacket(lam=100, partition_count=4)
+    out = m.infer(tokens=tokens, gate=gate)
+    assert out.logits.shape == (cfg.logits,)
+    assert np.all(np.isfinite(out.logits))
+    # deterministic with the integrated subsystems too
+    out2 = m.infer(tokens=tokens, gate=gate)
+    np.testing.assert_array_equal(out.logits, out2.logits)
+    # MoD actually changes the result vs the plain model
+    plain = MincutGatedTransformer(cfg, GatePolicy(), weights)
+    out_plain = plain.infer(tokens=tokens, gate=gate)
+    assert not np.array_equal(out.logits, out_plain.logits)
