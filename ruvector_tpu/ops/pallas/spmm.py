@@ -60,9 +60,9 @@ def spmm_pallas(
         jax.lax.fori_loop(0, n_rows, wait, None)
 
         g = gathered[:].reshape(tile_b, m, d)
-        out_ref[:] = jnp.einsum(
-            "tm,tmd->td", w_ref[:], g, preferred_element_type=jnp.float32
-        )
+        # batched weighted reduce (Mosaic has no batched-dot lowering;
+        # this is a VPU multiply-accumulate over the M axis)
+        out_ref[:] = jnp.sum(w_ref[:][:, :, None] * g, axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

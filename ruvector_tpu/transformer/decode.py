@@ -1,0 +1,162 @@
+"""Incremental decoding with the tiered KV cache + speculative loop.
+
+Reference: the serving path of ruvector-mincut-gated-transformer —
+model.rs run_layers with KV reads/writes (kv_cache/manager.rs), gate-
+controlled flush (FlushKv decision), and speculative decoding
+(speculative.rs).
+
+decode_step is one jitted program: embed token -> per layer (attend over
+the cache's materialized K/V + the new token, append to cache) -> logits.
+Cache tiers quantize transparently inside kv_cache_append. The generate()
+host loop drives it and consults the gate before each KV write.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ruvector_tpu.attention.rope import rope_rotate, rope_tables
+from ruvector_tpu.transformer.config import GatePolicy, TransformerConfig
+from ruvector_tpu.transformer.gate import GateController
+from ruvector_tpu.transformer.kv_cache import (
+    KVCacheConfig,
+    KVCacheState,
+    kv_cache_append,
+    kv_cache_flush,
+    kv_cache_init,
+    kv_cache_read,
+)
+from ruvector_tpu.transformer.model import _apply_dense, _ln
+from ruvector_tpu.transformer.packets import GatePacket
+
+
+def make_decode_step(config: TransformerConfig, cache_cfg: KVCacheConfig):
+    """Build the jitted single-token decode step.
+
+    step(weights, caches [L], token_id, position, kv_write_enabled) ->
+        (logits [logits], new_caches)
+    kv_write_enabled is a traced bool: when the gate freezes KV writes the
+    step still attends over the existing cache but does not extend it.
+    """
+    cos_t, sin_t = rope_tables(
+        config.head_dim, max(config.seq_len_max * 8, 1024), config.rope_base,
+        config.rope_scaling, config.rope_scaling_factor,
+    )
+    heads, hd = config.heads, config.head_dim
+
+    @jax.jit
+    def step(weights, caches, token_id, position, kv_write_enabled):
+        x = weights["embedding"][token_id]                   # [hidden]
+        new_caches = []
+        for layer, cache in zip(weights["layers"], caches):
+            h = _ln(layer["ln1"], x)
+            qkv = _apply_dense(layer["qkv"], h[None, :])[0]
+            q, k, v = jnp.split(qkv, 3)
+            pos = jnp.full((heads,), position, jnp.int32)
+            q = rope_rotate(q.reshape(heads, hd), pos, cos_t, sin_t)
+            k = rope_rotate(k.reshape(heads, hd), pos, cos_t, sin_t)
+            v = v.reshape(heads, hd)
+
+            ck, cv, cmask = kv_cache_read(cache_cfg, cache)  # [T, H, hd]
+            # include the current token
+            all_k = jnp.concatenate([ck, k[None]], axis=0)
+            all_v = jnp.concatenate([cv, v[None]], axis=0)
+            all_mask = jnp.concatenate([cmask, jnp.ones((1,))], axis=0)
+
+            scale = 1.0 / (hd ** 0.5)
+            scores = jnp.einsum("hd,thd->ht", q, all_k) * scale
+            scores = jnp.where(all_mask[None, :] > 0, scores, -1e30)
+            attn = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("ht,thd->hd", attn, all_v).reshape(-1)
+            x = x + _apply_dense(layer["out"], ctx[None, :])[0]
+
+            h2 = _ln(layer["ln2"], x)
+            ff = _apply_dense(layer["ffn_out"],
+                              jax.nn.gelu(_apply_dense(layer["ffn_in"],
+                                                       h2[None, :])))[0]
+            x = x + ff
+
+            appended = kv_cache_append(cache_cfg, cache, k, v)
+            new_caches.append(jax.tree.map(
+                lambda a, b: jnp.where(kv_write_enabled, a, b),
+                appended, cache,
+            ))
+
+        x = _ln(weights["final_ln"], x)
+        logits = _apply_dense(weights["head"], x[None, :])[0]
+        return logits, new_caches
+
+    return step
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    tokens: list[int]
+    kv_flushes: int
+    frozen_steps: int
+
+
+class Decoder:
+    """Host-side generation loop with gate-controlled KV discipline."""
+
+    def __init__(self, config: TransformerConfig, policy: GatePolicy,
+                 weights: dict, cache_cfg: KVCacheConfig | None = None):
+        self.config = config
+        self.weights = weights
+        self.cache_cfg = cache_cfg or KVCacheConfig(
+            hot_capacity=config.window_normal,
+            warm_capacity=config.seq_len_max,
+            archive_capacity=config.seq_len_max,
+            heads=config.heads, head_dim=config.head_dim,
+        )
+        self.gate_controller = GateController(policy, config)
+        self._step = make_decode_step(config, self.cache_cfg)
+
+    def init_caches(self) -> list[KVCacheState]:
+        return [kv_cache_init(self.cache_cfg)
+                for _ in range(len(self.weights["layers"]))]
+
+    def generate(
+        self,
+        prompt: np.ndarray,
+        max_new_tokens: int = 16,
+        gate_fn=None,          # step -> GatePacket (coherence stream)
+    ) -> GenerationResult:
+        caches = self.init_caches()
+        tokens = [int(t) for t in prompt]
+        flushes = 0
+        frozen = 0
+        pos = 0
+        logits = None
+        for t in tokens:
+            gate = gate_fn(pos) if gate_fn else GatePacket()
+            from ruvector_tpu.transformer.packets import GateDecision
+            decision = self.gate_controller.evaluate(gate)
+            if decision.decision == GateDecision.FLUSH_KV:
+                caches = [kv_cache_flush(self.cache_cfg, c) for c in caches]
+                flushes += 1
+            kv_ok = self.gate_controller.should_allow_kv_writes(gate)
+            if not kv_ok:
+                frozen += 1
+            logits, caches = self._step(
+                self.weights, caches, jnp.int32(t), jnp.int32(pos),
+                jnp.bool_(kv_ok),
+            )
+            pos += 1
+        for _ in range(max_new_tokens):
+            nxt = int(jnp.argmax(logits))
+            tokens.append(nxt)
+            gate = gate_fn(pos) if gate_fn else GatePacket()
+            kv_ok = self.gate_controller.should_allow_kv_writes(gate)
+            logits, caches = self._step(
+                self.weights, caches, jnp.int32(nxt), jnp.int32(pos),
+                jnp.bool_(kv_ok),
+            )
+            pos += 1
+        return GenerationResult(tokens=tokens, kv_flushes=flushes,
+                                frozen_steps=frozen)

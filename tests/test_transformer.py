@@ -232,3 +232,59 @@ def test_model_with_sparse_attention_and_mod():
     plain = MincutGatedTransformer(cfg, GatePolicy(), weights)
     out_plain = plain.infer(tokens=tokens, gate=gate)
     assert not np.array_equal(out.logits, out_plain.logits)
+
+
+# --- decode path with KV cache ----------------------------------------------
+
+def test_decoder_generates_deterministically():
+    from ruvector_tpu.transformer.decode import Decoder
+    from ruvector_tpu.transformer.kv_cache import KVCacheConfig
+
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(3), cfg)
+    dec = Decoder(cfg, GatePolicy(), weights)
+    prompt = np.asarray([1, 2, 3])
+    r1 = dec.generate(prompt, max_new_tokens=5)
+    r2 = dec.generate(prompt, max_new_tokens=5)
+    assert r1.tokens == r2.tokens
+    assert len(r1.tokens) == 8
+    assert all(0 <= t < cfg.logits for t in r1.tokens)
+
+
+def test_decoder_gate_flushes_kv():
+    from ruvector_tpu.transformer.decode import Decoder
+
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(4), cfg)
+    dec = Decoder(cfg, GatePolicy(), weights)
+
+    def crisis_gate(step):
+        # big lambda drop on step 2 -> FlushKv intervention
+        if step == 2:
+            return GatePacket(lam=10, lam_prev=100)
+        return GatePacket()
+
+    r = dec.generate(np.asarray([1, 2, 3, 4]), max_new_tokens=2,
+                     gate_fn=crisis_gate)
+    assert r.kv_flushes == 1
+    assert r.frozen_steps >= 1
+
+
+def test_decoder_matches_full_forward_prefix():
+    """The incremental decode over a prompt must induce the same next-token
+    distribution family as the batch forward (shape/finite checks; exact
+    match not required because the batch path uses windowed attention while
+    decode attends the full cache)."""
+    from ruvector_tpu.transformer.decode import Decoder
+
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(5), cfg)
+    dec = Decoder(cfg, GatePolicy(), weights)
+    caches = dec.init_caches()
+    import jax.numpy as jnp
+    logits = None
+    for pos, t in enumerate([5, 6, 7]):
+        logits, caches = dec._step(weights, caches, jnp.int32(t),
+                                   jnp.int32(pos), jnp.bool_(True))
+    assert logits.shape == (cfg.logits,)
+    assert np.all(np.isfinite(np.asarray(logits)))
