@@ -1,0 +1,100 @@
+"""Multi-device scaling-efficiency benchmark (north-star: >=80% edges/s
+scaling efficiency, BASELINE.json).
+
+Runs the halo-exchange sharded forward on 1, 2, 4, ... devices over the
+SAME per-device problem size (weak scaling: N nodes per device) and reports
+edges/s plus efficiency vs the single-device baseline.
+
+On this image real multi-chip hardware is unavailable; run with
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling.py
+to validate the sharded program + measure collective overhead structure.
+On a pod slice the same script measures true ICI scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes-per-device", type=int, default=8192)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--degree", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ruvector_tpu.graph import build_knn_graph
+    from ruvector_tpu.models import RuvectorNetConfig, ruvector_net_init
+    from ruvector_tpu.parallel import build_halo_plan, make_mesh, make_sharded_layer_forward
+    from ruvector_tpu.parallel.partition import pad_features_for_plan
+
+    n_devices = jax.device_count()
+    results = {"devices_available": n_devices, "runs": []}
+    rng = np.random.default_rng(0)
+    d, k = args.dim, args.degree
+
+    sizes = [s for s in [1, 2, 4, 8] if s <= n_devices]
+    base_rate = None
+    for s in sizes:
+        n = args.nodes_per_device * s
+        # clustered features: kNN graphs over real embedding corpora have
+        # strong locality (HNSW neighborhoods are clusters); random gaussian
+        # data has none and overstates the edge cut
+        n_clusters = max(s * 8, 8)
+        centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 4.0
+        assign = rng.integers(0, n_clusters, size=n)
+        feats = (centers[assign]
+                 + 0.5 * rng.normal(size=(n, d))).astype(np.float32)
+        graph = build_knn_graph(jnp.asarray(feats), k=k, block=2048)
+        jax.block_until_ready(graph.nbr_idx)
+
+        cfg = RuvectorNetConfig(input_dim=d, hidden_dim=d, num_layers=1,
+                                heads=4)
+        params = ruvector_net_init(jax.random.key(0), cfg)
+        mesh = make_mesh(s)
+        plan, perm = build_halo_plan(graph, s, reorder=True)
+        fwd = make_sharded_layer_forward(cfg, plan, mesh)
+        feats_pad = pad_features_for_plan(feats, plan, perm)
+
+        out = fwd(params, feats_pad)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fwd(params, feats_pad)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+
+        edges = n * k
+        rate = edges / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * s)
+        halo_frac = plan.halo * plan.n_shards / max(plan.block, 1)
+        results["runs"].append({
+            "devices": s,
+            "nodes": n,
+            "edges_per_s": round(rate, 0),
+            "ms_per_forward": round(dt * 1e3, 3),
+            "scaling_efficiency": round(eff, 3),
+            "halo_rows_per_shard_frac": round(halo_frac, 4),
+        })
+        print(json.dumps(results["runs"][-1]))
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
