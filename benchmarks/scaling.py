@@ -65,7 +65,7 @@ def main():
                                 heads=4)
         params = ruvector_net_init(jax.random.key(0), cfg)
         mesh = make_mesh(s)
-        plan, perm = build_halo_plan(graph, s, reorder=True)
+        plan, perm = build_halo_plan(graph, s, reorder="cluster")
         fwd = make_sharded_layer_forward(cfg, plan, mesh)
         feats_pad = pad_features_for_plan(feats, plan, perm)
 

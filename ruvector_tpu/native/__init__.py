@@ -50,6 +50,7 @@ def _load():
     f32 = ctypes.c_float
 
     lib.bfs_reorder.argtypes = [i32p, f32p, i64, i64, i64p]
+    lib.label_propagation_order.argtypes = [i32p, f32p, i64, i64, i64, i64p]
     lib.halo_plan_size.argtypes = [i32p, f32p, i64, i64, i64, i64]
     lib.halo_plan_size.restype = i64
     lib.halo_plan_fill.argtypes = [i32p, f32p, i64, i64, i64, i64, i64,
@@ -73,6 +74,17 @@ def bfs_reorder(nbr: np.ndarray, mask: np.ndarray) -> np.ndarray:
     out = np.zeros(n, np.int64)
     _lib.bfs_reorder(np.ascontiguousarray(nbr, np.int32),
                      np.ascontiguousarray(mask, np.float32), n, m, out)
+    return out
+
+
+def label_propagation_order(nbr: np.ndarray, mask: np.ndarray,
+                            iters: int = 10) -> np.ndarray:
+    n, m = nbr.shape
+    out = np.zeros(n, np.int64)
+    _lib.label_propagation_order(
+        np.ascontiguousarray(nbr, np.int32),
+        np.ascontiguousarray(mask, np.float32), n, m, iters, out,
+    )
     return out
 
 

@@ -53,6 +53,68 @@ void bfs_reorder(const int32_t* nbr, const float* mask, int64_t n, int64_t m,
 }
 
 // ---------------------------------------------------------------------------
+// Label propagation clustering order: community detection on the adjacency,
+// then order nodes by community. Minimizes edge cut for block partitioning
+// far better than BFS (which interleaves clusters through bridge edges) —
+// the EdgeCutMinimizer role (ruvector-graph/src/distributed/shard.rs:209).
+// order_out[new_pos] = old_id.
+// ---------------------------------------------------------------------------
+void label_propagation_order(const int32_t* nbr, const float* mask,
+                             int64_t n, int64_t m, int64_t iters,
+                             int64_t* order_out) {
+    std::vector<int32_t> label(n);
+    for (int64_t i = 0; i < n; ++i) label[i] = (int32_t)i;
+    std::vector<std::pair<float, int32_t>> votes;  // scratch
+    // deterministic sweeps: ascending node order, ties -> smallest label
+    for (int64_t it = 0; it < iters; ++it) {
+        bool changed = false;
+        std::vector<float> weight_of;  // label -> weight via small map
+        for (int64_t i = 0; i < n; ++i) {
+            // count weighted label frequencies among neighbors
+            votes.clear();
+            const int32_t* row = nbr + i * m;
+            const float* mrow = mask + i * m;
+            for (int64_t j = 0; j < m; ++j) {
+                if (mrow[j] <= 0) continue;
+                votes.push_back({1.0f, label[row[j]]});
+            }
+            if (votes.empty()) continue;
+            // aggregate by label (votes are tiny: <= m entries)
+            int32_t best_label = label[i];
+            float best_w = 0.0f;
+            for (size_t a = 0; a < votes.size(); ++a) {
+                if (votes[a].first <= 0) continue;
+                float w = votes[a].first;
+                for (size_t b = a + 1; b < votes.size(); ++b) {
+                    if (votes[b].second == votes[a].second) {
+                        w += votes[b].first;
+                        votes[b].first = 0;
+                    }
+                }
+                if (w > best_w ||
+                    (w == best_w && votes[a].second < best_label)) {
+                    best_w = w;
+                    best_label = votes[a].second;
+                }
+            }
+            if (best_label != label[i]) {
+                label[i] = best_label;
+                changed = true;
+            }
+        }
+        if (!changed) break;
+    }
+    // stable sort node ids by (label, id)
+    std::vector<int64_t> ids(n);
+    for (int64_t i = 0; i < n; ++i) ids[i] = i;
+    std::stable_sort(ids.begin(), ids.end(), [&](int64_t a, int64_t b) {
+        if (label[a] != label[b]) return label[a] < label[b];
+        return a < b;
+    });
+    for (int64_t i = 0; i < n; ++i) order_out[i] = ids[i];
+}
+
+// ---------------------------------------------------------------------------
 // Halo plan sizing pass: returns required halo (max rows any (src,dst) pair
 // exchanges). nbr is the padded [n_pad, m] adjacency (n_pad = S*block).
 // ---------------------------------------------------------------------------

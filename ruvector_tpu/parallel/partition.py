@@ -55,6 +55,37 @@ def bfs_reorder(graph: NeighborGraph) -> np.ndarray:
     return np.asarray(order, np.int64)
 
 
+def cluster_reorder(graph: NeighborGraph, iters: int = 10) -> np.ndarray:
+    """Community-clustered ordering via label propagation — the edge-cut
+    minimizer for block partitioning (shard.rs:209 EdgeCutMinimizer role).
+    BFS interleaves clusters through bridge edges; label propagation keeps
+    each community contiguous. Returns perm: new_pos -> old_id."""
+    from ruvector_tpu import native
+
+    nbr = np.asarray(graph.nbr_idx)
+    mask = np.asarray(graph.nbr_mask)
+    if native.available:
+        return native.label_propagation_order(nbr, mask, iters)
+
+    n, m = nbr.shape
+    label = np.arange(n, dtype=np.int64)
+    valid = mask > 0
+    for _ in range(iters):
+        changed = False
+        for i in range(n):
+            nbrs = nbr[i][valid[i]]
+            if len(nbrs) == 0:
+                continue
+            labels, counts = np.unique(label[nbrs], return_counts=True)
+            best = labels[np.lexsort((labels, -counts))][0]
+            if best != label[i]:
+                label[i] = best
+                changed = True
+        if not changed:
+            break
+    return np.argsort(label, kind="stable").astype(np.int64)
+
+
 def block_partition(n: int, n_shards: int) -> np.ndarray:
     """node -> shard by contiguous equal blocks (after padding)."""
     block = -(-n // n_shards)
@@ -104,11 +135,15 @@ class HaloPlan:
 def build_halo_plan(
     graph: NeighborGraph,
     n_shards: int,
-    reorder: bool = False,
+    reorder: bool | str = False,
     min_halo: int = 1,
 ) -> tuple[HaloPlan, np.ndarray]:
     """Build the halo plan. Returns (plan, perm) where perm maps
     new position -> old node id (identity when reorder=False).
+
+    reorder: False | True/'bfs' (BFS IO-locality order) | 'cluster'
+    (label-propagation communities — minimizes the edge cut; use this for
+    multi-shard partitioning).
 
     Features must be permuted by `perm` and padded to n_shards*block rows
     before sharding.
@@ -120,7 +155,10 @@ def build_halo_plan(
     ew = np.asarray(graph.edge_weight).astype(np.float32)
 
     if reorder:
-        perm = bfs_reorder(graph)           # new_pos -> old_id
+        if reorder == "cluster":
+            perm = cluster_reorder(graph)   # new_pos -> old_id
+        else:
+            perm = bfs_reorder(graph)       # new_pos -> old_id
         inv = np.empty(n, np.int64)
         inv[perm] = np.arange(n)            # old_id -> new_pos
         nbr = inv[nbr[perm]]
