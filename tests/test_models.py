@@ -114,3 +114,26 @@ def test_models_are_differentiable():
     g = jax.grad(loss)(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_generic_message_passing():
+    from ruvector_tpu.models.message_passing import (
+        mean_aggregate, max_aggregate, propagate, sum_aggregate)
+    import jax.numpy as jnp
+    g = NeighborGraph.from_lists([[1, 2], [0], []],
+                                 weights=[[2.0, 1.0], [1.0], []],
+                                 max_degree=2)
+    feats = jnp.asarray(np.eye(3, dtype=np.float32))
+    # default: weighted sum of neighbor features
+    out = propagate(feats, g)
+    np.testing.assert_allclose(np.asarray(out[0]), [0, 2, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[2]), [0, 0, 0], atol=1e-6)
+    # mean aggregate ignores edge weight in the custom message
+    out2 = propagate(feats, g, message_fn=lambda nbr, w: nbr,
+                     aggregate="mean")
+    np.testing.assert_allclose(np.asarray(out2[0]), [0, 0.5, 0.5], atol=1e-6)
+    # max + custom update
+    out3 = propagate(feats, g, message_fn=lambda nbr, w: nbr,
+                     aggregate="max",
+                     update_fn=lambda agg, x: agg + x)
+    np.testing.assert_allclose(np.asarray(out3[1]), [1, 1, 0], atol=1e-6)
