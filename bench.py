@@ -52,14 +52,22 @@ def main():
     cfg = RuvectorNetConfig(input_dim=d, hidden_dim=h, num_layers=layers, heads=4)
     params = ruvector_net_init(jax.random.key(0), cfg)
 
-    fwd = jax.jit(lambda p, f: ruvector_net_apply(p, cfg, f, graph))
-    out = fwd(params, feats)
-    jax.block_until_ready(out)  # compile + warmup
-
     iters = 20
+
+    # scan-loop the forward inside ONE jit so the measurement is pure device
+    # time (per-call dispatch through remote runtimes can add ~ms and some
+    # runtimes dedupe identical async calls, corrupting per-call loops)
+    @jax.jit
+    def loop(p, f):
+        def body(x, _):
+            return ruvector_net_apply(p, cfg, x, graph), None
+        out, _ = jax.lax.scan(body, f, None, length=iters)
+        return out
+
+    out = loop(params, feats)
+    jax.block_until_ready(out)  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, feats)
+    out = loop(params, feats)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
