@@ -109,6 +109,30 @@ class HnswIndex:
         self._lib.hnsw_search_batch(self._h, q, nq, k, ef, ids, dists)
         return ids, dists
 
+    def save(self, path, vectors: np.ndarray):
+        """Serialize = dump vectors + config; load rebuilds by re-insertion —
+        the reference's serialization strategy (index/hnsw.rs:136-228)."""
+        import dataclasses as dc
+        import json
+        from pathlib import Path
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "config.json").write_text(json.dumps(dc.asdict(self.config)))
+        np.save(path / "vectors.npy", np.asarray(vectors, np.float32))
+
+    @staticmethod
+    def load(path) -> tuple["HnswIndex", np.ndarray]:
+        import json
+        from pathlib import Path
+
+        path = Path(path)
+        cfg = HnswConfig(**json.loads((path / "config.json").read_text()))
+        vectors = np.load(path / "vectors.npy")
+        idx = HnswIndex(cfg)
+        idx.add_batch(vectors)
+        return idx, vectors
+
     def to_neighbor_graph(self):
         """Export level-0 adjacency as a NeighborGraph (GNN input)."""
         from ruvector_tpu.graph.neighbors import NeighborGraph

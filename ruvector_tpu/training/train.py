@@ -121,6 +121,56 @@ def make_train_step(
     return step
 
 
+def make_online_update(
+    layer_cfg: RuvectorLayerConfig,
+    cfg: OnlineConfig = OnlineConfig(),
+    learning_rate: float = 0.001,
+    temperature: float = 0.07,
+):
+    """Per-query online learning (training.rs OnlineConfig + sgd_step :667).
+
+    Returns update(params, features, graph, node_id, neg_ids) -> (params,
+    new_embedding): runs `local_steps` SGD steps of the local contrastive
+    loss around ONE node (its neighbors as positives), then returns the
+    refreshed embedding. When cfg.propagate_updates, gradients also flow to
+    the layer params (the session-update path); otherwise only the node's
+    embedding moves.
+    """
+    from ruvector_tpu.training.losses import info_nce_loss
+
+    @jax.jit
+    def update(params, features, graph, node_id, neg_ids):
+        def one_step(carry, _):
+            params, feats = carry
+
+            def loss_fn(p, f):
+                out = ruvector_layer_apply(p, layer_cfg, f, graph)
+                anchor = out[node_id]
+                pos = out[graph.nbr_idx[node_id]]
+                negs = out[neg_ids]
+                return info_nce_loss(anchor, pos, negs, temperature)
+
+            if cfg.propagate_updates:
+                (g_params, g_feats) = jax.grad(loss_fn, argnums=(0, 1))(
+                    params, feats
+                )
+                params = jax.tree.map(
+                    lambda p, g: p - learning_rate * g, params, g_params
+                )
+            else:
+                g_feats = jax.grad(loss_fn, argnums=1)(params, feats)
+            # only the query node's embedding moves (sgd_step semantics)
+            feats = feats.at[node_id].add(-learning_rate * g_feats[node_id])
+            return (params, feats), None
+
+        (params, feats), _ = jax.lax.scan(
+            one_step, (params, features), None, length=cfg.local_steps
+        )
+        return params, feats
+
+    return update
+
+
 def sample_negatives(
     rng: np.random.Generator,
     graph: NeighborGraph,
