@@ -5,8 +5,11 @@ from ruvector_tpu.models.ruvector_net import (
 )
 from ruvector_tpu.models.graphsage import (
     GraphSAGEConfig,
+    GraphSAGENetConfig,
     graphsage_init,
     graphsage_apply,
+    graphsage_net_init,
+    graphsage_net_apply,
     sample_fanout,
 )
 from ruvector_tpu.models.gcn import GCNConfig, gcn_init, gcn_apply
@@ -17,6 +20,9 @@ __all__ = [
     "ruvector_net_init",
     "ruvector_net_apply",
     "GraphSAGEConfig",
+    "GraphSAGENetConfig",
+    "graphsage_net_init",
+    "graphsage_net_apply",
     "graphsage_init",
     "graphsage_apply",
     "sample_fanout",

@@ -71,6 +71,56 @@ def sample_fanout(
     return jnp.asarray(out_idx), jnp.asarray(out_mask)
 
 
+@dataclasses.dataclass(frozen=True)
+class GraphSAGENetConfig:
+    """Multi-layer GraphSAGE with per-layer fanouts (the classic (25, 10)
+    recipe; graphsage.rs models one layer — the stack composes them)."""
+
+    in_features: int
+    hidden_features: int
+    out_features: int
+    fanouts: tuple = (10, 10)
+    aggregator: str = "mean"
+    normalize: bool = True
+
+    def layer_cfgs(self) -> list[GraphSAGEConfig]:
+        cfgs = []
+        n = len(self.fanouts)
+        for i, f in enumerate(self.fanouts):
+            cfgs.append(GraphSAGEConfig(
+                in_features=self.in_features if i == 0 else self.hidden_features,
+                out_features=self.out_features if i == n - 1 else self.hidden_features,
+                num_samples=f,
+                aggregator=self.aggregator,
+                normalize=self.normalize,
+            ))
+        return cfgs
+
+
+def graphsage_net_init(key, cfg: GraphSAGENetConfig) -> list[dict]:
+    return [
+        graphsage_init(k, lc)
+        for k, lc in zip(jax.random.split(key, len(cfg.fanouts)),
+                         cfg.layer_cfgs())
+    ]
+
+
+def graphsage_net_apply(
+    params: list[dict],
+    cfg: GraphSAGENetConfig,
+    features: jax.Array,
+    graph: NeighborGraph,
+    seed: int = 42,
+) -> jax.Array:
+    """Full-graph multi-layer forward: each layer gets an independently
+    sampled fanout (deterministic per (seed, layer))."""
+    x = features
+    for i, (p, lc) in enumerate(zip(params, cfg.layer_cfgs())):
+        idx, mask = sample_fanout(graph, lc.num_samples, seed=seed + i)
+        x = graphsage_apply(p, lc, x, idx, mask)
+    return x
+
+
 def graphsage_apply(
     params: dict,
     cfg: GraphSAGEConfig,

@@ -137,3 +137,18 @@ def test_generic_message_passing():
                      aggregate="max",
                      update_fn=lambda agg, x: agg + x)
     np.testing.assert_allclose(np.asarray(out3[1]), [1, 1, 0], atol=1e-6)
+
+
+def test_graphsage_net_stack():
+    from ruvector_tpu.models import (
+        GraphSAGENetConfig, graphsage_net_apply, graphsage_net_init)
+    feats, graph = setup(n=30, d=8, k=5)
+    cfg = GraphSAGENetConfig(in_features=8, hidden_features=16,
+                             out_features=12, fanouts=(4, 3))
+    params = graphsage_net_init(jax.random.key(6), cfg)
+    assert len(params) == 2
+    out = graphsage_net_apply(params, cfg, feats, graph)
+    assert out.shape == (30, 12)
+    # deterministic sampling -> identical reruns
+    out2 = graphsage_net_apply(params, cfg, feats, graph)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
