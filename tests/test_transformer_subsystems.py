@@ -269,3 +269,84 @@ def test_energy_gate_decisions():
                         partition_count=20)
     dec, conf = g.decide(crisis)
     assert dec == GateDecision.FREEZE_WRITES and conf >= 0.7
+
+
+# --- spike-driven attention --------------------------------------------------
+
+def test_spike_rate_coding_roundtrip():
+    from ruvector_tpu.transformer.spike_attention import (
+        SpikeDrivenConfig, decode_rate, encode_rate)
+    cfg = SpikeDrivenConfig(temporal_coding_steps=16, spike_threshold=0.25,
+                            refractory_period=0)
+    x = jnp.asarray([[1.0, -0.5, 0.0, 2.0]])
+    spikes = encode_rate(x, cfg)
+    assert spikes.shape == (16, 1, 4)
+    dec = np.asarray(decode_rate(spikes, cfg))
+    # rate coding approximates magnitude*sign within threshold resolution
+    np.testing.assert_allclose(dec, np.asarray(x), atol=0.3)
+    assert dec[0, 2] == 0.0
+    assert dec[0, 1] < 0
+
+
+def test_spike_refractory_limits_rate():
+    from ruvector_tpu.transformer.spike_attention import (
+        SpikeDrivenConfig, encode_rate)
+    x = jnp.asarray([[10.0]])  # saturating input
+    no_refr = encode_rate(x, SpikeDrivenConfig(temporal_coding_steps=8,
+                                               refractory_period=0))
+    refr = encode_rate(x, SpikeDrivenConfig(temporal_coding_steps=8,
+                                            refractory_period=2))
+    assert int(jnp.sum(jnp.abs(refr))) < int(jnp.sum(jnp.abs(no_refr)))
+
+
+def test_spike_attention_output():
+    from ruvector_tpu.transformer.spike_attention import (
+        SpikeDrivenConfig, energy_estimate, spike_driven_attention)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    out = spike_driven_attention(x, x, x)
+    assert out.shape == (6, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # deterministic
+    out2 = spike_driven_attention(x, x, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    e = energy_estimate(SpikeDrivenConfig(), seq=64, dim=128)
+    assert e["energy_ratio"] > 1.0  # fewer-energy claim accounting
+
+
+# --- KV cache metrics + adaptive policy --------------------------------------
+
+def test_kv_memory_stats():
+    from ruvector_tpu.transformer.kv_metrics import MemoryStats
+    s = MemoryStats(hot_tokens=16, warm_tokens=48, archive_tokens=64,
+                    head_dim=64, heads=4)
+    h, w, a = s.tier_percentages()
+    np.testing.assert_allclose(h + w + a, 1.0)
+    assert s.memory_saved_vs_f32() > 0.4   # quantized tiers save memory
+
+
+def test_quality_tracker_and_policy():
+    from ruvector_tpu.transformer.kv_cache import KVCacheConfig
+    from ruvector_tpu.transformer.kv_metrics import (
+        QualityFeedback, QualityTracker, TierPolicy)
+
+    t = QualityTracker(quality_target=0.95)
+    for _ in range(8):
+        t.record(QualityFeedback.from_ppl(12.0, baseline_ppl=10.0))  # 0.83
+    assert not t.meets_target()
+    cfg = KVCacheConfig(hot_capacity=16)
+    policy = TierPolicy()
+    cfg2 = policy.adapt(cfg, t)
+    assert cfg2.hot_capacity > cfg.hot_capacity   # widen on bad quality
+
+    t2 = QualityTracker(quality_target=0.9)
+    for _ in range(8):
+        t2.record(QualityFeedback.from_accuracy(0.99))
+    cfg3 = policy.adapt(cfg, t2)
+    assert cfg3.hot_capacity < cfg.hot_capacity   # shrink when comfortable
+
+    # improvement detection
+    t3 = QualityTracker()
+    for q in [0.5, 0.5, 0.6, 0.9, 0.95, 0.99]:
+        t3.record(QualityFeedback(q))
+    assert t3.is_improving()
