@@ -67,3 +67,27 @@ def test_spmm_pallas_matches_xla():
     expect = spmm_padded(feats, idx, w, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_neighbor_mix_matches_xla_path():
+    """The Pallas fused layer kernel must reproduce the XLA folded path."""
+    from ruvector_tpu.graph import NeighborGraph
+    from ruvector_tpu.nn import RuvectorLayerConfig, ruvector_layer_init
+    from ruvector_tpu.nn.ruvector_layer import ruvector_layer_apply
+
+    rng = np.random.default_rng(5)
+    n, d = 50, 32
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    lists = [rng.choice(n, size=int(rng.integers(0, 6)), replace=False).tolist()
+             for _ in range(n)]
+    weights = [rng.random(len(l)).astype(np.float32).tolist() for l in lists]
+    graph = NeighborGraph.from_lists(lists, weights, max_degree=8)
+
+    cfg_xla = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
+    cfg_pl = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4,
+                                 use_pallas=True)
+    params = ruvector_layer_init(jax.random.key(0), cfg_xla)
+    out_xla = ruvector_layer_apply(params, cfg_xla, feats, graph)
+    out_pl = ruvector_layer_apply(params, cfg_pl, feats, graph)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               atol=1e-4)
