@@ -35,13 +35,19 @@ def _kernel(u_ref, bias_ref, nbr_ref, mask_ref, wnorm_ref, out_ref, *, scale):
     nbr = nbr_ref[0]      # [TB, M, D]
     mask = mask_ref[0]    # [TB, M]
     wnorm = wnorm_ref[0]  # [TB, M]
+    tb, h, d = u.shape
+    m = nbr.shape[1]
 
-    # scores: VPU multiply-reduce over D (batched matvec shape; no MXU form)
-    scores = (
-        jnp.sum(u[:, :, None, :] * nbr[:, None, :, :], axis=-1)
-        + bias[:, :, None]
-    ) * scale                                           # [TB, H, M]
-    scores = jnp.where(mask[:, None, :] > 0, scores, NEG)
+    # Slot-unrolled formulation: only 3-D ops with a small broadcast dim (H)
+    # — a single [TB, H, M, D] broadcast forces pathological Mosaic
+    # relayouts; per-slot [TB, H, D] stays in native (sublane, lane) tiling.
+    score_cols = []
+    for j in range(m):
+        g = nbr[:, j, :]                               # [TB, D]
+        s_j = jnp.sum(u * g[:, None, :], axis=-1)      # [TB, H]
+        score_cols.append(s_j)
+    scores = (jnp.stack(score_cols, axis=-1) + bias[:, :, None]) * scale
+    scores = jnp.where(mask[:, None, :] > 0, scores, NEG)   # [TB, H, M]
 
     m_max = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m_max) * (mask[:, None, :] > 0)
@@ -49,9 +55,11 @@ def _kernel(u_ref, bias_ref, nbr_ref, mask_ref, wnorm_ref, out_ref, *, scale):
     attn = e / denom                                    # [TB, H, M]
 
     allw = jnp.concatenate([attn, wnorm[:, None, :]], axis=1)  # [TB, H+1, M]
-    out_ref[0] = jnp.sum(
-        allw[:, :, :, None] * nbr[:, None, :, :], axis=2
-    )                                                   # [TB, H+1, D]
+    acc = jnp.zeros((tb, h + 1, d), jnp.float32)
+    for j in range(m):
+        g = nbr[:, j, :]                               # [TB, D]
+        acc = acc + allw[:, :, j][:, :, None] * g[:, None, :]
+    out_ref[0] = acc
 
 
 @functools.partial(
@@ -65,7 +73,7 @@ def fused_neighbor_mix(
     wnorm: jax.Array,      # [N, M] normalized edge weights
     heads: int,
     scale: float,
-    tile_b: int = 128,
+    tile_b: int = 64,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns mixed [N, H+1, D]: H attention aggregates + the weighted mean."""
