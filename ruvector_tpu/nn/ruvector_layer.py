@@ -123,6 +123,26 @@ def _folded_attention_and_aggregate(
             u.astype(jnp.float32), score_bias, nbr_msg.astype(jnp.float32),
             mask, wnorm, heads=heads, scale=scale,
         )
+    elif nbr_msg.shape[1] <= 32:
+        # slot-unrolled path: per-slot [N, D] dots instead of the batched
+        # [N,H,M]x[N,M,D] einsums, which XLA lowers poorly (measured ~18%
+        # faster at M=16; see docs/DESIGN_NOTES.md). Same math, different
+        # summation association — covered by the oracle-parity tolerance.
+        m = nbr_msg.shape[1]
+        uc = u.astype(cdt)
+        slot_scores = [
+            jnp.sum(uc * nbr_msg[:, j, :][:, None, :], axis=-1)
+            for j in range(m)
+        ]
+        scores = (jnp.stack(slot_scores, axis=-1).astype(jnp.float32)
+                  + score_bias[..., None]) * scale
+        attn_w = masked_softmax(scores, mask[:, None, :], axis=-1)  # [N,H,M]
+        allw = jnp.concatenate([attn_w, wnorm[:, None, :]], axis=1).astype(cdt)
+        n_nodes, d_dim = nbr_msg.shape[0], nbr_msg.shape[2]
+        mixed = jnp.zeros((n_nodes, heads + 1, d_dim), jnp.float32)
+        for j in range(m):
+            mixed = mixed + (allw[:, :, j][:, :, None]
+                             * nbr_msg[:, j, :][:, None, :]).astype(jnp.float32)
     else:
         scores = (
             jnp.einsum("nhd,nmd->nhm", u.astype(cdt), nbr_msg,
