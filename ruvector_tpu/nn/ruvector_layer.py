@@ -80,7 +80,8 @@ def _folded_attention_and_aggregate(
     attn_params: dict,
     heads: int,
     msg: jax.Array,        # [N, D] per-node messages (queries draw from these)
-    nbr_msg: jax.Array,    # [N, M, D] gathered neighbor messages
+    kv_src: jax.Array,     # [N_src, D] neighbor gather source (messages)
+    nbr_idx: jax.Array,    # [N, M] indices into kv_src
     mask: jax.Array,       # [N, M]
     edge_weight: jax.Array,  # [N, M]
     use_pallas: bool = False,
@@ -96,9 +97,10 @@ def _folded_attention_and_aggregate(
     sums). The edge-weighted mean aggregate rides the same einsum as an
     extra 'head'. ~3x less HBM traffic than the naive formulation at M=16.
     """
-    n, m, d = nbr_msg.shape
+    n, m = nbr_idx.shape
+    d = kv_src.shape[-1]
     hd = d // heads
-    cdt = nbr_msg.dtype  # compute dtype flows from the (possibly bf16) gather
+    cdt = kv_src.dtype  # compute dtype flows from the (possibly bf16) source
     q = linear_apply(attn_params["q"], msg).reshape(n, heads, hd)
     wk = attn_params["k"]["kernel"].reshape(d, heads, hd)
     bk = attn_params["k"]["bias"].reshape(heads, hd)
@@ -120,30 +122,32 @@ def _folded_attention_and_aggregate(
         from ruvector_tpu.ops.pallas.neighbor_mix import fused_neighbor_mix
 
         mixed = fused_neighbor_mix(
-            u.astype(jnp.float32), score_bias, nbr_msg.astype(jnp.float32),
+            u.astype(jnp.float32), score_bias,
+            kv_src[nbr_idx].astype(jnp.float32),
             mask, wnorm, heads=heads, scale=scale,
         )
-    elif nbr_msg.shape[1] <= 32:
-        # slot-unrolled path: per-slot [N, D] dots instead of the batched
-        # [N,H,M]x[N,M,D] einsums, which XLA lowers poorly (measured ~18%
-        # faster at M=16; see docs/DESIGN_NOTES.md). Same math, different
-        # summation association — covered by the oracle-parity tolerance.
-        m = nbr_msg.shape[1]
+    elif m <= 32:
+        # slot-unrolled path: per-slot GATHERS + [N, D] dots. Crucial detail:
+        # the [N, M, D] gathered tensor is never materialized — each slot's
+        # gather kv_src[nbr_idx[:, j]] fuses into its consumers (XLA), which
+        # beats both the batched einsums AND slicing a materialized tensor
+        # (measured: 9.6 ms vs 11.8 ms attention block at M=16; see
+        # docs/DESIGN_NOTES.md). Same math, different summation association.
         uc = u.astype(cdt)
+        slots = [kv_src[nbr_idx[:, j]] for j in range(m)]          # [N, D] x M
         slot_scores = [
-            jnp.sum(uc * nbr_msg[:, j, :][:, None, :], axis=-1)
-            for j in range(m)
+            jnp.sum(uc * g[:, None, :], axis=-1) for g in slots
         ]
         scores = (jnp.stack(slot_scores, axis=-1).astype(jnp.float32)
                   + score_bias[..., None]) * scale
         attn_w = masked_softmax(scores, mask[:, None, :], axis=-1)  # [N,H,M]
         allw = jnp.concatenate([attn_w, wnorm[:, None, :]], axis=1).astype(cdt)
-        n_nodes, d_dim = nbr_msg.shape[0], nbr_msg.shape[2]
-        mixed = jnp.zeros((n_nodes, heads + 1, d_dim), jnp.float32)
+        mixed = jnp.zeros((n, heads + 1, d), jnp.float32)
         for j in range(m):
             mixed = mixed + (allw[:, :, j][:, :, None]
-                             * nbr_msg[:, j, :][:, None, :]).astype(jnp.float32)
+                             * slots[j][:, None, :]).astype(jnp.float32)
     else:
+        nbr_msg = kv_src[nbr_idx]                                   # [N, M, D]
         scores = (
             jnp.einsum("nhd,nmd->nhm", u.astype(cdt), nbr_msg,
                        preferred_element_type=jnp.float32)
@@ -179,13 +183,13 @@ def ruvector_layer_apply(
     gather_src = (
         msg.astype(jnp.bfloat16) if cfg.compute_dtype == "bfloat16" else msg
     )
-    nbr_msg = gather_src[graph.nbr_idx]                           # [N, M, H]
 
     # Steps 2+3: attention (layer.rs:398-401) + edge-weighted mean
-    # (layer.rs:404, 421-445) in one HBM pass over the gathered messages.
+    # (layer.rs:404, 421-445); the neighbor gather happens INSIDE (per-slot,
+    # fused into consumers — see docs/DESIGN_NOTES.md).
     attn_out, weighted = _folded_attention_and_aggregate(
-        params["attn"], cfg.heads, msg, nbr_msg, graph.nbr_mask,
-        graph.edge_weight, use_pallas=cfg.use_pallas,
+        params["attn"], cfg.heads, msg, gather_src, graph.nbr_idx,
+        graph.nbr_mask, graph.edge_weight, use_pallas=cfg.use_pallas,
     )
 
     # Step 4-5: combine -> W_agg -> GRU(input=aggregated, hidden=msg)

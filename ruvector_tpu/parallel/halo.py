@@ -72,10 +72,10 @@ def _layer_forward_block(
     msg = linear_apply(params["w_msg"], feats_blk)              # [block, Hd]
     halo = halo_exchange(msg, send_idx, send_mask, axis_name)   # [S*H, Hd]
     all_msg = jnp.concatenate([msg, halo], axis=0)
-    nbr_msg = all_msg[local_nbr]                                # [block, M, Hd]
 
     attn_out, weighted = _folded_attention_and_aggregate(
-        params["attn"], cfg.heads, msg, nbr_msg, nbr_mask, edge_weight
+        params["attn"], cfg.heads, msg, all_msg, local_nbr,
+        nbr_mask, edge_weight,
     )
     aggregated = linear_apply(params["w_agg"], attn_out + weighted)
     updated = gru_apply(params["gru"], aggregated, msg)
