@@ -49,6 +49,11 @@ def _load():
     lib.hnsw_max_degree.argtypes = [ctypes.c_void_p]
     lib.hnsw_max_degree.restype = i64
     lib.hnsw_adjacency.argtypes = [ctypes.c_void_p, i64, i32p, f32p]
+    lib.hnsw_level_count.argtypes = [ctypes.c_void_p]
+    lib.hnsw_level_count.restype = i64
+    lib.hnsw_level_size.argtypes = [ctypes.c_void_p, i64]
+    lib.hnsw_level_size.restype = i64
+    lib.hnsw_level_nodes.argtypes = [ctypes.c_void_p, i64, i32p]
     _lib = lib
     return lib
 
@@ -132,6 +137,19 @@ class HnswIndex:
         idx = HnswIndex(cfg)
         idx.add_batch(vectors)
         return idx, vectors
+
+    def level_nodes(self) -> list[np.ndarray]:
+        """Node ids per HNSW level, top level first — the layer structure
+        consumed by serve.search.hierarchical_forward (search.rs:105-162)."""
+        levels = int(self._lib.hnsw_level_count(self._h))
+        out = []
+        for lvl in range(levels - 1, -1, -1):
+            n = int(self._lib.hnsw_level_size(self._h, lvl))
+            ids = np.zeros(n, np.int32)
+            if n:
+                self._lib.hnsw_level_nodes(self._h, lvl, ids)
+            out.append(ids)
+        return out
 
     def to_neighbor_graph(self):
         """Export level-0 adjacency as a NeighborGraph (GNN input)."""

@@ -254,3 +254,27 @@ void hnsw_adjacency(void* h, int64_t max_deg, int32_t* out_idx,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Per-level node lists for hierarchical forward (search.rs:105-162):
+// hnsw_level_count returns max_level+1; hnsw_level_size(level) the number of
+// nodes whose level >= that level; hnsw_level_nodes fills their ids.
+int64_t hnsw_level_count(void* h) { return ((Hnsw*)h)->max_level + 1; }
+
+int64_t hnsw_level_size(void* h, int64_t level) {
+    Hnsw* idx = (Hnsw*)h;
+    int64_t c = 0;
+    for (auto l : idx->levels)
+        if (l >= level) ++c;
+    return c;
+}
+
+void hnsw_level_nodes(void* h, int64_t level, int32_t* out_ids) {
+    Hnsw* idx = (Hnsw*)h;
+    int64_t c = 0;
+    for (int64_t i = 0; i < (int64_t)idx->levels.size(); ++i)
+        if (idx->levels[i] >= level) out_ids[c++] = (int32_t)i;
+}
+
+}  // extern "C"

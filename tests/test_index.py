@@ -100,3 +100,33 @@ def test_hyperbolic_self_match():
     res = idx.search(pts[2], k=1)
     assert res[0][0] == 2
     assert res[0][1] < 1e-4
+
+
+def test_hnsw_levels_and_hierarchical_forward():
+    """End-to-end reference pipeline: HNSW levels -> hierarchical GNN forward
+    (search.rs:105-162 over real index structure)."""
+    import jax
+    import jax.numpy as jnp
+    from ruvector_tpu.nn import RuvectorLayerConfig, ruvector_layer_init
+    from ruvector_tpu.serve import hierarchical_forward
+
+    rng = np.random.default_rng(7)
+    d = 16
+    data = rng.normal(size=(300, d)).astype(np.float32)
+    idx = HnswIndex(HnswConfig(dim=d, m=8, seed=3))
+    idx.add_batch(data)
+
+    levels = idx.level_nodes()
+    assert len(levels) >= 1
+    sizes = [len(l) for l in levels]
+    assert sizes[-1] == 300                   # level 0 holds everyone
+    assert all(a <= b for a, b in zip(sizes, sizes[1:]))  # upper levels sparser
+
+    layer_embs = [jnp.asarray(data[l]) for l in levels if len(l) > 0]
+    cfgs = [RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=2)
+            for _ in layer_embs]
+    params = [ruvector_layer_init(jax.random.key(i), c)
+              for i, c in enumerate(cfgs)]
+    out = hierarchical_forward(jnp.asarray(data[5]), layer_embs, params, cfgs)
+    assert out.shape == (d,)
+    assert np.all(np.isfinite(np.asarray(out)))
