@@ -118,20 +118,20 @@ class QueryEngine:
             )
 
         elif query.mode == QueryMode.NEURAL_SEARCH:
-            # stage 1: wide candidate pool by raw similarity (ef)
+            # stage 1: wide candidate pool by raw similarity (ef) — the HNSW
+            # retrieval stage of the reference pipeline (README:330-343)
             sims = pairwise_cosine(q[None, :], self.features)[0]
             ef = min(query.ef, self.features.shape[0])
             _, cand = jax.lax.top_k(sims, ef)
-            # stage 2: re-rank candidates by similarity in GNN embedding space
+            # stage 2: learned re-rank in the GNN-updated embedding space —
+            # anchor = the query's nearest node's updated embedding; blend
+            # raw similarity with similarity in the learned space
             emb = self._gnn_embeddings(query.gnn_depth)
             cand_emb = emb[cand]
-            # query passes through the same input projection context: compare
-            # in the updated space via cosine against the *updated* embeddings
-            resims = pairwise_cosine(q[None, :], self.features[cand])[0]
-            nn_sims = pairwise_cosine(
-                jnp.mean(cand_emb[: max(1, query.k)], axis=0, keepdims=True), cand_emb
-            )[0]
-            blended = 0.5 * resims + 0.5 * nn_sims
+            anchor = cand_emb[0]
+            raw_sims = sims[cand]
+            learned = pairwise_cosine(anchor[None, :], cand_emb)[0]
+            blended = 0.5 * raw_sims + 0.5 * learned
             k = min(query.k, ef)
             scores, local = jax.lax.top_k(blended, k)
             nodes = cand[local]
