@@ -220,13 +220,24 @@ def attn_mincut(
     k: jax.Array,          # [S, D]
     v: jax.Array,          # [S, Dv]
     cfg: MincutGateConfig = MincutGateConfig(),
+    witness_log=None,      # optional utils.witness.WitnessLog
 ) -> tuple[jax.Array, GatingResult]:
-    """Min-cut gated attention (gating.rs:70-102). Returns (output, gating)."""
+    """Min-cut gated attention (gating.rs:70-102). Returns (output, gating).
+
+    When a witness log is provided, every gate decision is recorded as a
+    SHA-256 tensor witness (the reference's audit log, witness.rs).
+    """
     s = q.shape[0]
     logits = np.asarray(compute_logits(q, k))
     gating = dynamic_min_cut(logits, s, cfg.lam, cfg.tau, cfg.eps)
     keep = jnp.asarray(gating.keep_mask.reshape(s, s))
     out = _masked_self_attention(q, k, v, keep)
+    if witness_log is not None:
+        witness_log.record(
+            "attn_mincut", np.asarray(out), gating.keep_mask,
+            cut_cost=gating.cut_cost, edges_kept=gating.edges_kept,
+            edges_total=gating.edges_total, lam=cfg.lam,
+        )
     return out, gating
 
 

@@ -250,3 +250,18 @@ def test_get_attention_applies():
     out = mech.apply(None, None, rand(2, 8, seed=38), rand(2, 4, 8, seed=39),
                      rand(2, 4, 8, seed=40))
     assert out.shape == (2, 8)
+
+
+def test_attn_mincut_witness_logging():
+    from ruvector_tpu.utils.witness import WitnessLog
+
+    q, k, v = rand(4, 8, seed=50), rand(4, 8, seed=51), rand(4, 8, seed=52)
+    log = WitnessLog()
+    out1, _ = attn_mincut(q, k, v, MincutGateConfig(), witness_log=log)
+    assert len(log.records) == 1
+    assert log.records[0].label == "attn_mincut"
+    assert log.verify()
+    # identical inputs reproduce the identical witness chain
+    log2 = WitnessLog()
+    attn_mincut(q, k, v, MincutGateConfig(), witness_log=log2)
+    assert log.head == log2.head
