@@ -56,6 +56,12 @@ from ruvector_tpu.attention.moe import (
     moe_attention_init,
     moe_attention_apply,
 )
+from ruvector_tpu.attention.sdk import (
+    AttentionBuilder,
+    AttentionPipeline,
+    preset,
+    PRESETS,
+)
 # register the extended family (side-effect imports populate the registry)
 from ruvector_tpu.attention import dual_space as _dual_space  # noqa: F401
 from ruvector_tpu.attention import transport as _transport  # noqa: F401
@@ -97,4 +103,8 @@ __all__ = [
     "MoEAttentionConfig",
     "moe_attention_init",
     "moe_attention_apply",
+    "AttentionBuilder",
+    "AttentionPipeline",
+    "preset",
+    "PRESETS",
 ]
