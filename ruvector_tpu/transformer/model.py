@@ -169,11 +169,17 @@ class MincutGatedTransformer:
         cos_t, sin_t = self._rope
         thresh = self.early_exit_threshold
 
-        @jax.jit
-        def run(weights, x, last_pos, extra_mask, mod_masks):
-            # x: [seq_len, hidden]; extra_mask: [S, S] (sparse-attention
-            # structure ANDed with the windowed causal mask); mod_masks:
+        @functools.partial(jax.jit, static_argnames=("from_tokens",))
+        def run(weights, x, last_pos, extra_mask, mod_masks,
+                from_tokens=False):
+            # x: [seq_len] int32 token ids (from_tokens) or [seq_len, hidden]
+            # embeddings; extra_mask: [S, S] (sparse-attention structure
+            # ANDed with the windowed causal mask); mod_masks:
             # [layers_to_run, S] per-layer MoD compute masks (1 = compute).
+            if from_tokens:
+                # embedding lookup stays ON DEVICE (a host-side gather would
+                # pull the whole table across the wire every call)
+                x = weights["embedding"][x]
             mask = _windowed_causal_mask(seq_len, window) * extra_mask
 
             def body(carry):
@@ -239,28 +245,37 @@ class MincutGatedTransformer:
                                stats={"skipped": True})
 
         s = decision.effective_seq_len
-        if embedding is not None:
-            x = np.asarray(embedding, np.float32)[:s]
+        from_tokens = embedding is None
+        if from_tokens:
+            ids = np.asarray(tokens, np.int32)[:s]
+            x = np.zeros(s, np.int32)
+            x[: len(ids)] = ids
+            x = jnp.asarray(x)
         else:
-            ids = np.asarray(tokens, np.int64)[:s]
-            x = np.asarray(self.weights["embedding"])[ids]
-        # pad to tier seq_len (deterministic zero pad)
-        if x.shape[0] < s:
-            x = np.concatenate(
-                [x, np.zeros((s - x.shape[0], self.config.hidden), np.float32)]
-            )
+            e = np.asarray(embedding, np.float32)[:s]
+            if e.shape[0] < s:
+                e = np.concatenate(
+                    [e, np.zeros((s - e.shape[0], self.config.hidden),
+                                 np.float32)]
+                )
+            x = jnp.asarray(e)
 
         n_real = min(
             len(tokens) if tokens is not None else embedding.shape[0], s
         )
 
-        # sparse-attention structure from the gate (sparse_attention.rs)
+        # sparse-attention structure from the gate (sparse_attention.rs);
+        # the all-ones default is cached per seq len (device-resident)
         if self._sparse is not None:
             extra_mask = jnp.asarray(
                 self._sparse.build_mask(gate, s).mask.astype(np.float32)
             )
         else:
-            extra_mask = jnp.ones((s, s), jnp.float32)
+            if not hasattr(self, "_ones_masks"):
+                self._ones_masks = {}
+            if s not in self._ones_masks:
+                self._ones_masks[s] = jnp.ones((s, s), jnp.float32)
+            extra_mask = self._ones_masks[s]
 
         # MoD routing from the gate (mod_routing.rs); padding never computes
         if self._router is not None:
@@ -273,12 +288,17 @@ class MincutGatedTransformer:
                 np.tile(row, (decision.layers_to_run, 1))
             )
         else:
-            mod_masks = jnp.ones((decision.layers_to_run, s), jnp.float32)
+            if not hasattr(self, "_ones_mod"):
+                self._ones_mod = {}
+            key = (decision.layers_to_run, s)
+            if key not in self._ones_mod:
+                self._ones_mod[key] = jnp.ones(key, jnp.float32)
+            mod_masks = self._ones_mod[key]
 
         run = self._program(decision.layers_to_run, s, decision.effective_window)
         logits, layers_run = run(
-            self.weights, jnp.asarray(x), jnp.int32(max(n_real - 1, 0)),
-            extra_mask, mod_masks,
+            self.weights, x, jnp.int32(max(n_real - 1, 0)),
+            extra_mask, mod_masks, from_tokens=from_tokens,
         )
         logits = np.asarray(logits)
         self._cached_logits = logits
