@@ -120,10 +120,29 @@ def gru_apply(params: dict, x: jax.Array, h: jax.Array) -> jax.Array:
 
     z = sigmoid(W_z x + U_z h); r = sigmoid(W_r x + U_r h)
     h~ = tanh(W_h x + U_h (r * h)); h' = (1-z)*h + z*h~
+
+    The six GEMVs fuse into three GEMMs via column-concatenated kernels
+    (exact same math; the concats are loop-invariant on params and hoist).
     """
-    z = jax.nn.sigmoid(linear_apply(params["w_z"], x) + linear_apply(params["u_z"], h))
-    r = jax.nn.sigmoid(linear_apply(params["w_r"], x) + linear_apply(params["u_r"], h))
+    hd = h.shape[-1]
+    w3 = jnp.concatenate(
+        [params["w_z"]["kernel"], params["w_r"]["kernel"],
+         params["w_h"]["kernel"]], axis=1,
+    )
+    b3 = jnp.concatenate(
+        [params["w_z"]["bias"], params["w_r"]["bias"], params["w_h"]["bias"]]
+    )
+    u2 = jnp.concatenate(
+        [params["u_z"]["kernel"], params["u_r"]["kernel"]], axis=1,
+    )
+    ub2 = jnp.concatenate([params["u_z"]["bias"], params["u_r"]["bias"]])
+
+    wx = jnp.dot(x, w3, preferred_element_type=jnp.float32) + b3   # [.., 3H]
+    uh = jnp.dot(h, u2, preferred_element_type=jnp.float32) + ub2  # [.., 2H]
+
+    z = jax.nn.sigmoid(wx[..., :hd] + uh[..., :hd])
+    r = jax.nn.sigmoid(wx[..., hd:2 * hd] + uh[..., hd:])
     h_tilde = jnp.tanh(
-        linear_apply(params["w_h"], x) + linear_apply(params["u_h"], r * h)
+        wx[..., 2 * hd:] + linear_apply(params["u_h"], r * h)
     )
     return (1.0 - z) * h + z * h_tilde
