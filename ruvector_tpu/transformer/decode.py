@@ -101,6 +101,40 @@ class GenerationResult:
     frozen_steps: int
 
 
+def make_generate_fn(config: TransformerConfig, cache_cfg: KVCacheConfig,
+                     prompt_len: int, max_new_tokens: int):
+    """Whole-generation program: prompt consumption + greedy decoding in ONE
+    jitted lax.scan — the production serving path (no per-token dispatch).
+
+    Returns generate(weights, caches, prompt_ids [prompt_len]) ->
+        (tokens [prompt_len + max_new_tokens], caches).
+    """
+    step = make_decode_step(config, cache_cfg)
+    total = prompt_len + max_new_tokens
+
+    @jax.jit
+    def generate(weights, caches, prompt_ids):
+        def body(carry, pos):
+            caches, prev_logits = carry
+            # token at this position: prompt token, or argmax of the last
+            # logits once past the prompt
+            tok = jnp.where(
+                pos < prompt_len,
+                prompt_ids[jnp.minimum(pos, prompt_len - 1)],
+                jnp.argmax(prev_logits).astype(jnp.int32),
+            )
+            logits, caches = step(weights, caches, tok, pos, jnp.bool_(True))
+            return (caches, logits), tok
+
+        (caches, _), tokens = jax.lax.scan(
+            body, (caches, jnp.zeros((config.logits,), jnp.float32)),
+            jnp.arange(total, dtype=jnp.int32),
+        )
+        return tokens, caches
+
+    return generate
+
+
 class Decoder:
     """Host-side generation loop with gate-controlled KV discipline."""
 

@@ -288,3 +288,22 @@ def test_decoder_matches_full_forward_prefix():
                                    jnp.int32(pos), jnp.bool_(True))
     assert logits.shape == (cfg.logits,)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_jitted_generation_matches_host_loop():
+    from ruvector_tpu.transformer.decode import Decoder, make_generate_fn
+
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(6), cfg)
+    dec = Decoder(cfg, GatePolicy(), weights)
+    prompt = np.asarray([2, 9, 4])
+
+    host = dec.generate(prompt, max_new_tokens=4)
+
+    gen = make_generate_fn(cfg, dec.cache_cfg, prompt_len=3, max_new_tokens=4)
+    import jax.numpy as jnp
+    tokens, _ = gen(weights, dec.init_caches(), jnp.asarray(prompt, jnp.int32))
+    # the scan emits the token CONSUMED at each position: prompt tokens then
+    # the generated continuations; the host loop's token list matches that
+    # (its final argmax is never consumed)
+    np.testing.assert_array_equal(np.asarray(tokens), host.tokens[:7])
