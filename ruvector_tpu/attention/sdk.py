@@ -9,7 +9,6 @@ SparseTransformer).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
 
 import jax
 
@@ -85,7 +84,6 @@ class AttentionPipeline:
 def preset(name: str, dim: int) -> BuiltAttention:
     """Named presets (presets.rs:6-17) mapped onto our mechanisms."""
     from ruvector_tpu.attention.linear_attn import LinearAttentionConfig
-    from ruvector_tpu.attention.hyperbolic import hyperbolic_attention  # noqa
 
     b = AttentionBuilder(dim)
     name = name.lower()

@@ -13,7 +13,6 @@ index 0 and mask 0 — no dynamic shapes ever reach the compiler.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

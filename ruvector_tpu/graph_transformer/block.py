@@ -10,7 +10,6 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
 from ruvector_tpu.attention.edge_featured import (
     EdgeFeaturedConfig,

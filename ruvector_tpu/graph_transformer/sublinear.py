@@ -13,7 +13,6 @@ vectorized push.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

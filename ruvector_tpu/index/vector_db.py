@@ -9,8 +9,6 @@ re-rank when a GNN stack is attached.
 from __future__ import annotations
 
 import dataclasses
-import itertools
-import time
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
 from ruvector_tpu.graph.neighbors import NeighborGraph
 from ruvector_tpu.nn.ruvector_layer import (

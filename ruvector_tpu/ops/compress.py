@@ -21,7 +21,6 @@ import numpy as np
 
 from ruvector_tpu.ops.quantization import (
     BinaryQuantized,
-    Int4Quantized,
     PQCodebook,
     binary_quantize,
     int4_dequantize,

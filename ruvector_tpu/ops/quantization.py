@@ -12,7 +12,6 @@ Hamming via XOR + popcount on uint32 lanes).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

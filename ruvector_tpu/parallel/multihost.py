@@ -17,7 +17,6 @@ import time
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from ruvector_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 

@@ -11,7 +11,6 @@ reduction is tiny. No RPC: the 'shards' are mesh devices.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

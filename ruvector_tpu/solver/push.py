@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ruvector_tpu.graph.csr import CSRGraph
-from ruvector_tpu.ops.segment import spmm_csr
 
 
 def _degree_normalized_transpose_spmv(graph: CSRGraph, r: jax.Array) -> jax.Array:

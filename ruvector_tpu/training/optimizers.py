@@ -11,10 +11,8 @@ All optimizers accept either a float learning rate or an optax schedule.
 
 from __future__ import annotations
 
-from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 

@@ -19,7 +19,6 @@ import threading
 import time
 from typing import Any, Callable
 
-import numpy as np
 
 
 class JobStatus(enum.Enum):

@@ -14,7 +14,6 @@ host loop drives it and consults the gate before each KV write.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ one compiled program and fully deterministic.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -33,7 +32,6 @@ from ruvector_tpu.transformer.packets import (
     GatePacket,
     InferOutput,
     SpikePacket,
-    TierDecision,
     Witness,
 )
 from ruvector_tpu.transformer.quant import int8_matmul, quantize_weight_int8
