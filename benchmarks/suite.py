@@ -105,13 +105,14 @@ def main():
 
     n_index = 10_000
     data = rng.normal(size=(n_index, d)).astype(np.float32)
+    threads = os.cpu_count() or 4
     idx = HnswIndex(HnswConfig(dim=d, m=16, ef_construction=100))
     t0 = time.perf_counter()
-    idx.add_batch(data)
+    idx.add_batch(data, num_threads=threads)
     results["hnsw_insert_per_s"] = round(n_index / (time.perf_counter() - t0), 0)
     qs = data[rng.integers(0, n_index, size=200)]
     t0 = time.perf_counter()
-    idx.search_batch(qs, k=10, ef=100)
+    idx.search_batch(qs, k=10, ef=100, num_threads=threads)
     dt = time.perf_counter() - t0
     results["hnsw_search_qps"] = round(200 / dt, 0)
     results["hnsw_search_p50_ms"] = round(dt / 200 * 1e3, 3)
@@ -146,6 +147,24 @@ def main():
     results["transformer_infer_ms"] = round(
         (time.perf_counter() - t0) / iters * 1e3, 3
     )
+
+    # 8. autoregressive decode throughput (whole-generation jitted scan —
+    # one dispatch for the full sequence, so tunnel latency is amortized)
+    from ruvector_tpu.transformer.decode import Decoder, make_generate_fn
+
+    dec = Decoder(tcfg, GatePolicy(), model.weights)
+    new_tokens = 64
+    gen = make_generate_fn(tcfg, dec.cache_cfg, prompt_len=8,
+                           max_new_tokens=new_tokens)
+    prompt = jnp.asarray(np.arange(8) % tcfg.vocab, jnp.int32)
+    out = gen(model.weights, dec.init_caches(), prompt)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = gen(model.weights, dec.init_caches(), prompt)
+        jax.block_until_ready(out[0])
+    dt = (time.perf_counter() - t0) / 5
+    results["decode_tokens_per_s"] = round((8 + new_tokens) / dt, 1)
 
     results["backend"] = jax.devices()[0].platform
     print(json.dumps(results, indent=2))

@@ -31,7 +31,7 @@ def _load():
             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _LIB_PATH],
+             "-pthread", _SRC, "-o", _LIB_PATH],
             check=True, capture_output=True, timeout=120,
         )
     lib = ctypes.CDLL(_LIB_PATH)
@@ -42,10 +42,13 @@ def _load():
     lib.hnsw_new.restype = ctypes.c_void_p
     lib.hnsw_free.argtypes = [ctypes.c_void_p]
     lib.hnsw_add_batch.argtypes = [ctypes.c_void_p, f32p, i64]
+    lib.hnsw_add_batch_parallel.argtypes = [ctypes.c_void_p, f32p, i64, i64]
     lib.hnsw_size.argtypes = [ctypes.c_void_p]
     lib.hnsw_size.restype = i64
     lib.hnsw_search_batch.argtypes = [ctypes.c_void_p, f32p, i64, i64, i64,
                                       i32p, f32p]
+    lib.hnsw_search_batch_parallel.argtypes = [
+        ctypes.c_void_p, f32p, i64, i64, i64, i64, i32p, f32p]
     lib.hnsw_max_degree.argtypes = [ctypes.c_void_p]
     lib.hnsw_max_degree.restype = i64
     lib.hnsw_adjacency.argtypes = [ctypes.c_void_p, i64, i32p, f32p]
@@ -91,10 +94,17 @@ class HnswIndex:
     def add(self, vector: np.ndarray):
         self.add_batch(np.asarray(vector, np.float32)[None, :])
 
-    def add_batch(self, vectors: np.ndarray):
+    def add_batch(self, vectors: np.ndarray, num_threads: int = 0):
+        """Insert a batch. num_threads=0: serial (deterministic order);
+        >0: parallel phase-2 linking with per-node locks (order across
+        threads is non-deterministic, recall preserved)."""
         v = np.ascontiguousarray(vectors, np.float32)
         assert v.shape[1] == self.config.dim
-        self._lib.hnsw_add_batch(self._h, v, v.shape[0])
+        if num_threads > 1:
+            self._lib.hnsw_add_batch_parallel(self._h, v, v.shape[0],
+                                              num_threads)
+        else:
+            self._lib.hnsw_add_batch(self._h, v, v.shape[0])
 
     def search(self, query: np.ndarray, k: int = 10,
                ef: int | None = None) -> tuple[np.ndarray, np.ndarray]:
@@ -105,13 +115,18 @@ class HnswIndex:
         return ids[0], dists[0]
 
     def search_batch(self, queries: np.ndarray, k: int = 10,
-                     ef: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+                     ef: int | None = None,
+                     num_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
         q = np.ascontiguousarray(queries, np.float32)
         nq = q.shape[0]
         ef = ef or self.config.ef_search
         ids = np.zeros((nq, k), np.int32)
         dists = np.zeros((nq, k), np.float32)
-        self._lib.hnsw_search_batch(self._h, q, nq, k, ef, ids, dists)
+        if num_threads > 1:
+            self._lib.hnsw_search_batch_parallel(self._h, q, nq, k, ef,
+                                                 num_threads, ids, dists)
+        else:
+            self._lib.hnsw_search_batch(self._h, q, nq, k, ef, ids, dists)
         return ids, dists
 
     def save(self, path, vectors: np.ndarray):

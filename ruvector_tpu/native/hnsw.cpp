@@ -16,10 +16,14 @@
 #include <cstring>
 #include <cmath>
 #include <vector>
+#include <deque>
 #include <queue>
 #include <random>
 #include <algorithm>
 #include <unordered_set>
+#include <mutex>
+#include <thread>
+#include <atomic>
 
 namespace {
 
@@ -27,8 +31,7 @@ struct Hnsw {
     int64_t dim;
     int64_t m;                 // max neighbors per level (level 0: 2m)
     int64_t ef_construction;
-    std::string metric;        // "l2" or "cosine" (cosine pre-normalizes)
-    bool cosine;
+    bool cosine;               // cosine pre-normalizes; dist is squared L2
     std::mt19937_64 rng;
     double level_mult;
 
@@ -36,6 +39,11 @@ struct Hnsw {
     std::vector<int32_t> levels;         // level per node
     // adjacency: per node, per level, neighbor list
     std::vector<std::vector<std::vector<int32_t>>> links;
+    // parallel insert discipline (hnswlib-style): one lock per node guards
+    // that node's link lists; entry/max_level under the global lock. Only
+    // one node lock is ever held at a time -> no deadlock.
+    mutable std::deque<std::mutex> node_locks;
+    std::mutex global_mu;
     int32_t entry = -1;
     int32_t max_level = -1;
 
@@ -56,6 +64,16 @@ struct Hnsw {
 
     const float* vec(int32_t id) const { return data.data() + id * dim; }
 
+    // copy a node's neighbor list under its lock (concurrent back-link
+    // pruning may be rewriting it)
+    void neighbors_snapshot(int32_t c, int32_t level,
+                            std::vector<int32_t>& out) const {
+        out.clear();
+        if (level >= (int32_t)links[c].size()) return;
+        std::lock_guard<std::mutex> g(node_locks[c]);
+        out = links[c][level];
+    }
+
     // ef-bounded best-first search at one level. Returns (dist, id) sorted asc.
     std::vector<std::pair<float, int32_t>> search_layer(
         const float* q, int32_t ep, int64_t ef, int32_t level) const {
@@ -70,20 +88,20 @@ struct Hnsw {
         cand.emplace(d0, ep);
         visited.insert(ep);
 
+        std::vector<int32_t> nbrs;
         while (!cand.empty()) {
             auto [dc, c] = cand.top();
             if (dc > best.top().first && (int64_t)best.size() >= ef) break;
             cand.pop();
-            if (level < (int32_t)links[c].size()) {
-                for (int32_t nb : links[c][level]) {
-                    if (visited.count(nb)) continue;
-                    visited.insert(nb);
-                    float d = dist(q, vec(nb));
-                    if ((int64_t)best.size() < ef || d < best.top().first) {
-                        best.emplace(d, nb);
-                        cand.emplace(d, nb);
-                        if ((int64_t)best.size() > ef) best.pop();
-                    }
+            neighbors_snapshot(c, level, nbrs);
+            for (int32_t nb : nbrs) {
+                if (visited.count(nb)) continue;
+                visited.insert(nb);
+                float d = dist(q, vec(nb));
+                if ((int64_t)best.size() < ef || d < best.top().first) {
+                    best.emplace(d, nb);
+                    cand.emplace(d, nb);
+                    if ((int64_t)best.size() > ef) best.pop();
                 }
             }
         }
@@ -99,12 +117,21 @@ struct Hnsw {
     void connect(int32_t id, int32_t level,
                  const std::vector<std::pair<float, int32_t>>& candidates) {
         int64_t cap = level == 0 ? 2 * m : m;
-        auto& lk = links[id][level];
-        for (auto& [d, nb] : candidates) {
-            if ((int64_t)lk.size() >= cap) break;
-            if (nb == id) continue;
-            lk.push_back(nb);
-            // back-link with pruning
+        std::vector<int32_t> selected;
+        {
+            std::lock_guard<std::mutex> g(node_locks[id]);
+            auto& lk = links[id][level];
+            for (auto& [d, nb] : candidates) {
+                if ((int64_t)lk.size() >= cap) break;
+                if (nb == id) continue;
+                lk.push_back(nb);
+                selected.push_back(nb);
+            }
+        }
+        // back-links with pruning, one node lock at a time
+        for (int32_t nb : selected) {
+            std::lock_guard<std::mutex> g(node_locks[nb]);
+            if (level >= (int32_t)links[nb].size()) continue;
             auto& back = links[nb][level];
             back.push_back(id);
             if ((int64_t)back.size() > cap) {
@@ -118,7 +145,8 @@ struct Hnsw {
         }
     }
 
-    void insert(const float* v_in) {
+    // phase 1 (serial): normalize, draw level, append storage. Returns id.
+    int32_t register_node(const float* v_in) {
         std::vector<float> v(v_in, v_in + dim);
         if (cosine) {
             float n = 0;
@@ -129,39 +157,56 @@ struct Hnsw {
         int32_t id = (int32_t)size();
         std::uniform_real_distribution<double> u(0.0, 1.0);
         int32_t lvl = (int32_t)(-std::log(std::max(u(rng), 1e-12)) * level_mult);
-
         data.insert(data.end(), v.begin(), v.end());
         levels.push_back(lvl);
         links.emplace_back(lvl + 1);
+        node_locks.emplace_back();
+        return id;
+    }
 
-        if (entry < 0) {
-            entry = id;
-            max_level = lvl;
-            return;
+    // phase 2 (parallel-safe): wire a registered node into the graph.
+    void link_node(int32_t id) {
+        const float* v = vec(id);
+        int32_t lvl = levels[id];
+        int32_t ep, ml;
+        {
+            std::lock_guard<std::mutex> g(global_mu);
+            ep = entry; ml = max_level;
         }
-
-        int32_t ep = entry;
+        std::vector<int32_t> nbrs;
         // greedy descent through upper levels
-        for (int32_t L = max_level; L > lvl; --L) {
+        for (int32_t L = ml; L > lvl; --L) {
             bool improved = true;
-            float best_d = dist(v.data(), vec(ep));
+            float best_d = dist(v, vec(ep));
             while (improved) {
                 improved = false;
-                if (L < (int32_t)links[ep].size()) {
-                    for (int32_t nb : links[ep][L]) {
-                        float d = dist(v.data(), vec(nb));
-                        if (d < best_d) { best_d = d; ep = nb; improved = true; }
-                    }
+                neighbors_snapshot(ep, L, nbrs);
+                for (int32_t nb : nbrs) {
+                    float d = dist(v, vec(nb));
+                    if (d < best_d) { best_d = d; ep = nb; improved = true; }
                 }
             }
         }
         // ef-bounded insert at each level from min(lvl, max_level) down
-        for (int32_t L = std::min(lvl, max_level); L >= 0; --L) {
-            auto cands = search_layer(v.data(), ep, ef_construction, L);
+        for (int32_t L = std::min(lvl, ml); L >= 0; --L) {
+            auto cands = search_layer(v, ep, ef_construction, L);
             connect(id, L, cands);
             if (!cands.empty()) ep = cands[0].second;
         }
-        if (lvl > max_level) { max_level = lvl; entry = id; }
+        if (lvl > ml) {
+            std::lock_guard<std::mutex> g(global_mu);
+            if (lvl > max_level) { max_level = lvl; entry = id; }
+        }
+    }
+
+    void insert(const float* v_in) {
+        int32_t id = register_node(v_in);
+        if (entry < 0) {
+            entry = id;
+            max_level = levels[id];
+            return;
+        }
+        link_node(id);
     }
 
     void search(const float* q_in, int64_t k, int64_t ef,
@@ -177,16 +222,16 @@ struct Hnsw {
         if (entry < 0) return;
 
         int32_t ep = entry;
+        std::vector<int32_t> nbrs;
         for (int32_t L = max_level; L > 0; --L) {
             bool improved = true;
             float best_d = dist(q.data(), vec(ep));
             while (improved) {
                 improved = false;
-                if (L < (int32_t)links[ep].size()) {
-                    for (int32_t nb : links[ep][L]) {
-                        float d = dist(q.data(), vec(nb));
-                        if (d < best_d) { best_d = d; ep = nb; improved = true; }
-                    }
+                neighbors_snapshot(ep, L, nbrs);
+                for (int32_t nb : nbrs) {
+                    float d = dist(q.data(), vec(nb));
+                    if (d < best_d) { best_d = d; ep = nb; improved = true; }
                 }
             }
         }
@@ -215,6 +260,40 @@ void hnsw_add_batch(void* h, const float* vecs, int64_t n) {
     for (int64_t i = 0; i < n; ++i) idx->insert(vecs + i * idx->dim);
 }
 
+// Parallel batch insert: register all nodes serially (stable storage), then
+// wire them into the graph from a thread pool. Per-node link locks keep the
+// graph consistent (hnswlib's construction discipline); insertion order is
+// non-deterministic across threads but recall quality is preserved.
+void hnsw_add_batch_parallel(void* h, const float* vecs, int64_t n,
+                             int64_t num_threads) {
+    Hnsw* idx = (Hnsw*)h;
+    if (n <= 0) return;
+    int64_t i0 = 0;
+    if (idx->entry < 0) {            // seed the entry point serially
+        idx->insert(vecs);
+        i0 = 1;
+    }
+    std::vector<int32_t> ids;
+    ids.reserve(n - i0);
+    for (int64_t i = i0; i < n; ++i)
+        ids.push_back(idx->register_node(vecs + i * idx->dim));
+    if (ids.empty()) return;
+
+    int64_t nt = std::max<int64_t>(1, num_threads);
+    nt = std::min<int64_t>(nt, (int64_t)ids.size());
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        while (true) {
+            int64_t j = next.fetch_add(1);
+            if (j >= (int64_t)ids.size()) break;
+            idx->link_node(ids[j]);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+}
+
 int64_t hnsw_size(void* h) { return ((Hnsw*)h)->size(); }
 
 void hnsw_search_batch(void* h, const float* queries, int64_t nq,
@@ -225,6 +304,27 @@ void hnsw_search_batch(void* h, const float* queries, int64_t nq,
         idx->search(queries + i * idx->dim, k, ef,
                     out_ids + i * k, out_dists + i * k);
     }
+}
+
+// Parallel batch search: queries are independent reads; with snapshot-based
+// neighbor access this is safe even during concurrent inserts.
+void hnsw_search_batch_parallel(void* h, const float* queries, int64_t nq,
+                                int64_t k, int64_t ef, int64_t num_threads,
+                                int32_t* out_ids, float* out_dists) {
+    Hnsw* idx = (Hnsw*)h;
+    int64_t nt = std::max<int64_t>(1, std::min(num_threads, nq));
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        while (true) {
+            int64_t i = next.fetch_add(1);
+            if (i >= nq) break;
+            idx->search(queries + i * idx->dim, k, ef,
+                        out_ids + i * k, out_dists + i * k);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
 }
 
 // Fetch adjacency of level 0 as padded [n, max_deg] (for GNN consumption).

@@ -30,6 +30,7 @@ from ruvector_tpu.training.ewc import (
     ewc_gradient,
 )
 from ruvector_tpu.training.replay import ReplayBuffer, ReplayEntry
+from ruvector_tpu.training.metrics_hook import TrainingMetrics
 
 __all__ = [
     "mse_loss",
@@ -56,5 +57,6 @@ __all__ = [
     "ewc_penalty",
     "ewc_gradient",
     "ReplayBuffer",
+    "TrainingMetrics",
     "ReplayEntry",
 ]

@@ -130,3 +130,34 @@ def test_hnsw_levels_and_hierarchical_forward():
     out = hierarchical_forward(jnp.asarray(data[5]), layer_embs, params, cfgs)
     assert out.shape == (d,)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_hnsw_parallel_insert_recall_matches_serial():
+    """Parallel batch insert (per-node link locks) must preserve recall and
+    index size; search_batch_parallel must agree with serial search."""
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(1500, 16)).astype(np.float32)
+    gt_idx, _ = knn_graph_numpy(data, k=10, metric="cosine")
+    queries = rng.integers(0, 1500, size=50)
+
+    def recall(idx):
+        hits = 0
+        for q in queries:
+            ids, _ = idx.search(data[q], k=11)
+            got = set(int(i) for i in ids if i >= 0 and i != q)
+            hits += len(got & set(gt_idx[q][:10].tolist()))
+        return hits / (10 * len(queries))
+
+    cfg = HnswConfig(dim=16, metric="cosine", m=16,
+                     ef_construction=100, ef_search=100)
+    par = HnswIndex(cfg)
+    par.add_batch(data, num_threads=4)
+    assert len(par) == 1500
+    assert recall(par) > 0.85
+
+    # parallel search agrees with serial search on the same index
+    qs = data[queries]
+    ids_s, d_s = par.search_batch(qs, k=10)
+    ids_p, d_p = par.search_batch(qs, k=10, num_threads=4)
+    np.testing.assert_array_equal(ids_s, ids_p)
+    np.testing.assert_allclose(d_s, d_p)

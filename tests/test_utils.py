@@ -171,3 +171,48 @@ def test_adaptive_hotset_lfu():
     assert 0 in hs.hit_rate_nodes() and 1 in hs.hit_rate_nodes()
     hs.decay_scores()
     assert all(v < 4 for v in hs.scores.values())
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Sharded arrays checkpoint + restore with shardings preserved
+    (the orbax-style sharded checkpoint of SURVEY §5's mapping)."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ruvector_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, P("nodes"))
+    x = jax.device_put(jnp.arange(64.0).reshape(16, 4), sharding)
+    tree = {"feats": x, "step_scalar": jnp.asarray(3.0)}
+    save_checkpoint(tmp_path, tree, step=1, use_orbax=False)
+
+    proto = {"feats": jnp.zeros((16, 4)), "step_scalar": jnp.zeros(())}
+    restored = restore_checkpoint(tmp_path, proto, step=1, use_orbax=False)
+    np.testing.assert_array_equal(np.asarray(restored["feats"]), np.asarray(x))
+    # re-shard the restored array onto the mesh: value preserved
+    resharded = jax.device_put(restored["feats"], sharding)
+    np.testing.assert_array_equal(np.asarray(resharded), np.asarray(x))
+
+
+def test_training_metrics_hook():
+    from ruvector_tpu.training.metrics_hook import TrainingMetrics
+
+    tm = TrainingMetrics(edges_per_step=1000)
+    for loss in [1.0, 0.8, 0.5]:
+        tm.record_step(loss, 0.01)
+    assert tm.steps.get() == 3
+    assert tm.loss_sum.get() == 2.3
+    assert tm.edges_per_second() > 0
+    text = tm.registry.expose()
+    assert "train_step_seconds" in text
+
+
+def test_training_metrics_timed_step():
+    from ruvector_tpu.training.metrics_hook import TrainingMetrics
+
+    tm = TrainingMetrics()
+    out = tm.timed_step(lambda x: (x, None, jnp.asarray(0.7)), 5)
+    assert out[0] == 5
+    assert abs(tm.loss_sum.get() - 0.7) < 1e-6
