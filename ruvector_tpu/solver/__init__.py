@@ -11,6 +11,15 @@ from ruvector_tpu.solver.push import (
     ppr_power_iteration,
     random_walk_ppr,
 )
+from ruvector_tpu.solver.bmssp import BmsspSolver
+from ruvector_tpu.solver.true_solver import TrueSolver
+from ruvector_tpu.solver.router import (
+    RouterConfig,
+    SparsityProfile,
+    SolverRouter,
+    SolverOrchestrator,
+    analyze_sparsity,
+)
 
 __all__ = [
     "SolverResult",
@@ -22,4 +31,11 @@ __all__ = [
     "backward_push_ppr",
     "ppr_power_iteration",
     "random_walk_ppr",
+    "BmsspSolver",
+    "TrueSolver",
+    "RouterConfig",
+    "SparsityProfile",
+    "SolverRouter",
+    "SolverOrchestrator",
+    "analyze_sparsity",
 ]

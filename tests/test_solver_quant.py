@@ -212,3 +212,119 @@ def test_compress_roundtrip_all_levels():
     # compression ratios: binary is 32x smaller than f32
     t_bin = tc.compress_level(jnp.asarray(x), "binary")
     assert t_bin.bytes_per_vector * 32 == 32 * 4  # 4 bytes of bits for 32 dims
+
+
+# --- BMSSP (AMG), TRUE solver, router ---------------------------------------
+
+def _grid_laplacian(side: int):
+    """2D grid Laplacian + I (SPD, not diagonally dominant enough for fast
+    Neumann at scale) as COO."""
+    n = side * side
+    rows, cols, vals = [], [], []
+    for i in range(side):
+        for j in range(side):
+            u = i * side + j
+            deg = 0
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < side and 0 <= jj < side:
+                    rows.append(u); cols.append(ii * side + jj); vals.append(-1.0)
+                    deg += 1
+            rows.append(u); cols.append(u); vals.append(deg + 1.0)
+    return (np.asarray(rows), np.asarray(cols),
+            np.asarray(vals, np.float64), n)
+
+
+def test_bmssp_amg_solves_grid_laplacian():
+    from ruvector_tpu.solver import BmsspSolver
+
+    rows, cols, vals, n = _grid_laplacian(20)    # 400 unknowns, 2 AMG levels
+    rng = np.random.default_rng(0)
+    x_true = rng.normal(size=n)
+    dense = np.zeros((n, n)); dense[rows, cols] = vals
+    b = dense @ x_true
+
+    solver = BmsspSolver(tolerance=1e-6, max_cycles=100).setup(
+        rows, cols, vals, n)
+    assert len(solver._levels) >= 2               # actually coarsened
+    x, rnorm, cycles = solver.solve(b)
+    assert rnorm / np.linalg.norm(b) < 1e-4
+    np.testing.assert_allclose(x, x_true, atol=5e-3)
+    assert cycles < 100
+
+
+def test_true_solver_exact_at_full_sketch():
+    """With k = n the JL sketch S is (a.s.) invertible and the sketched
+    solve is algebraically exact: S^T(S A S^T)^-1 S b = A^-1 b."""
+    from ruvector_tpu.graph.csr import CSRGraph
+    from ruvector_tpu.solver import TrueSolver
+
+    rng = np.random.default_rng(1)
+    n = 40
+    a = np.eye(n) * 4.0
+    for i in range(n - 1):
+        a[i, i + 1] = a[i + 1, i] = -1.0
+    r, c = np.nonzero(a)
+    mat = CSRGraph.from_edges(r, c, a[r, c], n)
+    x_true = rng.normal(size=n)
+    b = a @ x_true
+
+    x = TrueSolver(tolerance=0.5, jl_dimension=n, ridge=0.0).solve(mat, b)
+    np.testing.assert_allclose(x, x_true, atol=1e-2)
+
+
+def test_true_solver_sketch_reduces_dimension():
+    from ruvector_tpu.graph.csr import CSRGraph
+    from ruvector_tpu.solver import TrueSolver
+
+    n = 500
+    r = np.arange(n); mat = CSRGraph.from_edges(r, r, np.full(n, 2.0), n)
+    s = TrueSolver(tolerance=0.3)
+    s.preprocess(mat)
+    k = s._prep[0].shape[0]
+    assert 8 <= k < n                  # sublinear sketch
+    x = s.solve(mat, np.ones(n))
+    assert x.shape == (n,)
+
+
+def test_router_rule_order():
+    from ruvector_tpu.solver import RouterConfig, SolverRouter, SparsityProfile
+
+    router = SolverRouter(RouterConfig())
+    dd_sparse = SparsityProfile(rows=1000, nnz=3000, density=0.003,
+                                is_diag_dominant=True,
+                                estimated_spectral_radius=0.5,
+                                estimated_condition=10.0)
+    assert router.select_algorithm(dd_sparse) == "neumann"
+    well_cond = SparsityProfile(rows=1000, nnz=3000, density=0.003,
+                                is_diag_dominant=False,
+                                estimated_spectral_radius=1.5,
+                                estimated_condition=50.0)
+    assert router.select_algorithm(well_cond) == "cg"
+    ill = SparsityProfile(rows=2000, nnz=3000, density=0.003,
+                          is_diag_dominant=False,
+                          estimated_spectral_radius=1.5,
+                          estimated_condition=1e4)
+    assert router.select_algorithm(ill) == "bmssp"
+    assert router.select_algorithm(ill, "pagerank_single") == "forward_push"
+    assert router.select_algorithm(ill, "pagerank_pairwise") == "hybrid_random_walk"
+    assert router.select_algorithm(dd_sparse, "batch_linear_system",
+                                   batch_size=200) == "true"
+    assert router.select_algorithm(dd_sparse, "batch_linear_system",
+                                   batch_size=10) == "cg"
+
+
+def test_orchestrator_end_to_end():
+    from ruvector_tpu.graph.csr import CSRGraph
+    from ruvector_tpu.solver import SolverOrchestrator, analyze_sparsity
+
+    rows, cols, vals, n = _grid_laplacian(10)
+    mat = CSRGraph.from_edges(rows, cols, vals, n)
+    profile = analyze_sparsity(mat)
+    assert profile.is_diag_dominant
+    rng = np.random.default_rng(2)
+    x_true = rng.normal(size=n)
+    dense = np.zeros((n, n)); dense[rows, cols] = vals
+    result, algo = SolverOrchestrator().solve(mat, dense @ x_true)
+    assert result.converged
+    np.testing.assert_allclose(np.asarray(result.x), x_true, atol=1e-2)

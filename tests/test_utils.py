@@ -216,3 +216,45 @@ def test_training_metrics_timed_step():
     out = tm.timed_step(lambda x: (x, None, jnp.asarray(0.7)), 5)
     assert out[0] == 5
     assert abs(tm.loss_sum.get() - 0.7) < 1e-6
+
+
+# --- mmap store --------------------------------------------------------------
+
+def test_mmap_store_roundtrip_and_dirty_flush(tmp_path):
+    from ruvector_tpu.utils.mmap_store import MmapEmbeddingStore
+
+    st = MmapEmbeddingStore(tmp_path / "emb.bin", num_nodes=300, dim=8,
+                            create=True)
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=(300, 8)).astype(np.float32)
+    st.set_batch(np.arange(300), vals)
+    assert st.flush_dirty() > 0
+    assert st.flush_dirty() == 0          # clean after flush
+
+    st.set_embedding(5, np.ones(8, np.float32))
+    assert st.dirty.test(5 // st.PAGE_ROWS)
+    np.testing.assert_array_equal(st.get_embedding(5), np.ones(8))
+    st.prefetch(np.asarray([0, 100, 299]))     # no-op safe
+    st.close()
+
+    st2 = MmapEmbeddingStore(tmp_path / "emb.bin", num_nodes=300, dim=8)
+    np.testing.assert_array_equal(st2.get_embedding(7), vals[7])
+
+
+def test_mmap_gradient_accumulator(tmp_path):
+    from ruvector_tpu.utils.mmap_store import (
+        MmapEmbeddingStore, MmapGradientAccumulator,
+    )
+
+    st = MmapEmbeddingStore(tmp_path / "e.bin", num_nodes=50, dim=4,
+                            create=True)
+    st.set_batch(np.arange(50), np.zeros((50, 4), np.float32))
+    acc = MmapGradientAccumulator(tmp_path / "g.bin", num_nodes=50, dim=4)
+    # node 3 hit twice with grad 1.0 -> averaged grad 1.0
+    acc.accumulate(np.asarray([3, 7]), np.ones((2, 4), np.float32))
+    acc.accumulate(np.asarray([3]), np.ones((1, 4), np.float32))
+    n = acc.apply(st, lr=0.5)
+    assert n == 2
+    np.testing.assert_allclose(st.get_embedding(3), -0.5 * np.ones(4))
+    np.testing.assert_allclose(st.get_embedding(7), -0.5 * np.ones(4))
+    assert acc.apply(st, lr=0.5) == 0      # accumulator zeroed
