@@ -166,6 +166,25 @@ def main():
     dt = (time.perf_counter() - t0) / 5
     results["decode_tokens_per_s"] = round((8 + new_tokens) / dt, 1)
 
+    # 9. batched serving decode (vmap over sequences: GEMVs become GEMMs)
+    from ruvector_tpu.transformer.decode import make_batched_generate_fn
+
+    bsz = 16
+    genb = make_batched_generate_fn(tcfg, dec.cache_cfg, prompt_len=8,
+                                    max_new_tokens=new_tokens)
+    caches_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[dec.init_caches() for _ in range(bsz)])
+    prompts = jnp.asarray(np.arange(8 * bsz).reshape(bsz, 8) % tcfg.vocab,
+                          jnp.int32)
+    out = genb(model.weights, caches_b, prompts)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = genb(model.weights, caches_b, prompts)
+        jax.block_until_ready(out[0])
+    dt = (time.perf_counter() - t0) / 3
+    results["decode_batched_tokens_per_s"] = round(bsz * (8 + new_tokens) / dt, 1)
+
     results["backend"] = jax.devices()[0].platform
     print(json.dumps(results, indent=2))
     if args.json:

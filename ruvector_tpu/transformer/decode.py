@@ -134,6 +134,23 @@ def make_generate_fn(config: TransformerConfig, cache_cfg: KVCacheConfig,
     return generate
 
 
+def make_batched_generate_fn(config: TransformerConfig,
+                             cache_cfg: KVCacheConfig,
+                             prompt_len: int, max_new_tokens: int):
+    """Batched serving decode: vmap the whole-generation scan over a batch
+    of prompts with shared weights — per-token GEMVs become GEMMs, which is
+    how the MXU earns its keep at serving time.
+
+    Returns generate(weights, caches_batch, prompt_ids [B, prompt_len]) ->
+        (tokens [B, prompt_len + max_new_tokens], caches_batch).
+    Build caches_batch by stacking per-sequence init caches, e.g.
+    jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[dec.init_caches()
+    for _ in range(B)]).
+    """
+    gen = make_generate_fn(config, cache_cfg, prompt_len, max_new_tokens)
+    return jax.jit(jax.vmap(gen, in_axes=(None, 0, 0)))
+
+
 class Decoder:
     """Host-side generation loop with gate-controlled KV discipline."""
 

@@ -307,3 +307,30 @@ def test_jitted_generation_matches_host_loop():
     # the generated continuations; the host loop's token list matches that
     # (its final argmax is never consumed)
     np.testing.assert_array_equal(np.asarray(tokens), host.tokens[:7])
+
+
+def test_batched_generation_matches_single():
+    """Batched vmap decode equals per-sequence decode row by row."""
+    from ruvector_tpu.transformer.decode import (
+        Decoder, make_batched_generate_fn, make_generate_fn,
+    )
+    import jax.numpy as jnp
+
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(7), cfg)
+    dec = Decoder(cfg, GatePolicy(), weights)
+    prompts = np.asarray([[2, 9, 4], [1, 1, 3], [5, 0, 2], [8, 7, 6]])
+
+    gen1 = make_generate_fn(cfg, dec.cache_cfg, prompt_len=3, max_new_tokens=5)
+    singles = np.stack([
+        np.asarray(gen1(weights, dec.init_caches(),
+                        jnp.asarray(p, jnp.int32))[0])
+        for p in prompts
+    ])
+
+    genb = make_batched_generate_fn(cfg, dec.cache_cfg, prompt_len=3,
+                                    max_new_tokens=5)
+    caches_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[dec.init_caches() for _ in prompts])
+    batched, _ = genb(weights, caches_b, jnp.asarray(prompts, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(batched), singles)
