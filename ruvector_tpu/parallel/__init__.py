@@ -4,6 +4,7 @@ from ruvector_tpu.parallel.halo import (
     halo_exchange,
     make_sharded_layer_forward,
     make_sharded_train_step,
+    make_sharded_mp_forward,
 )
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "halo_exchange",
     "make_sharded_layer_forward",
     "make_sharded_train_step",
+    "make_sharded_mp_forward",
 ]

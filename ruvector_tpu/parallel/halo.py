@@ -197,3 +197,50 @@ def make_sharded_train_step(
         return params, opt_state, loss
 
     return step
+
+
+def make_sharded_mp_forward(step_fns, plan: "HaloPlan", mesh: Mesh,
+                            axis_name: str = "nodes"):
+    """Generic sharded message passing over the halo plan — the SPMD path
+    for GCN / GraphSAGE / GAT-style layers (the reference's second GNN
+    family, ruvector-postgres/src/gnn/).
+
+    step_fns: list of fn(x_blk [B, Din], nbr_feats [B, M, Din],
+        nbr_mask [B, M], edge_weight [B, M], pad_mask [B]) -> [B, Dout].
+    Each layer's RAW features are halo-exchanged (one all_to_all), then the
+    step runs entirely shard-local. Returns jitted forward(feats) ->
+    [S*block, Dout] sharded over the mesh.
+    """
+    plan_arrays = plan.device_arrays()
+
+    def block_fn(feats, send_idx, send_mask, local_nbr, nbr_mask,
+                 edge_weight, pad_mask):
+        send_idx, send_mask = send_idx[0], send_mask[0]
+        local_nbr, nbr_mask = local_nbr[0], nbr_mask[0]
+        edge_weight, pad_mask = edge_weight[0], pad_mask[0]
+        x = feats
+        for fn in step_fns:
+            halo = halo_exchange(x, send_idx, send_mask, axis_name)
+            combined = jnp.concatenate([x, halo], axis=0)
+            nbr_feats = combined[local_nbr]                  # [B, M, D]
+            x = fn(x, nbr_feats, nbr_mask, edge_weight, pad_mask)
+        return x
+
+    sharded = shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 7,
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def forward(feats):
+        return sharded(
+            feats,
+            plan_arrays["send_idx"], plan_arrays["send_mask"],
+            plan_arrays["local_nbr_idx"], plan_arrays["nbr_mask"],
+            plan_arrays["edge_weight"], plan_arrays["node_pad_mask"],
+        )
+
+    return forward
