@@ -161,3 +161,50 @@ def test_hnsw_parallel_insert_recall_matches_serial():
     ids_p, d_p = par.search_batch(qs, k=10, num_threads=4)
     np.testing.assert_array_equal(ids_s, ids_p)
     np.testing.assert_allclose(d_s, d_p)
+
+
+def test_hnsw_concurrent_insert_and_search_stress():
+    """Stress the per-node locking: parallel inserts racing parallel
+    searches from Python threads (ctypes releases the GIL). The
+    reference's concurrent_tests.rs plays the same role."""
+    import threading
+
+    rng = np.random.default_rng(7)
+    d = 16
+    base = rng.normal(size=(500, d)).astype(np.float32)
+    extra = rng.normal(size=(500, d)).astype(np.float32)
+    queries = rng.normal(size=(400, d)).astype(np.float32)
+
+    idx = HnswIndex(HnswConfig(dim=d, m=8, ef_construction=50))
+    idx.add_batch(base)                   # searchable base set
+
+    errors = []
+
+    def inserter():
+        try:
+            idx.add_batch(extra, num_threads=2)
+        except Exception as e:            # pragma: no cover
+            errors.append(e)
+
+    def searcher():
+        try:
+            for i in range(4):
+                ids, dists = idx.search_batch(queries, k=5, num_threads=2)
+                assert ids.shape == (400, 5)
+                valid = ids >= 0
+                assert np.all(ids[valid] < 1000)
+                assert np.all(np.isfinite(dists[valid]))
+        except Exception as e:            # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=inserter)] + [
+        threading.Thread(target=searcher) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert len(idx) == 1000
+    # index remains consistent: exact self-search still works
+    ids, dists = idx.search(base[17], k=1)
+    assert dists[0] < 1e-6

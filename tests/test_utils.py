@@ -258,3 +258,38 @@ def test_mmap_gradient_accumulator(tmp_path):
     np.testing.assert_allclose(st.get_embedding(3), -0.5 * np.ones(4))
     np.testing.assert_allclose(st.get_embedding(7), -0.5 * np.ones(4))
     assert acc.apply(st, lr=0.5) == 0      # accumulator zeroed
+
+
+# --- monitoring --------------------------------------------------------------
+
+def test_metric_watcher_edge_triggered_with_hysteresis():
+    from ruvector_tpu.utils.monitoring import MetricWatcher
+
+    fired = []
+    w = MetricWatcher()
+    w.watch("lambda", threshold=0.8, direction="above",
+            callback=lambda n, v: fired.append(v), hysteresis=0.1)
+    for v in [0.5, 0.85, 0.9, 0.95]:       # crossing fires ONCE
+        w.observe("lambda", v)
+    assert fired == [0.85]
+    w.observe("lambda", 0.65)              # rearm (below 0.7)
+    w.observe("lambda", 0.9)               # fires again
+    assert fired == [0.85, 0.9]
+    assert w.recent("lambda") == [0.5, 0.85, 0.9, 0.95, 0.65, 0.9]
+
+
+def test_health_monitor_states_and_quorum():
+    from ruvector_tpu.utils.monitoring import HealthMonitor
+
+    hm = HealthMonitor(unhealthy_after=2, unresponsive_after_s=5.0)
+    for m in ("a", "b", "c"):
+        hm.report_success(m)
+    assert hm.quorum_healthy()
+    hm.report_failure("c"); hm.report_failure("c")
+    assert hm.members["c"].status == "unhealthy"
+    assert hm.quorum_healthy()             # 2/3 healthy
+    # silence member b past the deadline
+    hm.members["b"].last_seen -= 10.0
+    statuses = hm.sweep()
+    assert statuses["b"] == "unresponsive"
+    assert not hm.quorum_healthy()         # 1/3 healthy
