@@ -31,9 +31,16 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--degree", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="force N virtual CPU devices (the env-var route is "
+                         "unavailable when sitecustomize pre-imports jax)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
     import jax.numpy as jnp
 
     from ruvector_tpu.graph import build_knn_graph
