@@ -50,6 +50,14 @@ def main():
 
     n_devices = jax.device_count()
     results = {"devices_available": n_devices, "runs": []}
+    if args.cpu and (os.cpu_count() or 1) < args.cpu:
+        # N virtual devices timeshare < N physical cores: weak-scaling
+        # efficiency then measures core oversubscription, not collective
+        # overhead. The meaningful readouts on this setup are (a) the
+        # sharded program compiles+runs at every size and (b) halo volume.
+        results["note"] = (
+            f"{args.cpu} virtual devices on {os.cpu_count()} physical cores:"
+            " efficiency numbers reflect core timesharing, not ICI cost")
     rng = np.random.default_rng(0)
     d, k = args.dim, args.degree
 
@@ -101,6 +109,10 @@ def main():
         print(json.dumps(results["runs"][-1]))
 
     print(json.dumps(results))
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -6,6 +6,12 @@ from ruvector_tpu.parallel.halo import (
     make_sharded_train_step,
     make_sharded_mp_forward,
 )
+from ruvector_tpu.parallel.tp import (
+    TpLayerConfig,
+    tp_layer_init,
+    tp_param_specs,
+    make_tp_layer_forward,
+)
 
 __all__ = [
     "make_mesh",
@@ -17,4 +23,8 @@ __all__ = [
     "make_sharded_layer_forward",
     "make_sharded_train_step",
     "make_sharded_mp_forward",
+    "TpLayerConfig",
+    "tp_layer_init",
+    "tp_param_specs",
+    "make_tp_layer_forward",
 ]
