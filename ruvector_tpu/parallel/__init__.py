@@ -6,6 +6,16 @@ from ruvector_tpu.parallel.halo import (
     make_sharded_train_step,
     make_sharded_mp_forward,
 )
+from ruvector_tpu.parallel.ep import (
+    EpConfig,
+    ep_init,
+    make_ep_forward,
+    reference_ep_forward,
+)
+from ruvector_tpu.parallel.pp import (
+    make_pp_forward,
+    reference_pp_forward,
+)
 from ruvector_tpu.parallel.tp import (
     TpLayerConfig,
     tp_layer_init,
@@ -24,6 +34,12 @@ __all__ = [
     "make_sharded_train_step",
     "make_sharded_mp_forward",
     "TpLayerConfig",
+    "EpConfig",
+    "ep_init",
+    "make_ep_forward",
+    "reference_ep_forward",
+    "make_pp_forward",
+    "reference_pp_forward",
     "tp_layer_init",
     "tp_param_specs",
     "make_tp_layer_forward",

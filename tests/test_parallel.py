@@ -195,3 +195,46 @@ def test_tp_layer_grads_flow():
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
     assert float(jnp.linalg.norm(g["wq"])) > 0
+
+
+@requires_multi
+def test_ep_moe_matches_single_device():
+    """Expert-parallel MoE (experts sharded, psum combine) == oracle."""
+    from ruvector_tpu.parallel import (
+        EpConfig, ep_init, make_ep_forward, reference_ep_forward,
+    )
+
+    cfg = EpConfig(hidden=16, ffn=32, num_experts=8)
+    params = ep_init(jax.random.key(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(24, 16)),
+                    jnp.float32)
+    mesh = make_mesh(8)
+    out_ep = np.asarray(make_ep_forward(cfg, mesh)(params, x))
+    out_ref = np.asarray(reference_ep_forward(params, cfg, x))
+    np.testing.assert_allclose(out_ep, out_ref, atol=2e-5)
+    # all experts actually used somewhere (sanity of the routing test data)
+    assign = np.asarray(jnp.argmax(x @ params["router"], axis=-1))
+    assert len(set(assign.tolist())) > 2
+
+
+@requires_multi
+def test_pp_pipeline_matches_sequential():
+    """GPipe microbatch pipeline over the 8-stage ring == sequential."""
+    from ruvector_tpu.parallel import make_pp_forward, reference_pp_forward
+
+    n_stage, m, b, d = 8, 4, 3, 8
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(n_stage, d, d)) * 0.2,
+                         jnp.float32),
+        "b": jnp.asarray(rng.normal(size=(n_stage, d)) * 0.1, jnp.float32),
+    }
+
+    def layer_fn(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    x_mb = jnp.asarray(rng.normal(size=(m, b, d)), jnp.float32)
+    mesh = make_mesh(n_stage)
+    out_pp = np.asarray(make_pp_forward(layer_fn, mesh, m)(params, x_mb))
+    out_ref = np.asarray(reference_pp_forward(layer_fn, params, x_mb))
+    np.testing.assert_allclose(out_pp, out_ref, atol=2e-5)
