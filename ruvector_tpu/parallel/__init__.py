@@ -16,6 +16,10 @@ from ruvector_tpu.parallel.pp import (
     make_pp_forward,
     reference_pp_forward,
 )
+from ruvector_tpu.parallel.sp import (
+    make_ring_attention,
+    reference_attention,
+)
 from ruvector_tpu.parallel.tp import (
     TpLayerConfig,
     tp_layer_init,
@@ -39,6 +43,8 @@ __all__ = [
     "make_ep_forward",
     "reference_ep_forward",
     "make_pp_forward",
+    "make_ring_attention",
+    "reference_attention",
     "reference_pp_forward",
     "tp_layer_init",
     "tp_param_specs",

@@ -238,3 +238,20 @@ def test_pp_pipeline_matches_sequential():
     out_pp = np.asarray(make_pp_forward(layer_fn, mesh, m)(params, x_mb))
     out_ref = np.asarray(reference_pp_forward(layer_fn, params, x_mb))
     np.testing.assert_allclose(out_pp, out_ref, atol=2e-5)
+
+
+@requires_multi
+def test_ring_attention_matches_dense():
+    """Ring attention (sequence sharded, K/V rotating) == dense softmax."""
+    from ruvector_tpu.parallel import make_ring_attention, reference_attention
+
+    rng = np.random.default_rng(0)
+    s, d = 32, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+               for _ in range(3))
+    mesh = make_mesh(8)
+    for causal in (True, False):
+        ring = make_ring_attention(mesh, s, causal=causal)
+        out = np.asarray(ring(q, k, v))
+        ref = np.asarray(reference_attention(q, k, v, causal=causal))
+        np.testing.assert_allclose(out, ref, atol=3e-5)
