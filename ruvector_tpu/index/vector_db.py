@@ -26,6 +26,7 @@ class DbOptions:
     ef_construction: int = 200
     ef_search: int = 100
     quantization: str | None = None     # None | 'int8' | 'binary'
+    index_type: str = "hnsw"            # 'hnsw' | 'flat' (exact, MXU)
 
 
 @dataclasses.dataclass
@@ -39,11 +40,16 @@ class SearchResult:
 class VectorDB:
     def __init__(self, options: DbOptions):
         self.options = options
-        self.index = HnswIndex(HnswConfig(
-            dim=options.dimensions, m=options.m,
-            ef_construction=options.ef_construction,
-            ef_search=options.ef_search, metric=options.metric,
-        ))
+        if getattr(options, "index_type", "hnsw") == "flat":
+            from ruvector_tpu.index.flat import FlatIndex
+
+            self.index = FlatIndex(options.dimensions, options.metric)
+        else:
+            self.index = HnswIndex(HnswConfig(
+                dim=options.dimensions, m=options.m,
+                ef_construction=options.ef_construction,
+                ef_search=options.ef_search, metric=options.metric,
+            ))
         self._vectors: list[np.ndarray] = []
         self._payloads: dict[int, dict] = {}
         self._ids: list[int | str] = []

@@ -351,3 +351,25 @@ def test_coherence_gating():
                                           cfg=TopologyConfig(dim=8))
     assert out.shape == (1, 8)
     assert np.isfinite(float(lam2[0]))
+
+
+def test_sparse_mask_builder_patterns():
+    from ruvector_tpu.attention.mask import SparseMaskBuilder
+
+    m = (SparseMaskBuilder(16)
+         .add_local_window(2)
+         .add_global_tokens([0])
+         .build())
+    m = np.asarray(m)
+    assert m[5, 4] and m[5, 7]            # inside window
+    assert not m[5, 10]                   # outside window, not global
+    assert m[0].all() and m[:, 0].all()   # global token row+col
+
+    causal = (SparseMaskBuilder(16).add_local_window(3).add_causal().build())
+    assert not np.asarray(causal)[3, 5]   # future masked
+
+    blocks = SparseMaskBuilder(16).add_block_diagonal(4)
+    assert np.asarray(blocks.build())[1, 3] and not np.asarray(blocks.build())[3, 4]
+    assert 0 < blocks.density() < 1
+    r, c = blocks.to_coo()
+    assert len(r) == 16 * 4               # 4 blocks of 4x4

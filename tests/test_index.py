@@ -208,3 +208,24 @@ def test_hnsw_concurrent_insert_and_search_stress():
     # index remains consistent: exact self-search still works
     ids, dists = idx.search(base[17], k=1)
     assert dists[0] < 1e-6
+
+
+def test_flat_index_exact_and_vector_db_integration():
+    from ruvector_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(300, 24)).astype(np.float32)
+    idx = FlatIndex(dim=24, metric="cosine")
+    idx.add_batch(data)
+    ids, dists = idx.search(data[42], k=3)
+    assert ids[0] == 42 and dists[0] < 1e-5
+    # exact: matches brute-force numpy on all queries
+    dn = data / np.linalg.norm(data, axis=1, keepdims=True)
+    gt = np.argmax(dn[:10] @ dn.T, axis=1)
+    got, _ = idx.search_batch(data[:10], k=1)
+    np.testing.assert_array_equal(got[:, 0], gt)
+
+    db = VectorDB(DbOptions(dimensions=24, index_type="flat"))
+    db.insert_batch(data[:50], ids=[f"v{i}" for i in range(50)])
+    res = db.search(data[7], k=1)
+    assert res[0].id == "v7"
