@@ -77,6 +77,20 @@ def main(argv=None):
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=6333)
 
+    ex = sub.add_parser("export", help="export a collection to one .npz")
+    ex.add_argument("path")
+    ex.add_argument("out")
+
+    im = sub.add_parser("import", help="import a collection from an export")
+    im.add_argument("archive")
+    im.add_argument("path")
+
+    gb = sub.add_parser("graph-build",
+                        help="build a kNN NeighborGraph from a collection")
+    gb.add_argument("path")
+    gb.add_argument("out")
+    gb.add_argument("--k", type=int, default=16)
+
     args = p.parse_args(argv)
 
     if args.cmd == "create":
@@ -134,6 +148,55 @@ def main(argv=None):
             "search_qps": round(args.queries / search_dt, 1),
             "search_p50_ms": round(search_dt / args.queries * 1e3, 3),
         }))
+
+    elif args.cmd == "export":
+        # single-archive export (ruvector-cli export): vectors + ids +
+        # payloads + options in one npz
+        db = _load_db(Path(args.path))
+        np.savez_compressed(
+            args.out,
+            vectors=np.stack(db._vectors) if db._vectors
+            else np.zeros((0, db.options.dimensions), np.float32),
+            ids=np.asarray(db._ids, dtype=object),
+            payloads=np.asarray(
+                [db._payloads.get(i) for i in range(len(db._vectors))],
+                dtype=object),
+            options=np.asarray(json.dumps({
+                "dimensions": db.options.dimensions,
+                "metric": db.options.metric,
+            }), dtype=object),
+        )
+        print(f"exported {len(db)} points to {args.out}")
+
+    elif args.cmd == "import":
+        from ruvector_tpu.index.vector_db import DbOptions, VectorDB
+
+        data = np.load(args.archive, allow_pickle=True)
+        opts = json.loads(str(data["options"]))
+        db = VectorDB(DbOptions(**opts))
+        vecs = data["vectors"]
+        if len(vecs):
+            db.insert_batch(vecs, ids=data["ids"].tolist(),
+                            payloads=data["payloads"].tolist())
+        _save_db(db, Path(args.path))
+        print(f"imported {len(vecs)} points into {args.path}")
+
+    elif args.cmd == "graph-build":
+        import jax.numpy as jnp
+
+        from ruvector_tpu.graph import build_knn_graph
+
+        db = _load_db(Path(args.path))
+        feats = np.stack(db._vectors)
+        t0 = time.perf_counter()
+        graph = build_knn_graph(jnp.asarray(feats), k=args.k)
+        dt = time.perf_counter() - t0
+        np.savez(args.out,
+                 nbr_idx=np.asarray(graph.nbr_idx),
+                 nbr_mask=np.asarray(graph.nbr_mask),
+                 edge_weight=np.asarray(graph.edge_weight))
+        print(f"built k={args.k} graph over {len(feats)} nodes in {dt:.2f}s "
+              f"-> {args.out}")
 
     elif args.cmd == "serve":
         from ruvector_tpu.serve.server import RuvectorServer
