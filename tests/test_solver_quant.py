@@ -328,3 +328,52 @@ def test_orchestrator_end_to_end():
     result, algo = SolverOrchestrator().solve(mat, dense @ x_true)
     assert result.converged
     np.testing.assert_allclose(np.asarray(result.x), x_true, atol=1e-2)
+
+
+# --- temporal tensor store ---------------------------------------------------
+
+def test_bitpack_roundtrip_all_widths():
+    from ruvector_tpu.ops.temporal_tensor import dequantize_bits, quantize_bits
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=300).astype(np.float32)
+    for bits in (3, 5, 7, 8):
+        packed, scales, n = quantize_bits(x, bits)
+        back = dequantize_bits(packed, scales, bits, n)
+        qmax = (1 << (bits - 1)) - 1
+        # error bounded by one quantization step per group
+        step = np.abs(x).max() / qmax
+        assert np.max(np.abs(back - x)) <= step + 1e-6, bits
+
+
+def test_temporal_store_tiers_by_access():
+    from ruvector_tpu.ops.temporal_tensor import TemporalTensorStore, TierPolicy
+
+    st = TemporalTensorStore(TierPolicy())
+    rng = np.random.default_rng(1)
+    hot = rng.normal(size=(4, 64)).astype(np.float32)
+    cold = rng.normal(size=(4, 64)).astype(np.float32)
+    st.write("hot", hot)
+    st.write("cold", cold)
+    for _ in range(200):                     # age the clock
+        st._now()
+    for _ in range(50):                      # hammer the hot tensor NOW
+        st.read("hot")
+    moved = st.migrate()
+    assert st.tier_of("hot") == 8            # stays hot
+    assert st.tier_of("cold") == 3           # demoted to 3-bit
+    assert "cold" in moved
+    assert st.compression_ratio("cold") > 6  # ~32/3 minus scale overhead
+    # cold read still approximates the data
+    back = np.asarray(st.read("cold"))
+    assert np.corrcoef(back.ravel(), cold.ravel())[0, 1] > 0.95
+
+
+def test_tier_policy_select_bits_reference_semantics():
+    from ruvector_tpu.ops.temporal_tensor import TierPolicy
+
+    p = TierPolicy()
+    assert p.select_bits(access_count=100, last_access_ts=99, now_ts=100) == 8
+    assert p.select_bits(access_count=1, last_access_ts=90, now_ts=100) == 7
+    assert p.select_bits(access_count=1, last_access_ts=0, now_ts=10_000) == 3
+    assert abs(p.drift_factor() - (1 + 26 / 256)) < 1e-9
