@@ -301,3 +301,60 @@ def test_sgd_step_embedding():
     grad = jnp.asarray([0.1, -0.2, 0.3])
     out = sgd_step(emb, grad, 0.01)
     np.testing.assert_allclose(np.asarray(out), [0.999, 2.002, 2.997], atol=1e-6)
+
+
+# --- reference test-strategy parity (SURVEY §4) ------------------------------
+
+def _finite_difference_grad(f, x, eps=1e-3):
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        d = np.zeros_like(x).ravel()
+        d[i] = eps
+        d = d.reshape(x.shape)
+        g.ravel()[i] = (f(x + d) - f(x - d)) / (2 * eps)
+    return g
+
+
+def test_numerical_vs_analytical_gradients():
+    """training.rs:1311-1339 — finite differences agree with autodiff for
+    every loss."""
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(4, 8)).astype(np.float32)
+    target = rng.normal(size=(4, 8)).astype(np.float32)
+
+    for loss_fn in (mse_loss,
+                    lambda p, t: binary_cross_entropy_loss(
+                        p, (np.sign(t) + 1) / 2)):
+        f = lambda p: float(loss_fn(jnp.asarray(p), jnp.asarray(target)))
+        ana = np.asarray(jax.grad(
+            lambda p: loss_fn(p, jnp.asarray(target)))(jnp.asarray(pred)))
+        num = _finite_difference_grad(f, pred)
+        np.testing.assert_allclose(ana, num, atol=5e-2, rtol=5e-2)
+
+
+def test_optimizer_convergence_on_quadratic():
+    """training.rs:1067-1116 — Adam and SGD drive x^2 + y^2 to ~0."""
+    for make in (lambda: adam(0.1), lambda: sgd(0.05, momentum=0.9)):
+        opt = make()
+        params = {"p": jnp.asarray([3.0, -2.0])}
+        state = opt.init(params)
+        loss = lambda p: jnp.sum(p["p"] ** 2)
+        import optax
+        for _ in range(200):
+            g = jax.grad(loss)(params)
+            updates, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        assert float(loss(params)) < 1e-3
+
+
+def test_softmax_temperature_monotonicity():
+    """search.rs:194-203 — lower temperature sharpens the distribution."""
+    from ruvector_tpu.serve.search import softmax_temperature
+
+    scores = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    entropies = []
+    for t in (2.0, 1.0, 0.5, 0.1):
+        p = np.asarray(softmax_temperature(scores, temperature=t))
+        np.testing.assert_allclose(p.sum(), 1.0, atol=1e-6)
+        entropies.append(-(p * np.log(p + 1e-12)).sum())
+    assert all(entropies[i] > entropies[i + 1] for i in range(3))
