@@ -91,3 +91,40 @@ def test_prop_csr_roundtrip(seed):
                      np.round(np.asarray(csr.values), 5).tolist()))
     want = sorted(zip(src.tolist(), dst.tolist(), np.round(w, 5).tolist()))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_prop_bitpack_roundtrip_bounded(seed):
+    """Any width, any length: dequantize error <= one step per group."""
+    from ruvector_tpu.ops.temporal_tensor import dequantize_bits, quantize_bits
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 500))
+    bits = int(rng.choice([3, 5, 7, 8]))
+    scale = float(rng.uniform(0.01, 100.0))
+    x = (rng.normal(size=n) * scale).astype(np.float32)
+    packed, scales, n_out = quantize_bits(x, bits)
+    back = dequantize_bits(packed, scales, bits, n_out)
+    qmax = (1 << (bits - 1)) - 1
+    step = np.abs(x).max() / qmax + 1e-6
+    assert back.shape == x.shape
+    assert np.max(np.abs(back - x)) <= step
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_prop_mask_builder_subset_of_union(seed):
+    """Composed masks equal the union of their parts; causal only removes."""
+    from ruvector_tpu.attention.mask import SparseMaskBuilder
+
+    rng = np.random.default_rng(seed)
+    s = int(rng.integers(8, 48))
+    w = int(rng.integers(1, 5))
+    g = rng.integers(0, s, size=2)
+    a = np.asarray(SparseMaskBuilder(s).add_local_window(w).build())
+    b = np.asarray(SparseMaskBuilder(s).add_global_tokens(g).build())
+    u = np.asarray(SparseMaskBuilder(s).add_local_window(w)
+                   .add_global_tokens(g).build())
+    np.testing.assert_array_equal(u, a | b)
+    c = np.asarray(SparseMaskBuilder(s).add_local_window(w)
+                   .add_global_tokens(g).add_causal().build())
+    assert not (c & ~u).any()
