@@ -1,0 +1,103 @@
+"""Dynamic min-cut maintenance with monitoring callbacks.
+
+Reference: ruvector-mincut — subpolynomial dynamic min-cut
+(linkcut/euler/expander subsystems) + monitoring module (event-driven
+threshold callbacks, monitoring/mod.rs). This maintainer keeps the exact
+s-t min-cut of an edge-weighted digraph under insert/delete/reweight:
+updates mark the structure dirty and cut queries recompute lazily with
+the exact Dinic core (attention/mincut._Dinic / native C++) — at gate-
+and shard-scale graphs an exact recompute is microseconds, which is why
+the reference's amortized-subpolynomial machinery is not the right
+trade on this stack (see docs/DESIGN_NOTES.md).
+
+Monitoring semantics follow the reference: registered watchers fire when
+the cut value crosses their threshold (edge-triggered, via
+utils.monitoring.MetricWatcher).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ruvector_tpu.utils.monitoring import MetricWatcher
+
+
+class DynamicMinCut:
+    def __init__(self, num_nodes: int, source: int = 0,
+                 sink: int | None = None):
+        self.n = num_nodes
+        self.source = source
+        self.sink = sink if sink is not None else num_nodes - 1
+        self.weights: dict[tuple[int, int], float] = {}
+        self._dirty = True
+        self._cut_value = 0.0
+        self._cut_edges: list[tuple[int, int]] = []
+        self.watcher = MetricWatcher()
+        self.update_count = 0
+
+    # --- updates (linkcut-equivalent surface) ------------------------------
+
+    def insert_edge(self, u: int, v: int, w: float):
+        self.weights[(u, v)] = self.weights.get((u, v), 0.0) + w
+        self._dirty = True
+        self.update_count += 1
+
+    def delete_edge(self, u: int, v: int):
+        self.weights.pop((u, v), None)
+        self._dirty = True
+        self.update_count += 1
+
+    def reweight_edge(self, u: int, v: int, w: float):
+        if w <= 0:
+            self.delete_edge(u, v)
+        else:
+            self.weights[(u, v)] = w
+            self._dirty = True
+            self.update_count += 1
+
+    # --- queries -----------------------------------------------------------
+
+    def _recompute(self):
+        from ruvector_tpu.attention.mincut import _Dinic
+
+        dinic = _Dinic(self.n)
+        edges = list(self.weights.items())
+        for (u, v), w in edges:
+            dinic.add_edge(u, v, float(w))
+        self._cut_value = float(dinic.max_flow(self.source, self.sink))
+        reach = dinic.reachable(self.source)
+        self._cut_edges = [(u, v) for (u, v), w in edges
+                           if reach[u] and not reach[v]]
+        self._dirty = False
+        self.watcher.observe("cut_value", self._cut_value)
+
+    def cut_value(self) -> float:
+        if self._dirty:
+            self._recompute()
+        return self._cut_value
+
+    def cut_edges(self) -> list[tuple[int, int]]:
+        if self._dirty:
+            self._recompute()
+        return list(self._cut_edges)
+
+    def partition(self) -> np.ndarray:
+        """Boolean source-side indicator over nodes."""
+        from ruvector_tpu.attention.mincut import _Dinic
+
+        if self._dirty:
+            self._recompute()
+        dinic = _Dinic(self.n)
+        for (u, v), w in self.weights.items():
+            dinic.add_edge(u, v, float(w))
+        dinic.max_flow(self.source, self.sink)
+        return np.asarray(dinic.reachable(self.source), bool)
+
+    # --- monitoring (monitoring/mod.rs semantics) --------------------------
+
+    def watch_threshold(self, threshold: float, direction: str, callback,
+                        hysteresis: float = 0.0):
+        """callback(name, value) fires when the cut value crosses the
+        threshold; re-arms after a hysteresis re-cross."""
+        return self.watcher.watch("cut_value", threshold, direction,
+                                  callback, hysteresis)

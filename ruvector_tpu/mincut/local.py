@@ -1,0 +1,82 @@
+"""Local clustering: Andersen-Chung-Lang PPR sweep cuts.
+
+Reference: ruvector-mincut/src/localkcut — local k-cut around seed
+vertices without touching the whole graph. The classical algorithm with
+the same contract is ACL local clustering: an approximate personalized-
+PageRank vector from the seed (solver/push — already a device-vectorized
+sweep) followed by a sweep over nodes ordered by ppr/degree, returning
+the prefix with minimum conductance. Work is local in the push phase and
+O(support log support) in the sweep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ruvector_tpu.graph.csr import CSRGraph
+
+
+def conductance(graph: CSRGraph, members: np.ndarray) -> float:
+    """cut(S) / min(vol(S), vol(V-S)) on the undirected weighted graph."""
+    n = graph.num_nodes
+    side = np.zeros(n, bool)
+    side[np.asarray(members)] = True
+    rows = np.asarray(graph.row_ids())
+    cols = np.asarray(graph.col_idx)
+    vals = np.asarray(graph.values)
+    cut = vals[side[rows] != side[cols]].sum()
+    vol_s = vals[side[rows]].sum()
+    vol_rest = vals.sum() - vol_s
+    denom = min(vol_s, vol_rest)
+    return float(cut / denom) if denom > 0 else 1.0
+
+
+def local_cluster(graph: CSRGraph, seed: int, alpha: float = 0.15,
+                  epsilon: float = 1e-5,
+                  max_size: int | None = None) -> tuple[np.ndarray, float]:
+    """ACL: PPR from the seed, sweep by ppr/degree, return
+    (members, conductance) of the best prefix."""
+    from ruvector_tpu.solver import forward_push_ppr
+
+    ppr = forward_push_ppr(graph, seed, alpha=alpha, epsilon=epsilon,
+                           max_sweeps=300)
+    deg = np.maximum(np.asarray(graph.degrees()), 1.0)
+    score = ppr / deg
+    support = np.nonzero(ppr > 0)[0]
+    order = support[np.argsort(-score[support])]
+    if max_size:
+        order = order[:max_size]
+    if len(order) == 0:
+        return np.asarray([seed]), 1.0
+
+    n = graph.num_nodes
+    rows = np.asarray(graph.row_ids())
+    cols = np.asarray(graph.col_idx)
+    vals = np.asarray(graph.values)
+    total_vol = vals.sum()
+
+    side = np.zeros(n, bool)
+    best_phi, best_k = np.inf, 1
+    cut, vol = 0.0, 0.0
+    # incremental sweep: adding node u flips its incident edges
+    adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for r, c, v in zip(rows, cols, vals):
+        adj[r].append((c, v))
+    for k, u in enumerate(order, start=1):
+        du = 0.0
+        for c, v in adj[u]:
+            du += v
+            if side[c]:
+                cut -= v          # internal edge no longer cut
+            else:
+                cut += v
+        side[u] = True
+        vol += du
+        denom = min(vol, total_vol - vol)
+        phi = cut / denom if denom > 0 else 1.0
+        if phi < best_phi and k >= 1:
+            best_phi, best_k = phi, k
+    members = order[:best_k].copy()
+    # report with the same convention as conductance() (both CSR copies of
+    # each undirected edge counted) so callers can compare directly
+    return members, conductance(graph, members)

@@ -1,0 +1,92 @@
+"""Min-cut toolkit tests: dynamic maintenance, sparsification, local cuts."""
+
+import numpy as np
+import pytest
+
+from ruvector_tpu.graph.csr import CSRGraph
+from ruvector_tpu.mincut import (
+    DynamicMinCut,
+    conductance,
+    cut_value,
+    local_cluster,
+    spectral_sparsify,
+)
+
+
+def test_dynamic_mincut_tracks_updates():
+    # two parallel s->t paths with bottlenecks 1.0 and 2.0
+    dc = DynamicMinCut(num_nodes=4, source=0, sink=3)
+    dc.insert_edge(0, 1, 1.0)
+    dc.insert_edge(1, 3, 5.0)
+    dc.insert_edge(0, 2, 5.0)
+    dc.insert_edge(2, 3, 2.0)
+    assert dc.cut_value() == pytest.approx(3.0)     # 1 + 2
+
+    dc.reweight_edge(2, 3, 0.5)                     # weaken one bottleneck
+    assert dc.cut_value() == pytest.approx(1.5)
+    dc.delete_edge(0, 1)                            # kill the first path
+    assert dc.cut_value() == pytest.approx(0.5)
+    # cut edges separate source from sink
+    side = dc.partition()
+    assert side[0] and not side[3]
+
+
+def test_dynamic_mincut_monitoring_fires():
+    fired = []
+    dc = DynamicMinCut(num_nodes=3, source=0, sink=2)
+    dc.watch_threshold(2.0, "below", lambda n, v: fired.append(v))
+    dc.insert_edge(0, 1, 5.0)
+    dc.insert_edge(1, 2, 5.0)
+    assert dc.cut_value() == pytest.approx(5.0)
+    assert fired == []
+    dc.reweight_edge(1, 2, 1.0)
+    dc.cut_value()
+    assert fired == [pytest.approx(1.0)]
+
+
+def _random_graph(n, m, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, size=m)
+    dst = (src + 1 + rng.integers(0, n - 1, size=m)) % n
+    w = rng.uniform(0.5, 2.0, size=m)
+    return src, dst, w
+
+
+def test_spectral_sparsifier_preserves_cuts():
+    n, m = 60, 900
+    src, dst, w = _random_graph(n, m, seed=0)
+    s2, d2, w2 = spectral_sparsify(src, dst, w, n, eps=0.5, seed=0)
+    assert len(s2) < m                       # actually sparser
+    # total weight approximately preserved
+    np.testing.assert_allclose(w2.sum(), w.sum(), rtol=0.35)
+    rng = np.random.default_rng(1)
+    for _ in range(5):                       # random cuts preserved
+        side = rng.random(n) < 0.5
+        c1 = cut_value(src, dst, w, side)
+        c2 = cut_value(s2, d2, w2, side)
+        assert abs(c2 - c1) / max(c1, 1e-9) < 0.5
+
+
+def test_local_cluster_finds_planted_community():
+    # two dense 20-node cliques joined by a single weak edge
+    rng = np.random.default_rng(2)
+    edges = []
+    for block in (range(20), range(20, 40)):
+        nodes = list(block)
+        for i in nodes:
+            for j in nodes:
+                if i < j and rng.random() < 0.5:
+                    edges.append((i, j, 1.0))
+    edges.append((5, 25, 0.1))
+    src = np.asarray([e[0] for e in edges] + [e[1] for e in edges])
+    dst = np.asarray([e[1] for e in edges] + [e[0] for e in edges])
+    w = np.asarray([e[2] for e in edges] * 2, np.float32)
+    g = CSRGraph.from_edges(src, dst, w, 40)
+
+    members, phi = local_cluster(g, seed=3)
+    assert set(members.tolist()) <= set(range(20))   # stays in the clique
+    assert len(members) >= 15                        # finds most of it
+    assert phi < 0.05                                # near-disconnected cut
+    # conductance of the found set beats a random set of the same size
+    rand = rng.choice(40, size=len(members), replace=False)
+    assert phi < conductance(g, rand)
