@@ -21,6 +21,7 @@ design is:
 from ruvector_tpu.mincut.dynamic import DynamicMinCut
 from ruvector_tpu.mincut.sparsify import spectral_sparsify, cut_value
 from ruvector_tpu.mincut.local import local_cluster, conductance
+from ruvector_tpu.mincut.expander import expander_decompose
 
 __all__ = [
     "DynamicMinCut",
@@ -28,4 +29,5 @@ __all__ = [
     "cut_value",
     "local_cluster",
     "conductance",
+    "expander_decompose",
 ]

@@ -101,3 +101,46 @@ class DynamicMinCut:
         threshold; re-arms after a hysteresis re-cross."""
         return self.watcher.watch("cut_value", threshold, direction,
                                   callback, hysteresis)
+
+    # --- certificate (certificate/ subsystem role) -------------------------
+
+    def certificate(self) -> dict:
+        """Verifiable cut witness: partition + crossing edges + value +
+        hash. verify_certificate re-checks it against the live graph."""
+        import hashlib
+        import json
+
+        side = self.partition()
+        edges = sorted(self.cut_edges())
+        value = self.cut_value()
+        payload = {
+            "source": self.source, "sink": self.sink,
+            "value": round(value, 6),
+            "cut_edges": edges,
+            "source_side": np.nonzero(side)[0].tolist(),
+        }
+        payload["hash"] = hashlib.sha256(
+            json.dumps(payload, sort_keys=True).encode()).hexdigest()
+        return payload
+
+    def verify_certificate(self, cert: dict) -> bool:
+        """A valid certificate's partition separates s from t, its edges
+        are exactly the crossing edges, and their weight equals the value
+        (max-flow == min-cut ensures optimality of an honest witness)."""
+        import hashlib
+        import json
+
+        payload = {k: v for k, v in cert.items() if k != "hash"}
+        if hashlib.sha256(json.dumps(payload, sort_keys=True).encode()
+                          ).hexdigest() != cert["hash"]:
+            return False
+        side = np.zeros(self.n, bool)
+        side[cert["source_side"]] = True
+        if not side[self.source] or side[self.sink]:
+            return False
+        crossing = sorted((u, v) for (u, v) in self.weights
+                          if side[u] and not side[v])
+        if crossing != [tuple(e) for e in cert["cut_edges"]]:
+            return False
+        weight = sum(self.weights[e] for e in crossing)
+        return abs(weight - cert["value"]) < 1e-4

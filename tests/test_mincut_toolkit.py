@@ -90,3 +90,46 @@ def test_local_cluster_finds_planted_community():
     # conductance of the found set beats a random set of the same size
     rand = rng.choice(40, size=len(members), replace=False)
     assert phi < conductance(g, rand)
+
+
+def test_cut_certificate_roundtrip_and_tamper():
+    dc = DynamicMinCut(num_nodes=4, source=0, sink=3)
+    dc.insert_edge(0, 1, 1.0)
+    dc.insert_edge(1, 3, 5.0)
+    dc.insert_edge(0, 2, 5.0)
+    dc.insert_edge(2, 3, 2.0)
+    cert = dc.certificate()
+    assert cert["value"] == pytest.approx(3.0)
+    assert dc.verify_certificate(cert)
+    # tampering breaks the hash check
+    bad = dict(cert)
+    bad["value"] = 1.0
+    assert not dc.verify_certificate(bad)
+    # graph change invalidates the old certificate
+    dc.reweight_edge(2, 3, 0.5)
+    assert not dc.verify_certificate(cert)
+
+
+def test_expander_decompose_two_cliques():
+    from ruvector_tpu.mincut import expander_decompose
+
+    rng = np.random.default_rng(0)
+    edges = []
+    for block in (range(15), range(15, 30)):
+        nodes = list(block)
+        for i in nodes:
+            for j in nodes:
+                if i < j and rng.random() < 0.6:
+                    edges.append((i, j))
+    edges.append((3, 20))
+    src = np.asarray([e[0] for e in edges] + [e[1] for e in edges])
+    dst = np.asarray([e[1] for e in edges] + [e[0] for e in edges])
+    g = CSRGraph.from_edges(src, dst, None, 30)
+
+    labels, clusters, boundary = expander_decompose(g, phi_target=0.2)
+    assert (labels >= 0).all()
+    # the two cliques land in different clusters
+    assert labels[0] != labels[20]
+    # intra-clique cohesion: most of clique 1 shares node 0's label
+    assert (labels[:15] == labels[0]).mean() > 0.8
+    assert boundary <= 5
