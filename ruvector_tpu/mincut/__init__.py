@@ -22,6 +22,7 @@ from ruvector_tpu.mincut.dynamic import DynamicMinCut
 from ruvector_tpu.mincut.sparsify import spectral_sparsify, cut_value
 from ruvector_tpu.mincut.local import local_cluster, conductance
 from ruvector_tpu.mincut.expander import expander_decompose
+from ruvector_tpu.mincut.jtree import JTree
 
 __all__ = [
     "DynamicMinCut",
@@ -30,4 +31,5 @@ __all__ = [
     "local_cluster",
     "conductance",
     "expander_decompose",
+    "JTree",
 ]

@@ -133,3 +133,57 @@ def test_expander_decompose_two_cliques():
     # intra-clique cohesion: most of clique 1 shares node 0's label
     assert (labels[:15] == labels[0]).mean() > 0.8
     assert boundary <= 5
+
+
+def test_jtree_hierarchy_queries():
+    from ruvector_tpu.mincut import JTree
+
+    # two 15-cliques bridged by one weak edge (same graph as above)
+    rng = np.random.default_rng(0)
+    edges = []
+    for block in (range(15), range(15, 30)):
+        nodes = list(block)
+        for i in nodes:
+            for j in nodes:
+                if i < j and rng.random() < 0.6:
+                    edges.append((i, j, 1.0))
+    edges.append((3, 20, 0.1))
+    src = np.asarray([e[0] for e in edges] + [e[1] for e in edges])
+    dst = np.asarray([e[1] for e in edges] + [e[0] for e in edges])
+    w = np.asarray([e[2] for e in edges] * 2, np.float32)
+    g = CSRGraph.from_edges(src, dst, w, 30)
+
+    jt = JTree(g, phi_target=0.2)
+    assert len(jt.levels) >= 1
+    # cross-clique cut bound is tiny (the 0.1 bridge), intra-clique merges
+    # earlier than cross-clique pairs
+    cross = jt.query_cut_upper_bound(0, 25)
+    assert cross <= 0.5
+    assert jt.same_cluster_level(0, 5) <= jt.same_cluster_level(0, 25)
+    # intra-clique nodes may merge at level 0; cross pairs must not
+    assert jt.levels[0].labels[0] != jt.levels[0].labels[25]
+
+
+def test_trainable_attention_trait_surface():
+    from ruvector_tpu.attention.trainable import TrainableAttention
+
+    rng = np.random.default_rng(0)
+    ta = TrainableAttention("linear", learning_rate=1e-2)
+    d = ta.config.dim
+    q = np.asarray(0.3 * rng.normal(size=(4, d)), np.float32)
+    k = np.asarray(0.3 * rng.normal(size=(4, 12, d)), np.float32)
+    v = np.asarray(rng.normal(size=(4, 12, d)), np.float32)
+    target = np.asarray(rng.normal(size=(4, d)), np.float32)
+
+    losses = [ta.train_step(q, k, v, target) for _ in range(30)]
+    assert losses[-1] < losses[0]          # explicit bwd/update learns
+    g = ta.backward(q, k, v, target)
+    assert g.grad_norm > 0
+    out = ta.forward(q, k, v)
+    assert out.shape == (4, d)
+
+    # parameter-free mechanism degrades gracefully
+    ta2 = TrainableAttention("scaled_dot")
+    g2 = ta2.backward(q, k, v, target)
+    assert g2.grads is None and g2.loss > 0
+    ta2.update(g2)                          # no-op, no crash
