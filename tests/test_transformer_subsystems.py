@@ -350,3 +350,31 @@ def test_quality_tracker_and_policy():
     for q in [0.5, 0.5, 0.6, 0.9, 0.95, 0.99]:
         t3.record(QualityFeedback(q))
     assert t3.is_improving()
+
+
+def test_trace_state_counters_and_snapshot():
+    """trace.rs TraceCounters/TraceSnapshot semantics over real witnesses."""
+    import numpy as np
+
+    from ruvector_tpu.transformer import (
+        GatePolicy, MincutGatedTransformer, TransformerConfig, init_weights,
+    )
+    from ruvector_tpu.transformer.packets import GatePacket
+    from ruvector_tpu.transformer.trace import TraceState
+
+    cfg = TransformerConfig.micro()
+    model = MincutGatedTransformer(cfg, GatePolicy(),
+                                   init_weights(jax.random.key(0), cfg))
+    trace = TraceState()
+    tokens = np.arange(8) % cfg.vocab
+    for _ in range(3):
+        out = model.infer(tokens=tokens)
+        trace.record(out.witness)
+    snap = trace.snapshot()
+    assert snap.inferences == 3
+    assert snap.total_layers_run > 0
+    assert snap.mean_layers_per_inference > 0
+    # deterministic: replayed inputs produce ONE distinct logits hash
+    assert snap.distinct_logit_hashes == 1
+    assert len(trace.recent()) == 3
+    assert sum(snap.tier_counts.values()) == 3
