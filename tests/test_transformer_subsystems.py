@@ -378,3 +378,88 @@ def test_trace_state_counters_and_snapshot():
     assert snap.distinct_logit_hashes == 1
     assert len(trace.recent()) == 3
     assert sum(snap.tier_counts.values()) == 3
+
+
+def test_kvquant_pre_rope_beats_post_rope():
+    """kvquant.rs core claim: quantizing PRE-RoPE keys loses less than
+    quantizing post-RoPE keys at the same bit budget."""
+    import numpy as np
+
+    from ruvector_tpu.attention.rope import rope_rotate, rope_tables
+    from ruvector_tpu.transformer.kv_quantizers import (
+        kvquant_dequantize_keys, kvquant_quantize_keys,
+    )
+
+    rng = np.random.default_rng(0)
+    t, d = 64, 32
+    # realistic keys: a few dominant channels (post-RoPE mixes them)
+    # large EVEN channels paired (by RoPE) with small odd channels:
+    # rotation leaks the large range into the small channels, which is
+    # exactly why pre-RoPE quantization wins
+    chan_scale = np.ones(d); chan_scale[0:8:2] = 8.0
+    keys = jnp.asarray((rng.normal(size=(t, d)) * chan_scale).astype(np.float32))
+    cos_t, sin_t = rope_tables(d, 128)
+    positions = jnp.arange(t)
+    keys_rot = rope_rotate(keys, positions, cos_t, sin_t)
+
+    # pre-RoPE: quantize raw keys, rotate after dequant
+    pre = kvquant_quantize_keys(keys, bits=3, pre_rope=True)
+    rec_pre = rope_rotate(kvquant_dequantize_keys(pre), positions,
+                          cos_t, sin_t)
+    # post-RoPE: quantize the rotated keys directly
+    post = kvquant_quantize_keys(keys_rot, bits=3, pre_rope=False)
+    rec_post = kvquant_dequantize_keys(post)
+
+    err_pre = float(jnp.mean((rec_pre - keys_rot) ** 2))
+    err_post = float(jnp.mean((rec_post - keys_rot) ** 2))
+    assert err_pre < err_post
+
+
+def test_kvquant_nonuniform_values_outliers_exact():
+    import numpy as np
+
+    from ruvector_tpu.transformer.kv_quantizers import (
+        kvquant_dequantize_values, kvquant_quantize_values,
+    )
+
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(16, 32)).astype(np.float32)
+    v[3, 7] = 50.0                        # massive outlier
+    nv = kvquant_quantize_values(jnp.asarray(v), bits=4)
+    dec = np.asarray(kvquant_dequantize_values(nv))
+    assert dec[3, 7] == 50.0              # outlier preserved exactly
+    assert np.mean((dec - v) ** 2) < 0.05
+
+
+def test_squat_decorrelation_beats_direct_quant():
+    """squat.rs claim: orthogonal-subspace quantization beats direct
+    quantization at equal bits on correlated data."""
+    import numpy as np
+
+    from ruvector_tpu.transformer.kv_quantizers import (
+        SQuatBasis, squat_dequantize, squat_learn_basis, squat_quantize,
+        squat_compression_ratio,
+    )
+
+    rng = np.random.default_rng(2)
+    t, d = 256, 32
+    # strongly correlated components (low-rank + noise): the realistic KV shape
+    latent = rng.normal(size=(t, 4))
+    mix = rng.normal(size=(4, d)) * 3.0
+    kv = jnp.asarray((latent @ mix + 0.1 * rng.normal(size=(t, d)))
+                     .astype(np.float32))
+
+    basis = squat_learn_basis(kv, num_subspaces=8, bits=4)
+    c = squat_quantize(kv, basis)
+    rec = squat_dequantize(c, basis)
+    err_squat = float(jnp.mean((rec - kv) ** 2))
+
+    # direct per-subspace quant WITHOUT decorrelation (identity basis)
+    ident = SQuatBasis(basis=jnp.eye(d), num_subspaces=8, bits=4)
+    c2 = squat_quantize(kv, ident)
+    err_direct = float(jnp.mean((squat_dequantize(c2, ident) - kv) ** 2))
+
+    assert err_squat < err_direct          # decorrelation pays
+    # compression accounting at production dims (d=128, 3-bit, 4 subspaces)
+    prod = SQuatBasis(basis=jnp.eye(128), num_subspaces=4, bits=3)
+    assert squat_compression_ratio(prod, 128) > 3.0
