@@ -64,4 +64,18 @@ __all__ = [
     "kv_cache_init",
     "kv_cache_append",
     "kv_cache_read",
+    "TraceState",
+    "TraceSnapshot",
+    "Decoder",
+    "make_decode_step",
+    "make_generate_fn",
+    "make_batched_generate_fn",
 ]
+
+from ruvector_tpu.transformer.trace import TraceState, TraceSnapshot
+from ruvector_tpu.transformer.decode import (
+    Decoder,
+    make_decode_step,
+    make_generate_fn,
+    make_batched_generate_fn,
+)
