@@ -103,8 +103,14 @@ __all__ = [
     "MoEAttentionConfig",
     "moe_attention_init",
     "moe_attention_apply",
+    "SparseMaskBuilder",
+    "TrainableAttention",
+    "Gradients",
     "AttentionBuilder",
     "AttentionPipeline",
     "preset",
     "PRESETS",
 ]
+
+from ruvector_tpu.attention.mask import SparseMaskBuilder
+from ruvector_tpu.attention.trainable import Gradients, TrainableAttention
