@@ -27,6 +27,9 @@ class RuvectorNetConfig:
     num_layers: int = 2
     heads: int = 4
     dropout: float = 0.0
+    remat: bool = False   # jax.checkpoint each layer: recompute activations
+                          # in backward instead of storing them — trades
+                          # FLOPs for HBM on deep stacks / big graphs
 
     def layer_cfgs(self) -> list[RuvectorLayerConfig]:
         cfgs = []
@@ -57,5 +60,9 @@ def ruvector_net_apply(
 ) -> jax.Array:
     x = features
     for p, lc in zip(params, cfg.layer_cfgs()):
-        x = ruvector_layer_apply(p, lc, x, graph)
+        layer = ruvector_layer_apply
+        if cfg.remat:
+            layer = jax.checkpoint(ruvector_layer_apply,
+                                   static_argnums=(1,))
+        x = layer(p, lc, x, graph)
     return x

@@ -152,3 +152,28 @@ def test_graphsage_net_stack():
     # deterministic sampling -> identical reruns
     out2 = graphsage_net_apply(params, cfg, feats, graph)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_remat_forward_and_grads_match():
+    """remat=True (jax.checkpoint per layer) must be numerically identical
+    in forward AND gradients — it only changes the memory/FLOP tradeoff."""
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(48, 16)).astype(np.float32))
+    graph = build_knn_graph(feats, k=4)
+    cfg = RuvectorNetConfig(input_dim=16, hidden_dim=16, num_layers=3)
+    cfg_r = RuvectorNetConfig(input_dim=16, hidden_dim=16, num_layers=3,
+                              remat=True)
+    params = ruvector_net_init(jax.random.key(0), cfg)
+
+    out = ruvector_net_apply(params, cfg, feats, graph)
+    out_r = ruvector_net_apply(params, cfg_r, feats, graph)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+
+    def loss(p, c):
+        return jnp.sum(ruvector_net_apply(p, c, feats, graph) ** 2)
+
+    g = jax.grad(lambda p: loss(p, cfg))(params)
+    g_r = jax.grad(lambda p: loss(p, cfg_r))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
