@@ -5,6 +5,7 @@ from ruvector_tpu.parallel.halo import (
     make_sharded_layer_forward,
     make_sharded_train_step,
     make_sharded_mp_forward,
+    make_blocked_layer_forward,
 )
 from ruvector_tpu.parallel.ep import (
     EpConfig,
@@ -37,6 +38,7 @@ __all__ = [
     "make_sharded_layer_forward",
     "make_sharded_train_step",
     "make_sharded_mp_forward",
+    "make_blocked_layer_forward",
     "TpLayerConfig",
     "EpConfig",
     "ep_init",

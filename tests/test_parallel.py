@@ -255,3 +255,19 @@ def test_ring_attention_matches_dense():
         out = np.asarray(ring(q, k, v))
         ref = np.asarray(reference_attention(q, k, v, causal=causal))
         np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_blocked_forward_matches_single_device():
+    """Single-device blocked execution (gather cache blocking via the halo
+    plan) == flat forward == sharded forward."""
+    from ruvector_tpu.parallel import make_blocked_layer_forward
+
+    feats, graph, cfg, params, plan, perm = make_setup()
+    fwd = make_blocked_layer_forward(cfg, plan)
+    feats_pad = pad_features_for_plan(feats, plan, perm)
+    out_blocked = np.asarray(fwd(params, feats_pad))[: graph.num_nodes]
+
+    out_single = np.asarray(
+        ruvector_net_apply(params, cfg, jnp.asarray(feats), graph)
+    )
+    np.testing.assert_allclose(out_blocked, out_single, atol=2e-4)
