@@ -6,6 +6,7 @@ from ruvector_tpu.parallel.halo import (
     make_sharded_train_step,
     make_sharded_mp_forward,
     make_blocked_layer_forward,
+    make_blocked_train_step,
 )
 from ruvector_tpu.parallel.ep import (
     EpConfig,
@@ -39,6 +40,7 @@ __all__ = [
     "make_sharded_train_step",
     "make_sharded_mp_forward",
     "make_blocked_layer_forward",
+    "make_blocked_train_step",
     "TpLayerConfig",
     "EpConfig",
     "ep_init",

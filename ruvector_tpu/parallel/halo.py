@@ -313,3 +313,50 @@ def make_blocked_layer_forward(net_cfg: RuvectorNetConfig, plan: HaloPlan):
         return x
 
     return forward
+
+
+def make_blocked_train_step(
+    net_cfg: RuvectorNetConfig,
+    plan: HaloPlan,
+    optimizer: optax.GradientTransformation,
+    temperature: float = 0.07,
+):
+    """Single-device big-graph training with the blocked forward: the same
+    contrastive objective as make_sharded_train_step, with gradients
+    flowing through the block scan instead of the mesh collectives. This
+    is the cold-tier / one-chip path for graphs whose flat-layer gather
+    tables leave the fast regime (DESIGN_NOTES gather cache blocking)."""
+    import numpy as np
+
+    forward = make_blocked_layer_forward(net_cfg, plan)
+
+    S, B, M = plan.local_nbr_idx.shape
+    H = plan.halo
+    glob = np.zeros((S, B, M), np.int32)
+    for s in range(S):
+        local = plan.local_nbr_idx[s]
+        own = local < B
+        glob[s][own] = local[own] + s * B
+        halo_pos = local[~own] - B
+        src = halo_pos // H
+        pos = halo_pos % H
+        glob[s][~own] = plan.send_idx[src, s, pos] + src * B
+    global_nbr = jnp.asarray(glob.reshape(S * B, M))
+    nbr_mask = jnp.asarray(plan.nbr_mask.reshape(S * B, M))
+    pad_mask = jnp.asarray(plan.node_pad_mask.reshape(S * B))
+
+    def loss_fn(params, feats, neg_ids):
+        out = forward(params, feats)
+        pos = out[global_nbr]
+        negs = out[neg_ids]
+        per_node_mask = nbr_mask * pad_mask[:, None]
+        return batched_info_nce(out, pos, negs, temperature, per_node_mask)
+
+    @jax.jit
+    def step(params, opt_state, feats, neg_ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats, neg_ids)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

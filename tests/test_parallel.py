@@ -271,3 +271,24 @@ def test_blocked_forward_matches_single_device():
         ruvector_net_apply(params, cfg, jnp.asarray(feats), graph)
     )
     np.testing.assert_allclose(out_blocked, out_single, atol=2e-4)
+
+
+def test_blocked_train_step_decreases_loss():
+    from ruvector_tpu.parallel import make_blocked_train_step
+
+    feats, graph, cfg, params, plan, perm = make_setup()
+    opt = adam(5e-3)
+    opt_state = opt.init(params)
+    step = make_blocked_train_step(cfg, plan, opt)
+    feats_pad = pad_features_for_plan(feats, plan, perm)
+    n_pad = plan.n_shards * plan.block
+    rng = np.random.default_rng(0)
+    neg_ids = jnp.asarray(rng.integers(0, graph.num_nodes,
+                                       size=(n_pad, 4)).astype(np.int32))
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(feats_pad), neg_ids)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
