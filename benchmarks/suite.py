@@ -73,13 +73,27 @@ def main():
                  mask=np.asarray(graph.nbr_mask),
                  w=np.asarray(graph.edge_weight))
 
-    # 1. GNN layer forward
+    # 1. GNN layer forward — flat path (same protocol as earlier rounds)
     cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
     params = ruvector_layer_init(jax.random.key(0), cfg)
     layer = jax.jit(lambda p, f: ruvector_layer_apply(p, cfg, f, graph))
     dt = timeit(layer, params, feats)
     results["gnn_layer_forward_ms"] = round(dt * 1e3, 3)
     results["gnn_layer_edges_per_s"] = round(n * k / dt, 0)
+
+    # 1b. blocked execution (gather cache blocking — bench.py's path)
+    from ruvector_tpu.models import RuvectorNetConfig, ruvector_net_init
+    from ruvector_tpu.parallel import build_halo_plan, make_blocked_layer_forward
+    from ruvector_tpu.parallel.partition import pad_features_for_plan
+
+    ncfg = RuvectorNetConfig(input_dim=d, hidden_dim=d, num_layers=1, heads=4)
+    nparams = ruvector_net_init(jax.random.key(0), ncfg)
+    plan, perm = build_halo_plan(graph, 8, reorder="cluster")
+    fwd_b = make_blocked_layer_forward(ncfg, plan)
+    feats_pad = jnp.asarray(pad_features_for_plan(np.asarray(feats), plan,
+                                                  perm))
+    dt = timeit(fwd_b, nparams, feats_pad)
+    results["gnn_layer_blocked_edges_per_s"] = round(n * k / dt, 0)
 
     # 2. SpMM
     spmm = jax.jit(lambda f: spmm_padded(f, graph.nbr_idx, graph.edge_weight,
