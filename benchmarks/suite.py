@@ -73,11 +73,30 @@ def main():
                  mask=np.asarray(graph.nbr_mask),
                  w=np.asarray(graph.edge_weight))
 
-    # 1. GNN layer forward — flat path (same protocol as earlier rounds)
+    def scan_diff_time(apply_fn, *args, short=2, long_=12):
+        """Scan-looped difference timing with value sync — immune to
+        per-dispatch overhead and the tunnel's async quirks."""
+        def make(iters):
+            @jax.jit
+            def loop(*a):
+                def body(x, _):
+                    return apply_fn(*a[:-1], x), None
+                out, _ = jax.lax.scan(body, a[-1], None, length=iters)
+                return jnp.sum(out)
+            return loop
+        f_s, f_l = make(short), make(long_)
+        float(f_s(*args)); float(f_l(*args))
+        t0 = time.perf_counter(); float(f_s(*args))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(f_l(*args))
+        t_l = time.perf_counter() - t0
+        return max(t_l - t_s, 1e-9) / (long_ - short)
+
+    # 1. GNN layer forward — flat path (scan-diff protocol)
     cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
     params = ruvector_layer_init(jax.random.key(0), cfg)
-    layer = jax.jit(lambda p, f: ruvector_layer_apply(p, cfg, f, graph))
-    dt = timeit(layer, params, feats)
+    dt = scan_diff_time(lambda p, f: ruvector_layer_apply(p, cfg, f, graph),
+                        params, feats)
     results["gnn_layer_forward_ms"] = round(dt * 1e3, 3)
     results["gnn_layer_edges_per_s"] = round(n * k / dt, 0)
 
@@ -92,7 +111,7 @@ def main():
     fwd_b = make_blocked_layer_forward(ncfg, plan)
     feats_pad = jnp.asarray(pad_features_for_plan(np.asarray(feats), plan,
                                                   perm))
-    dt = timeit(fwd_b, nparams, feats_pad)
+    dt = scan_diff_time(fwd_b, nparams, feats_pad)
     results["gnn_layer_blocked_edges_per_s"] = round(n * k / dt, 0)
 
     # 2. SpMM
