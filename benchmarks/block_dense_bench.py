@@ -1,0 +1,117 @@
+"""Benchmark the block-dense (gather-free) layer vs the slot path on TPU.
+
+Sweeps block size; reports T (local-table width incl. halo), layer ms and
+edges/s at the production shape [100k nodes, M=16, D=128].
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from ruvector_tpu.graph import NeighborGraph, build_block_dense, build_knn_graph
+    from ruvector_tpu.nn.block_dense_layer import ruvector_layer_apply_block_dense
+    from ruvector_tpu.nn.ruvector_layer import (
+        RuvectorLayerConfig,
+        ruvector_layer_apply,
+        ruvector_layer_init,
+    )
+    from ruvector_tpu.parallel.partition import cluster_reorder
+
+    n, d, m = 100_000, 128, 16
+    rng = np.random.default_rng(0)
+    feats_np = rng.normal(size=(n, d)).astype(np.float32)
+
+    cache = f"/tmp/ruvector_bench_graph_{n}_{d}_{m}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        idx, mask, ew = z["idx"], z["mask"], z["w"]
+    else:
+        g = build_knn_graph(jnp.asarray(feats_np), k=m, block=2048)
+        idx, mask, ew = (np.asarray(g.nbr_idx), np.asarray(g.nbr_mask),
+                         np.asarray(g.edge_weight))
+        np.savez(cache, idx=idx, mask=mask, w=ew)
+
+    graph = NeighborGraph(jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(ew))
+
+    # community reorder (host, cached)
+    pcache = f"/tmp/ruvector_bench_perm_{n}_{m}.npy"
+    if os.path.exists(pcache):
+        perm = np.load(pcache)
+    else:
+        perm = cluster_reorder(graph)
+        np.save(pcache, perm)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    idx_r = inv[idx[perm]].astype(np.int32)
+    mask_r = mask[perm]
+    ew_r = ew[perm]
+    feats_r = feats_np[perm]
+
+    cfg32 = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
+    cfg16 = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4,
+                                compute_dtype="bfloat16")
+    params = ruvector_layer_init(jax.random.key(0), cfg32)
+    iters = 50
+    edges = float(mask.sum())
+
+    def timed(make_body, fpad):
+        @jax.jit
+        def loop(p, f):
+            def step(x, _):
+                return make_body(p, x), None
+            out, _ = jax.lax.scan(step, f, None, length=iters)
+            return jnp.sum(out)
+        float(loop(params, fpad))
+        t0 = time.perf_counter()
+        float(loop(params, fpad))
+        return (time.perf_counter() - t0) / iters
+
+    results = {}
+    for block in (1024, 2048, 4096):
+        t_build = time.time()
+        bdg = build_block_dense(idx_r, mask_r, ew_r, block=block,
+                                dtype=np.float32)
+        n_pad = bdg.n_blocks * bdg.block
+        fpad = np.zeros((n_pad, d), np.float32)
+        fpad[:n] = feats_r
+        fpad_j = jnp.asarray(fpad)
+        print(f"block={block}: T={bdg.table} (halo={bdg.table - block}), "
+              f"nB={bdg.n_blocks}, build={time.time()-t_build:.1f}s, "
+              f"wdense={bdg.wdense.size*4/1e6:.0f}MB", flush=True)
+
+        for name, cfg in (("f32", cfg32), ("bf16", cfg16)):
+            dt = timed(lambda p, x, cfg=cfg, bdg=bdg:
+                       ruvector_layer_apply_block_dense(p, cfg, x, bdg),
+                       fpad_j)
+            eps = edges / dt
+            results[f"bd_b{block}_{name}"] = {
+                "ms": round(dt * 1e3, 3), "edges_per_s": round(eps, 0)}
+            print(f"  {name}: {dt*1e3:.3f} ms  {eps/1e6:.1f}M edges/s",
+                  flush=True)
+
+    # slot-path reference on the same reordered graph
+    graph_r = NeighborGraph(jnp.asarray(idx_r), jnp.asarray(mask_r),
+                            jnp.asarray(ew_r))
+    dt = timed(lambda p, x: ruvector_layer_apply(p, cfg32, x, graph_r),
+               jnp.asarray(feats_r))
+    results["slot_f32"] = {"ms": round(dt * 1e3, 3),
+                           "edges_per_s": round(edges / dt, 0)}
+    print(f"slot f32: {dt*1e3:.3f} ms  {edges/dt/1e6:.1f}M edges/s", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

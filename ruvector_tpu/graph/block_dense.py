@@ -1,0 +1,158 @@
+"""Block-dense graph layout: neighbor aggregation as MXU matmuls.
+
+The padded-slot layout (graph/neighbors.py) pays ~2 gather-rows per edge
+per layer (score pass + aggregate pass) — measured 444M rows/s on a
+100k-row table, which caps the layer at ~150M edges/s
+(benchmarks/profile_layer.py). This layout removes the per-edge gather
+entirely:
+
+Nodes are blocked contiguously (community-reorder first:
+parallel/partition.cluster_reorder — the EdgeCutMinimizer role,
+ruvector-graph/src/distributed/shard.rs:209). For each block, the union
+of the block's rows and its out-of-block neighbors ("halo") forms a
+LOCAL TABLE of T = block + halo_max rows. Every neighbor relation then
+lives inside [block, T], so attention scores become one real matmul
+`[B*H, D] @ [D, T]` against the local table and aggregation another
+`[B*(H+1), T] @ [T, D]` — dense MXU work with a static additive mask,
+instead of 2x per-edge row gathers. The ~1-2% edge density inside the
+[B, T] tile wastes MXU flops, but at bf16 the MXU is ~50x cheaper per
+byte than the gather path (the classic dense-beats-sparse TPU result).
+
+The only remaining gather is the local-table load: Σ_k T_k ≈ N(1+halo%)
+rows per layer — ~16x fewer rows than the slot path at M=16.
+
+Memory: one [n_blocks, B, T] bf16 array holds the normalized edge
+weights; mask is derived as wdense > 0 (zero-weight real edges are
+stored as a tiny epsilon so they stay visible to attention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockDenseGraph:
+    """Static block-local dense adjacency.
+
+    local_ids: [nB, T] int32 — global row ids of each block's local table
+        (block's own rows first, then its halo rows; padded with 0).
+    wdense:    [nB, B, T] f32/bf16 — normalized edge weight from block row
+        r to local-table column t; 0 = no edge (mask), tiny eps = real
+        zero-weight edge. Rows already carry the reference's
+        normalize-with-uniform-fallback semantics (layer.rs:428-432).
+    degrees:   [nB, B] float32 — true degree per node (for the degree-0
+        short-circuit, layer.rs:385-389).
+    node_pad:  [nB, B] float32 — 1 for real nodes, 0 for padding.
+    n:         true (unpadded) node count.
+    """
+
+    local_ids: jax.Array
+    wdense: jax.Array
+    degrees: jax.Array
+    node_pad: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+    # log edge multiplicity [nB, B, T], present only when some node lists
+    # the same neighbor in several slots (exp(s)*c = exp(s + ln c) keeps
+    # softmax exactly equal to the per-slot formulation); None for the
+    # common unique-neighbor (kNN/HNSW) case.
+    log_mult: jax.Array | None = None
+
+    @property
+    def n_blocks(self) -> int:
+        return self.local_ids.shape[0]
+
+    @property
+    def block(self) -> int:
+        return self.wdense.shape[1]
+
+    @property
+    def table(self) -> int:
+        return self.local_ids.shape[1]
+
+
+_EPS_EDGE = 1e-7  # marks real zero-weight edges in wdense
+
+
+def build_block_dense(
+    nbr_idx: np.ndarray,
+    nbr_mask: np.ndarray,
+    edge_weight: np.ndarray,
+    block: int = 1024,
+    table_pad: int = 128,
+    dtype=np.float32,
+) -> BlockDenseGraph:
+    """Build from padded-slot adjacency (already community-reordered —
+    see parallel/partition.cluster_reorder; locality sets the halo size).
+
+    table_pad: T is rounded up to a multiple of this (MXU lane alignment).
+    """
+    nbr = np.asarray(nbr_idx)
+    mask = np.asarray(nbr_mask).astype(np.float32)
+    ew = np.asarray(edge_weight).astype(np.float32)
+    n, m = nbr.shape
+
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad > n:
+        pad = n_pad - n
+        nbr = np.concatenate([nbr, np.zeros((pad, m), nbr.dtype)])
+        mask = np.concatenate([mask, np.zeros((pad, m), np.float32)])
+        ew = np.concatenate([ew, np.zeros((pad, m), np.float32)])
+
+    # normalized edge weights with uniform fallback (layer.rs:428-432)
+    w = ew * mask
+    wsum = w.sum(1, keepdims=True)
+    deg = np.maximum(mask.sum(1, keepdims=True), 1.0)
+    wnorm = np.where(wsum > 0, w / np.where(wsum > 0, wsum, 1.0), mask / deg)
+    wnorm = np.where(mask > 0, np.maximum(wnorm, _EPS_EDGE), 0.0)
+
+    # per block: halo = sorted unique out-of-block neighbors
+    halos = []
+    for k in range(nb):
+        rows = slice(k * block, (k + 1) * block)
+        mk = mask[rows] > 0
+        flat = nbr[rows][mk]
+        out = flat[(flat < k * block) | (flat >= (k + 1) * block)]
+        halos.append(np.unique(out))
+    halo_max = max((len(h) for h in halos), default=0)
+    table = block + halo_max
+    table = -(-table // table_pad) * table_pad
+
+    local_ids = np.zeros((nb, table), np.int32)
+    wdense = np.zeros((nb, block, table), np.float32)
+    counts = np.zeros((nb, block, table), np.float32)
+    for k in range(nb):
+        own = np.arange(k * block, (k + 1) * block, dtype=np.int64)
+        h = halos[k]
+        ids = np.concatenate([own, h])
+        local_ids[k, : len(ids)] = ids
+        # map global id -> local column
+        pos = np.full(n_pad, -1, np.int64)
+        pos[ids] = np.arange(len(ids))
+        rows = slice(k * block, (k + 1) * block)
+        mk = mask[rows] > 0
+        r, s = np.nonzero(mk)
+        cols = pos[nbr[rows][r, s]]
+        # duplicate neighbor slots accumulate (kNN graphs have none)
+        np.add.at(wdense[k], (r, cols), wnorm[rows][r, s])
+        np.add.at(counts[k], (r, cols), 1.0)
+
+    degrees = mask.sum(1).reshape(nb, block)
+    node_pad = (np.arange(n_pad) < n).astype(np.float32).reshape(nb, block)
+    log_mult = None
+    if counts.max() > 1.0:
+        log_mult = jnp.asarray(np.log(np.maximum(counts, 1.0)))
+    return BlockDenseGraph(
+        local_ids=jnp.asarray(local_ids),
+        wdense=jnp.asarray(wdense).astype(dtype),
+        degrees=jnp.asarray(degrees),
+        node_pad=jnp.asarray(node_pad),
+        n=n,
+        log_mult=log_mult,
+    )

@@ -35,11 +35,16 @@ from ruvector_tpu.transformer.quant import (
     int8_matmul,
 )
 from ruvector_tpu.transformer.model import MincutGatedTransformer, init_weights
+from ruvector_tpu.transformer.spec_decode import (
+    SpecDecodeConfig,
+    make_speculative_generate_fn,
+)
 from ruvector_tpu.transformer.kv_cache import (
     KVCacheConfig,
     KVCacheState,
     kv_cache_init,
     kv_cache_append,
+    kv_cache_positions,
     kv_cache_read,
 )
 
@@ -61,8 +66,11 @@ __all__ = [
     "init_weights",
     "KVCacheConfig",
     "KVCacheState",
+    "SpecDecodeConfig",
+    "make_speculative_generate_fn",
     "kv_cache_init",
     "kv_cache_append",
+    "kv_cache_positions",
     "kv_cache_read",
     "TraceState",
     "TraceSnapshot",

@@ -80,11 +80,11 @@ def make_decode_step(config: TransformerConfig, cache_cfg: KVCacheConfig):
                                                        h2[None, :])))[0]
             x = x + ff
 
-            appended = kv_cache_append(cache_cfg, cache, k, v)
-            new_caches.append(jax.tree.map(
-                lambda a, b: jnp.where(kv_write_enabled, a, b),
-                appended, cache,
-            ))
+            # O(1) conditional append: a disabled write lands in the scratch
+            # rows instead of where-selecting whole buffers (see kv_cache.py)
+            new_caches.append(
+                kv_cache_append(cache_cfg, cache, k, v, enabled=kv_write_enabled)
+            )
 
         x = _ln(weights["final_ln"], x)
         logits = _apply_dense(weights["head"], x[None, :])[0]
@@ -98,6 +98,7 @@ class GenerationResult:
     tokens: list[int]
     kv_flushes: int
     frozen_steps: int
+    accepted: int = 0      # speculative path: drafts accepted in total
 
 
 def make_generate_fn(config: TransformerConfig, cache_cfg: KVCacheConfig,
@@ -170,6 +171,45 @@ class Decoder:
     def init_caches(self) -> list[KVCacheState]:
         return [kv_cache_init(self.cache_cfg)
                 for _ in range(len(self.weights["layers"]))]
+
+    def generate_speculative(
+        self,
+        prompt: np.ndarray,
+        max_new_tokens: int = 16,
+        gamma: int = 4,
+        draft_layers: int = 1,
+    ) -> GenerationResult:
+        """Speculative serving path: early-exit-prefix draft + parallel
+        verify (spec_decode.py). Token-identical to greedy; returns the
+        acceptance count in GenerationResult.frozen_steps slot's place via
+        the `accepted` attribute added on the result."""
+        from ruvector_tpu.transformer.spec_decode import (
+            SpecDecodeConfig,
+            make_speculative_generate_fn,
+        )
+
+        caches = self.init_caches()
+        logits = None
+        pos = 0
+        for t in prompt:
+            logits, caches = self._step(
+                self.weights, caches, jnp.int32(int(t)), jnp.int32(pos),
+                jnp.bool_(True),
+            )
+            pos += 1
+        b = jnp.argmax(logits).astype(jnp.int32)
+        gen = make_speculative_generate_fn(
+            self.config, self.cache_cfg,
+            SpecDecodeConfig(gamma=gamma, draft_layers=draft_layers),
+            max_new_tokens,
+        )
+        out, count, _, acc_total, _ = gen(self.weights, caches, b)
+        result = GenerationResult(
+            tokens=[int(t) for t in prompt] + [int(t) for t in out[:int(count)]],
+            kv_flushes=0, frozen_steps=0,
+        )
+        result.accepted = int(acc_total)
+        return result
 
     def generate(
         self,

@@ -4,12 +4,26 @@ Reference: ruvector-mincut-gated-transformer/src/kv_cache/ (9 files,
 ~4k LoC) — HotBuffer (hot_buffer.rs), KIVI-style quantizer (kivi.rs: keys
 per-channel, values per-token), archive tier, tier policy/manager.
 
-TPU design: the cache is a functional pytree with STATIC capacities per
-tier (ring buffers + position counters); `kv_cache_append` shifts a token
-from hot to warm (quantizing) when hot is full, and warm to archive (int4)
-when warm is full. `kv_cache_read` materializes the effective (K, V) in
-f32 for attention — dequantization is fused by XLA into the attention
-matmuls, so quantized tiers cost bandwidth, not extra passes.
+TPU design: the cache is a functional pytree of POINTER-BASED ring buffers
+with static capacities. Each `kv_cache_append` performs O(1) row writes:
+the write slot is `position % capacity` per tier, the token being
+overwritten cascades down a tier (hot→warm quantizes to int8, warm→archive
+requantizes to int4), and nothing is ever rolled or copied whole
+(the r1 formulation `jnp.roll`-ed every tier every token — O(capacity)
+bytes/token; this one moves O(1) rows/token).
+
+Slots are therefore NOT in chronological order; each tier carries a
+position array (`*_pos`, -1 = empty) from which `kv_cache_read` builds the
+validity mask and `kv_cache_positions` exposes absolute token positions
+for windowed/causal masking. Attention itself is order-invariant.
+
+Conditional writes (gate-frozen KV) are O(1) too: every buffer owns one
+extra scratch row at index `capacity`; a disabled append redirects all
+writes there instead of `jnp.where`-selecting whole buffers.
+
+Dequantization of warm/archive happens in `kv_cache_read` and is fused by
+XLA into the attention matmuls — quantized tiers cost bandwidth, not
+extra passes.
 """
 
 from __future__ import annotations
@@ -32,37 +46,42 @@ class KVCacheConfig:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KVCacheState:
-    # hot: f32 ring buffers [hot_cap, H, hd]
+    # Every buffer is [capacity + 1, H, hd]; row `capacity` is the scratch
+    # row that disabled/inactive writes land in.
     hot_k: jax.Array
     hot_v: jax.Array
-    # warm: int8 + scales. Keys per-CHANNEL scale [warm_cap, H, 1] is the
-    # KIVI finding (kivi.rs): key outliers are channel-aligned. Values
-    # per-token.
-    warm_k: jax.Array        # int8 [warm_cap, H, hd]
-    warm_k_scale: jax.Array  # [warm_cap, H, 1]  (per token-head here; channel
-                             # scales live along hd for keys, see append)
+    hot_pos: jax.Array       # int32 [hot_cap + 1], -1 = empty
+    # warm: int8 + per-(token, head) scales [warm_cap + 1, H, 1]
+    warm_k: jax.Array
+    warm_k_scale: jax.Array
     warm_v: jax.Array
     warm_v_scale: jax.Array
+    warm_pos: jax.Array
     # archive: int4 stored as int8 in [-7, 7], coarser scale
     arch_k: jax.Array
     arch_k_scale: jax.Array
     arch_v: jax.Array
     arch_v_scale: jax.Array
-    # counts: total tokens appended; each tier's fill derived from it
+    arch_pos: jax.Array
+    # total tokens appended (writes actually committed)
     length: jax.Array        # scalar int32
 
 
 def kv_cache_init(cfg: KVCacheConfig) -> KVCacheState:
     h, d = cfg.heads, cfg.head_dim
-    z = lambda c: jnp.zeros((c, h, d), jnp.float32)
-    zi = lambda c: jnp.zeros((c, h, d), jnp.int8)
-    zs = lambda c: jnp.ones((c, h, 1), jnp.float32)
+    z = lambda c: jnp.zeros((c + 1, h, d), jnp.float32)
+    zi = lambda c: jnp.zeros((c + 1, h, d), jnp.int8)
+    zs = lambda c: jnp.ones((c + 1, h, 1), jnp.float32)
+    zp = lambda c: jnp.full((c + 1,), -1, jnp.int32)
     return KVCacheState(
         hot_k=z(cfg.hot_capacity), hot_v=z(cfg.hot_capacity),
+        hot_pos=zp(cfg.hot_capacity),
         warm_k=zi(cfg.warm_capacity), warm_k_scale=zs(cfg.warm_capacity),
         warm_v=zi(cfg.warm_capacity), warm_v_scale=zs(cfg.warm_capacity),
+        warm_pos=zp(cfg.warm_capacity),
         arch_k=zi(cfg.archive_capacity), arch_k_scale=zs(cfg.archive_capacity),
         arch_v=zi(cfg.archive_capacity), arch_v_scale=zs(cfg.archive_capacity),
+        arch_pos=zp(cfg.archive_capacity),
         length=jnp.zeros((), jnp.int32),
     )
 
@@ -77,110 +96,111 @@ def _quant_token(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
 
 
 def kv_cache_append(
-    cfg: KVCacheConfig, state: KVCacheState, k: jax.Array, v: jax.Array
+    cfg: KVCacheConfig, state: KVCacheState, k: jax.Array, v: jax.Array,
+    enabled: jax.Array | bool = True,
 ) -> KVCacheState:
-    """Append one token's (k, v) [H, hd]. Cascading eviction:
-    hot full -> oldest hot token quantized into warm (int8);
-    warm full -> oldest warm token requantized into archive (int4)."""
-    hot_fill = jnp.minimum(state.length, cfg.hot_capacity)
-    hot_full = hot_fill >= cfg.hot_capacity
+    """Append one token's (k, v) [H, hd]; O(1) row writes.
 
-    # token leaving hot (only meaningful when hot_full)
-    evict_k = state.hot_k[0]
-    evict_v = state.hot_v[0]
+    `enabled` may be a traced bool: when False (gate froze KV writes) all
+    writes go to the scratch rows and `length` does not advance — the
+    whole-buffer select the r1 decode loop paid per layer per token is gone.
+    """
+    enabled = jnp.asarray(enabled, jnp.bool_)
+    pos = state.length                      # absolute position of this token
+    hc, wc, ac = cfg.hot_capacity, cfg.warm_capacity, cfg.archive_capacity
 
-    # shift hot ring (roll) and write new token at the end position
-    def append_hot(buf, x):
-        rolled = jnp.where(hot_full, jnp.roll(buf, -1, axis=0), buf)
-        pos = jnp.minimum(state.length, cfg.hot_capacity - 1)
-        return jax.lax.dynamic_update_index_in_dim(rolled, x, pos, 0)
+    # --- hot tier ---
+    hot_real = pos % hc
+    hot_slot = jnp.where(enabled, hot_real, hc)
+    # token being overwritten (only meaningful when pos >= hc)
+    evict_k = state.hot_k[hot_real]
+    evict_v = state.hot_v[hot_real]
+    new_hot_k = jax.lax.dynamic_update_index_in_dim(state.hot_k, k, hot_slot, 0)
+    new_hot_v = jax.lax.dynamic_update_index_in_dim(state.hot_v, v, hot_slot, 0)
+    new_hot_pos = state.hot_pos.at[hot_slot].set(pos)
 
-    new_hot_k = append_hot(state.hot_k, k)
-    new_hot_v = append_hot(state.hot_v, v)
-
-    # warm bookkeeping
-    warm_count = jnp.clip(state.length - cfg.hot_capacity + 1, 0, None)
-    warm_fill = jnp.minimum(warm_count - 1, cfg.warm_capacity)
-    warm_full = warm_fill >= cfg.warm_capacity
-
-    warm_evict_k = state.warm_k[0].astype(jnp.float32) * state.warm_k_scale[0]
-    warm_evict_v = state.warm_v[0].astype(jnp.float32) * state.warm_v_scale[0]
-
+    # --- warm tier (receives the hot eviction) ---
+    do_warm = enabled & (pos >= hc)
+    warm_real = (pos - hc) % wc
+    warm_slot = jnp.where(do_warm, warm_real, wc)
+    warm_evict_k = state.warm_k[warm_real].astype(jnp.float32) * state.warm_k_scale[warm_real]
+    warm_evict_v = state.warm_v[warm_real].astype(jnp.float32) * state.warm_v_scale[warm_real]
     qk, sk = _quant_token(evict_k, 8)
     qv, sv = _quant_token(evict_v, 8)
+    upd = jax.lax.dynamic_update_index_in_dim
+    new_warm_k = upd(state.warm_k, qk, warm_slot, 0)
+    new_warm_k_s = upd(state.warm_k_scale, sk, warm_slot, 0)
+    new_warm_v = upd(state.warm_v, qv, warm_slot, 0)
+    new_warm_v_s = upd(state.warm_v_scale, sv, warm_slot, 0)
+    # position entering warm is the evicted hot token's absolute position
+    new_warm_pos = state.warm_pos.at[warm_slot].set(pos - hc)
 
-    def append_warm(buf, scale_buf, x_q, x_s):
-        do = hot_full
-        rolled = jnp.where(warm_full & do, jnp.roll(buf, -1, axis=0), buf)
-        rolled_s = jnp.where(warm_full & do, jnp.roll(scale_buf, -1, axis=0), scale_buf)
-        pos = jnp.clip(warm_fill, 0, cfg.warm_capacity - 1)
-        new = jax.lax.dynamic_update_index_in_dim(rolled, x_q, pos, 0)
-        new_s = jax.lax.dynamic_update_index_in_dim(rolled_s, x_s, pos, 0)
-        return (
-            jnp.where(do, new, buf),
-            jnp.where(do, new_s, scale_buf),
-        )
-
-    new_warm_k, new_warm_k_s = append_warm(state.warm_k, state.warm_k_scale, qk, sk)
-    new_warm_v, new_warm_v_s = append_warm(state.warm_v, state.warm_v_scale, qv, sv)
-
-    # archive bookkeeping
-    arch_count = jnp.clip(state.length - cfg.hot_capacity - cfg.warm_capacity + 1, 0, None)
-    arch_fill = jnp.minimum(arch_count - 1, cfg.archive_capacity)
-    arch_full = arch_fill >= cfg.archive_capacity
-
+    # --- archive tier (receives the warm eviction; oldest rolls off) ---
+    do_arch = enabled & (pos >= hc + wc)
+    arch_real = (pos - hc - wc) % ac
+    arch_slot = jnp.where(do_arch, arch_real, ac)
     ak, ask = _quant_token(warm_evict_k, 4)
     av, asv = _quant_token(warm_evict_v, 4)
-
-    def append_arch(buf, scale_buf, x_q, x_s):
-        do = warm_full & hot_full
-        rolled = jnp.where(arch_full & do, jnp.roll(buf, -1, axis=0), buf)
-        rolled_s = jnp.where(arch_full & do, jnp.roll(scale_buf, -1, axis=0), scale_buf)
-        pos = jnp.clip(arch_fill, 0, cfg.archive_capacity - 1)
-        new = jax.lax.dynamic_update_index_in_dim(rolled, x_q, pos, 0)
-        new_s = jax.lax.dynamic_update_index_in_dim(rolled_s, x_s, pos, 0)
-        return (jnp.where(do, new, buf), jnp.where(do, new_s, scale_buf))
-
-    new_arch_k, new_arch_k_s = append_arch(state.arch_k, state.arch_k_scale, ak, ask)
-    new_arch_v, new_arch_v_s = append_arch(state.arch_v, state.arch_v_scale, av, asv)
+    new_arch_k = upd(state.arch_k, ak, arch_slot, 0)
+    new_arch_k_s = upd(state.arch_k_scale, ask, arch_slot, 0)
+    new_arch_v = upd(state.arch_v, av, arch_slot, 0)
+    new_arch_v_s = upd(state.arch_v_scale, asv, arch_slot, 0)
+    new_arch_pos = state.arch_pos.at[arch_slot].set(pos - hc - wc)
 
     return KVCacheState(
-        hot_k=new_hot_k, hot_v=new_hot_v,
+        hot_k=new_hot_k, hot_v=new_hot_v, hot_pos=new_hot_pos,
         warm_k=new_warm_k, warm_k_scale=new_warm_k_s,
-        warm_v=new_warm_v, warm_v_scale=new_warm_v_s,
+        warm_v=new_warm_v, warm_v_scale=new_warm_v_s, warm_pos=new_warm_pos,
         arch_k=new_arch_k, arch_k_scale=new_arch_k_s,
-        arch_v=new_arch_v, arch_v_scale=new_arch_v_s,
-        length=state.length + 1,
+        arch_v=new_arch_v, arch_v_scale=new_arch_v_s, arch_pos=new_arch_pos,
+        length=state.length + enabled.astype(jnp.int32),
     )
+
+
+def kv_cache_positions(cfg: KVCacheConfig, state: KVCacheState) -> jax.Array:
+    """Absolute token position per slot in read order [archive|warm|hot];
+    -1 marks empty slots. Slot order is ring order, not chronological —
+    sort by this array to reconstruct the sequence."""
+    # Each tier's stored value is already the token's ABSOLUTE position:
+    # the w-th token pushed into warm is the token with absolute position w
+    # (hot evicts in order), and likewise for archive.
+    return jnp.concatenate(
+        [state.arch_pos[:-1], state.warm_pos[:-1], state.hot_pos[:-1]], axis=0)
 
 
 def kv_cache_read(
     cfg: KVCacheConfig, state: KVCacheState
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Materialize effective (K, V, valid_mask) in chronological order:
-    [archive | warm | hot], shapes [T_total, H, hd] with T_total =
-    archive+warm+hot capacities; mask marks live positions."""
+    """Materialize effective (K, V, valid_mask), shapes [T_total, H, hd]
+    with T_total = archive+warm+hot capacities. Slots are in ring order
+    (attention is order-invariant); `kv_cache_positions` gives each slot's
+    absolute position. A warm/archive slot only counts as live while its
+    token has not yet been superseded by a newer write of the same ring
+    index — the position arrays encode exactly that."""
     k = jnp.concatenate([
-        state.arch_k.astype(jnp.float32) * state.arch_k_scale,
-        state.warm_k.astype(jnp.float32) * state.warm_k_scale,
-        state.hot_k,
+        state.arch_k[:-1].astype(jnp.float32) * state.arch_k_scale[:-1],
+        state.warm_k[:-1].astype(jnp.float32) * state.warm_k_scale[:-1],
+        state.hot_k[:-1],
     ], axis=0)
     v = jnp.concatenate([
-        state.arch_v.astype(jnp.float32) * state.arch_v_scale,
-        state.warm_v.astype(jnp.float32) * state.warm_v_scale,
-        state.hot_v,
+        state.arch_v[:-1].astype(jnp.float32) * state.arch_v_scale[:-1],
+        state.warm_v[:-1].astype(jnp.float32) * state.warm_v_scale[:-1],
+        state.hot_v[:-1],
     ], axis=0)
-    hot_fill = jnp.minimum(state.length, cfg.hot_capacity)
-    warm_fill = jnp.clip(state.length - cfg.hot_capacity, 0, cfg.warm_capacity)
-    arch_fill = jnp.clip(
-        state.length - cfg.hot_capacity - cfg.warm_capacity, 0, cfg.archive_capacity
-    )
-    ha, hw, hh = cfg.archive_capacity, cfg.warm_capacity, cfg.hot_capacity
-    pos = jnp.arange(ha + hw + hh)
-    mask = jnp.where(
-        pos < ha, pos < arch_fill,
-        jnp.where(pos < ha + hw, (pos - ha) < warm_fill, (pos - ha - hw) < hot_fill),
-    ).astype(jnp.float32)
+    hc, wc, ac = cfg.hot_capacity, cfg.warm_capacity, cfg.archive_capacity
+    # live windows per tier, in absolute-position terms
+    L = state.length
+    hot_lo = jnp.maximum(L - hc, 0)
+    warm_lo = jnp.maximum(L - hc - wc, 0)          # positions now in warm
+    arch_lo = jnp.maximum(L - hc - wc - ac, 0)
+    pos = kv_cache_positions(cfg, state)
+    tier = jnp.concatenate([
+        jnp.zeros((ac,), jnp.int32), jnp.ones((wc,), jnp.int32),
+        jnp.full((hc,), 2, jnp.int32)])
+    lo = jnp.where(tier == 2, hot_lo, jnp.where(tier == 1, warm_lo, arch_lo))
+    hi = jnp.where(tier == 2, L,
+                   jnp.where(tier == 1, hot_lo, warm_lo))
+    mask = ((pos >= 0) & (pos >= lo) & (pos < hi)).astype(jnp.float32)
     return k, v, mask
 
 

@@ -113,3 +113,42 @@ def test_jit_and_grad(setup):
     flat, _ = jax.tree_util.tree_flatten(g_params)
     assert all(np.all(np.isfinite(np.asarray(a))) for a in flat)
     assert any(np.abs(np.asarray(a)).max() > 0 for a in flat)
+
+
+def test_block_dense_matches_flat():
+    """Block-dense (MXU-matmul) layer == padded-slot layer to 2e-4, incl.
+    degree-0, zero-weight rows, ragged block tails."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ruvector_tpu.graph import NeighborGraph, build_block_dense
+    from ruvector_tpu.nn.block_dense_layer import ruvector_layer_apply_block_dense
+    from ruvector_tpu.nn.ruvector_layer import (
+        RuvectorLayerConfig,
+        ruvector_layer_apply,
+        ruvector_layer_init,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, m = 203, 32, 5                      # ragged tail vs block=64
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    idx = rng.integers(0, n, size=(n, m)).astype(np.int32)
+    mask = (rng.uniform(size=(n, m)) < 0.8).astype(np.float32)
+    mask[7] = 0.0                             # degree-0 node
+    ew = rng.uniform(0.0, 1.0, size=(n, m)).astype(np.float32)
+    ew[11] = 0.0                              # zero-weight row -> uniform
+
+    cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
+    params = ruvector_layer_init(jax.random.key(0), cfg)
+
+    graph = NeighborGraph(jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(ew))
+    ref = np.asarray(ruvector_layer_apply(params, cfg, jnp.asarray(feats), graph))
+
+    bdg = build_block_dense(idx, mask, ew, block=64)
+    n_pad = bdg.n_blocks * bdg.block
+    fpad = np.zeros((n_pad, d), np.float32)
+    fpad[:n] = feats
+    out = np.asarray(ruvector_layer_apply_block_dense(
+        params, cfg, jnp.asarray(fpad), bdg))[:n]
+    np.testing.assert_allclose(out, ref, atol=2e-4)

@@ -20,6 +20,7 @@ from ruvector_tpu.transformer import (
     int8_matmul,
     kv_cache_append,
     kv_cache_init,
+    kv_cache_positions,
     kv_cache_read,
     quantize_weight_int8,
 )
@@ -169,7 +170,10 @@ def test_kv_cache_hot_only():
     k, v, mask = kv_cache_read(cfg, state)
     assert int(mask.sum()) == 3
     # hot tier holds exact f32 values
-    live = np.asarray(k)[np.asarray(mask) > 0]
+    pos = np.asarray(kv_cache_positions(cfg, state))
+    m = np.asarray(mask) > 0
+    order = np.argsort(pos[m])              # slots are in ring order
+    live = np.asarray(k)[m][order]
     np.testing.assert_allclose(live, ks, atol=1e-6)
 
 
@@ -183,7 +187,10 @@ def test_kv_cache_spill_to_warm():
         state = kv_cache_append(cfg, state, jnp.asarray(ks[i]), jnp.asarray(ks[i]))
     k, v, mask = kv_cache_read(cfg, state)
     assert int(mask.sum()) == 5
-    live = np.asarray(k)[np.asarray(mask) > 0]
+    pos = np.asarray(kv_cache_positions(cfg, state))
+    m = np.asarray(mask) > 0
+    order = np.argsort(pos[m])              # slots are in ring order
+    live = np.asarray(k)[m][order]
     # chronological order: oldest (quantized, ~1% error) first, newest exact
     np.testing.assert_allclose(live, ks, atol=0.05)
     np.testing.assert_allclose(live[-2:], ks[-2:], atol=1e-6)  # hot exact
@@ -199,7 +206,10 @@ def test_kv_cache_spill_to_archive():
         state = kv_cache_append(cfg, state, jnp.asarray(ks[i]), jnp.asarray(ks[i]))
     k, v, mask = kv_cache_read(cfg, state)
     assert int(mask.sum()) == 6
-    live = np.asarray(k)[np.asarray(mask) > 0]
+    pos = np.asarray(kv_cache_positions(cfg, state))
+    m = np.asarray(mask) > 0
+    order = np.argsort(pos[m])              # slots are in ring order
+    live = np.asarray(k)[m][order]
     # archive is int4: coarser, but recognizable
     np.testing.assert_allclose(live, ks, atol=0.25)
 

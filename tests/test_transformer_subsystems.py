@@ -463,3 +463,58 @@ def test_squat_decorrelation_beats_direct_quant():
     # compression accounting at production dims (d=128, 3-bit, 4 subspaces)
     prod = SQuatBasis(basis=jnp.eye(128), num_subspaces=4, bits=3)
     assert squat_compression_ratio(prod, 128) > 3.0
+
+
+# --- speculative decoding (jitted self-speculative loop) --------------------
+
+def test_speculative_generate_matches_greedy():
+    """Greedy acceptance makes speculative output token-identical to plain
+    greedy decoding (speculative.rs's verification contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ruvector_tpu.transformer.config import TransformerConfig
+    from ruvector_tpu.transformer.decode import make_decode_step
+    from ruvector_tpu.transformer.kv_cache import KVCacheConfig, kv_cache_init
+    from ruvector_tpu.transformer.model import init_weights
+    from ruvector_tpu.transformer.spec_decode import (
+        SpecDecodeConfig,
+        make_speculative_generate_fn,
+    )
+
+    cfg = TransformerConfig.micro()
+    weights = init_weights(jax.random.key(7), cfg)
+    cache_cfg = KVCacheConfig(hot_capacity=8, warm_capacity=16,
+                              archive_capacity=16, heads=cfg.heads,
+                              head_dim=cfg.head_dim)
+    step = make_decode_step(cfg, cache_cfg)
+
+    prompt = [5, 17, 9]
+    caches = [kv_cache_init(cache_cfg) for _ in range(cfg.layers)]
+    logits = None
+    for pos, t in enumerate(prompt):
+        logits, caches = step(weights, caches, jnp.int32(t), jnp.int32(pos),
+                              jnp.bool_(True))
+    b = jnp.argmax(logits).astype(jnp.int32)
+
+    max_new = 10
+    # greedy reference continuation
+    g_caches = caches
+    g_logits = logits
+    greedy = []
+    cur = b
+    pos = len(prompt)
+    for _ in range(max_new):
+        greedy.append(int(cur))
+        g_logits, g_caches = step(weights, g_caches, cur, jnp.int32(pos),
+                                  jnp.bool_(True))
+        cur = jnp.argmax(g_logits).astype(jnp.int32)
+        pos += 1
+
+    gen = make_speculative_generate_fn(
+        cfg, cache_cfg, SpecDecodeConfig(gamma=4, draft_layers=1), max_new)
+    out, count, _, acc_total, commits = gen(weights, caches, b)
+    assert int(count) == max_new
+    assert [int(t) for t in out] == greedy
+    # every macro step commits at least the bonus token
+    assert int(jnp.min(commits)) >= 1
