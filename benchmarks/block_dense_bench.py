@@ -1,7 +1,11 @@
 """Benchmark the block-dense (gather-free) layer vs the slot path on TPU.
 
-Sweeps block size; reports T (local-table width incl. halo), layer ms and
-edges/s at the production shape [100k nodes, M=16, D=128].
+Dataset: clustered synthetic embeddings (1000 centers x 100 points,
+cluster std 0.25 at 128-d) — the realistic vector-DB distribution whose
+kNN graph has community structure. Uniform isotropic Gaussians (r1's
+bench data) produce an expander kNN graph where NO ordering yields small
+halos (see parallel/ordering.py); halo_fraction for both is printed so
+the adaptive layout threshold is grounded.
 """
 
 import json
@@ -12,6 +16,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def clustered_features(n, d, n_centers=1000, std=0.25, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    asg = rng.integers(0, n_centers, size=n)
+    return (centers[asg] + std * rng.normal(size=(n, d))).astype(np.float32)
 
 
 def main():
@@ -28,13 +39,15 @@ def main():
         ruvector_layer_apply,
         ruvector_layer_init,
     )
-    from ruvector_tpu.parallel.partition import cluster_reorder
+    from ruvector_tpu.parallel.ordering import (
+        halo_fraction,
+        recursive_bisection_order,
+    )
 
     n, d, m = 100_000, 128, 16
-    rng = np.random.default_rng(0)
-    feats_np = rng.normal(size=(n, d)).astype(np.float32)
+    feats_np = clustered_features(n, d)
 
-    cache = f"/tmp/ruvector_bench_graph_{n}_{d}_{m}.npz"
+    cache = f"/tmp/ruvector_bench_clustered_{n}_{d}_{m}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         idx, mask, ew = z["idx"], z["mask"], z["w"]
@@ -44,21 +57,19 @@ def main():
                          np.asarray(g.edge_weight))
         np.savez(cache, idx=idx, mask=mask, w=ew)
 
-    graph = NeighborGraph(jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(ew))
-
-    # community reorder (host, cached)
-    pcache = f"/tmp/ruvector_bench_perm_{n}_{m}.npy"
-    if os.path.exists(pcache):
-        perm = np.load(pcache)
-    else:
-        perm = cluster_reorder(graph)
-        np.save(pcache, perm)
+    t0 = time.time()
+    perm = recursive_bisection_order(feats_np, leaf_size=1024)
     inv = np.empty(n, np.int64)
     inv[perm] = np.arange(n)
     idx_r = inv[idx[perm]].astype(np.int32)
     mask_r = mask[perm]
     ew_r = ew[perm]
     feats_r = feats_np[perm]
+    print(f"bisection order: {time.time()-t0:.1f}s", flush=True)
+    for b in (1024, 2048):
+        print(f"halo_fraction(block={b}): ordered="
+              f"{halo_fraction(idx_r, mask_r, b):.3f} natural="
+              f"{halo_fraction(idx, mask, b):.3f}", flush=True)
 
     cfg32 = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
     cfg16 = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4,
@@ -80,7 +91,7 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     results = {}
-    for block in (1024, 2048, 4096):
+    for block in (1024, 2048):
         t_build = time.time()
         bdg = build_block_dense(idx_r, mask_r, ew_r, block=block,
                                 dtype=np.float32)
@@ -98,11 +109,11 @@ def main():
                        fpad_j)
             eps = edges / dt
             results[f"bd_b{block}_{name}"] = {
-                "ms": round(dt * 1e3, 3), "edges_per_s": round(eps, 0)}
+                "ms": round(dt * 1e3, 3), "edges_per_s": round(eps, 0),
+                "table": bdg.table}
             print(f"  {name}: {dt*1e3:.3f} ms  {eps/1e6:.1f}M edges/s",
                   flush=True)
 
-    # slot-path reference on the same reordered graph
     graph_r = NeighborGraph(jnp.asarray(idx_r), jnp.asarray(mask_r),
                             jnp.asarray(ew_r))
     dt = timed(lambda p, x: ruvector_layer_apply(p, cfg32, x, graph_r),

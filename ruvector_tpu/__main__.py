@@ -85,6 +85,9 @@ def main(argv=None):
     im.add_argument("archive")
     im.add_argument("path")
 
+    sub.add_parser("mcp", help="start the MCP (Model Context Protocol) "
+                                "stdio server for agent integration")
+
     gb = sub.add_parser("graph-build",
                         help="build a kNN NeighborGraph from a collection")
     gb.add_argument("path")
@@ -92,6 +95,12 @@ def main(argv=None):
     gb.add_argument("--k", type=int, default=16)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "mcp":
+        from ruvector_tpu.serve.mcp import McpServer
+
+        McpServer().serve_stdio()
+        return
 
     if args.cmd == "create":
         from ruvector_tpu.index.vector_db import DbOptions, VectorDB

@@ -247,9 +247,18 @@ def attn_softmax(q, k, v) -> jax.Array:
     return _masked_self_attention(q, k, v, jnp.ones((s, s), jnp.bool_))
 
 
+def _apply_device(params, cfg, q, k, v, mask=None, **kw):
+    # production path: device-resident push-relabel gate — one jitted
+    # program, no host round trip (mincut_device.py); bit-equal to the
+    # host Dinic path (attn_mincut), which remains the oracle.
+    from ruvector_tpu.attention.mincut_device import attn_mincut_device
+
+    c = cfg or MincutGateConfig()
+    return attn_mincut_device(q, k, v, c.lam, c.eps)[0]
+
+
 register_attention(
     AttentionMechanism(name="mincut", init=None,
-                       apply=lambda params, cfg, q, k, v, mask=None, **kw:
-                       attn_mincut(q, k, v, cfg or MincutGateConfig())[0],
+                       apply=_apply_device,
                        default_config=MincutGateConfig())
 )

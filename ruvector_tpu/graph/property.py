@@ -1,0 +1,294 @@
+"""Property graph: the ingestion path from graph data to TPU layouts.
+
+Reference: ruvector-graph/src/graph.rs:17-306 (GraphDB: node/edge/
+hyperedge CRUD, label & property lookup, adjacency queries). The
+reference is a full database with a Cypher engine; the TPU framework
+needs its INPUT path — a property graph that loads from edge lists /
+Cypher dumps and lowers to the compute layouts (NeighborGraph padded
+slots, CSR, block-dense). Queries over graph compute go through
+serve/query.py; this module is storage + conversion only.
+
+Supported sources:
+  - in-memory CRUD (add_node/add_edge, by-label/property lookup)
+  - edge-list arrays or TSV/CSV files (src, dst[, weight])
+  - JSONL dumps (one {"type": "node"|"relationship", ...} per line —
+    the neo4j/apoc export shape)
+  - a minimal Cypher CREATE subset: `(a:Label {k: v})`,
+    `(a)-[:REL {weight: 0.5}]->(b)` — a loader, not a query engine
+    (the reference's full parser is cypher/parser.rs, 1295 LoC).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Any, Iterable
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PNode:
+    id: str
+    labels: tuple[str, ...] = ()
+    properties: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class PEdge:
+    src: str
+    dst: str
+    type: str = "RELATED"
+    weight: float = 1.0
+    properties: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+class PropertyGraph:
+    """In-memory property graph (graph.rs:17-306 surface, minus storage)."""
+
+    def __init__(self) -> None:
+        self._nodes: dict[str, PNode] = {}
+        self._edges: list[PEdge] = []
+        self._out: dict[str, list[int]] = {}
+        self._in: dict[str, list[int]] = {}
+
+    # --- CRUD (graph.rs:107-246) ---
+
+    def add_node(self, node_id: str, labels: Iterable[str] = (),
+                 **properties) -> PNode:
+        node = PNode(str(node_id), tuple(labels), dict(properties))
+        self._nodes[node.id] = node
+        self._out.setdefault(node.id, [])
+        self._in.setdefault(node.id, [])
+        return node
+
+    def get_node(self, node_id: str) -> PNode | None:
+        return self._nodes.get(str(node_id))
+
+    def delete_node(self, node_id: str) -> bool:
+        nid = str(node_id)
+        if nid not in self._nodes:
+            return False
+        keep = [e for e in self._edges if e.src != nid and e.dst != nid]
+        self._nodes.pop(nid)
+        self._edges = keep
+        self._reindex()
+        return True
+
+    def add_edge(self, src: str, dst: str, type: str = "RELATED",
+                 weight: float = 1.0, **properties) -> PEdge:
+        src, dst = str(src), str(dst)
+        for nid in (src, dst):
+            if nid not in self._nodes:
+                self.add_node(nid)
+        e = PEdge(src, dst, type, float(weight), dict(properties))
+        self._edges.append(e)
+        self._out[src].append(len(self._edges) - 1)
+        self._in[dst].append(len(self._edges) - 1)
+        return e
+
+    def nodes_by_label(self, label: str) -> list[PNode]:
+        return [n for n in self._nodes.values() if label in n.labels]
+
+    def nodes_by_property(self, key: str, value) -> list[PNode]:
+        return [n for n in self._nodes.values()
+                if n.properties.get(key) == value]
+
+    def edges_by_type(self, edge_type: str) -> list[PEdge]:
+        return [e for e in self._edges if e.type == edge_type]
+
+    def outgoing(self, node_id: str) -> list[PEdge]:
+        return [self._edges[i] for i in self._out.get(str(node_id), [])]
+
+    def incoming(self, node_id: str) -> list[PEdge]:
+        return [self._edges[i] for i in self._in.get(str(node_id), [])]
+
+    @property
+    def node_count(self) -> int:
+        return len(self._nodes)
+
+    @property
+    def edge_count(self) -> int:
+        return len(self._edges)
+
+    def _reindex(self) -> None:
+        self._out = {nid: [] for nid in self._nodes}
+        self._in = {nid: [] for nid in self._nodes}
+        for i, e in enumerate(self._edges):
+            self._out[e.src].append(i)
+            self._in[e.dst].append(i)
+
+    # --- loaders ---
+
+    @staticmethod
+    def from_edge_list(
+        src: np.ndarray, dst: np.ndarray, weight: np.ndarray | None = None
+    ) -> "PropertyGraph":
+        g = PropertyGraph()
+        w = weight if weight is not None else np.ones(len(src), np.float32)
+        for s, d, ww in zip(src, dst, w):
+            g.add_edge(str(int(s)), str(int(d)), weight=float(ww))
+        return g
+
+    @staticmethod
+    def from_edge_file(path: str, delimiter: str | None = None) -> "PropertyGraph":
+        """TSV/CSV with 2 or 3 columns: src, dst[, weight]; '#' comments."""
+        g = PropertyGraph()
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = (line.split(delimiter) if delimiter
+                         else line.replace(",", " ").split())
+                if len(parts) < 2:
+                    continue
+                w = float(parts[2]) if len(parts) > 2 else 1.0
+                g.add_edge(parts[0], parts[1], weight=w)
+        return g
+
+    @staticmethod
+    def from_jsonl(path_or_lines) -> "PropertyGraph":
+        """JSONL dump: {"type": "node", "id", "labels", "properties"} /
+        {"type": "relationship", "start", "end", "label", "properties"}."""
+        g = PropertyGraph()
+        if isinstance(path_or_lines, str):
+            lines = open(path_or_lines)
+        else:
+            lines = path_or_lines
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            t = rec.get("type")
+            if t == "node":
+                g.add_node(rec["id"], rec.get("labels", ()),
+                           **rec.get("properties", {}))
+            elif t in ("relationship", "edge", "rel"):
+                props = dict(rec.get("properties", {}))
+                w = float(props.pop("weight", 1.0))
+                g.add_edge(rec.get("start") or rec["src"],
+                           rec.get("end") or rec["dst"],
+                           type=rec.get("label", "RELATED"), weight=w,
+                           **props)
+        return g
+
+    @staticmethod
+    def from_cypher(text: str) -> "PropertyGraph":
+        """Load a minimal Cypher CREATE subset (a loader — the reference's
+        full grammar lives in ruvector-graph/src/cypher/parser.rs)."""
+        g = PropertyGraph()
+        alias: dict[str, str] = {}
+
+        node_re = re.compile(
+            r"\(\s*(?P<alias>\w+)?\s*(?::(?P<labels>[\w:]+))?\s*"
+            r"(?:\{(?P<props>[^}]*)\})?\s*\)")
+        edge_re = re.compile(
+            r"\(\s*(?P<a>\w+)\s*\)\s*-\s*\[\s*:?(?P<type>\w+)?\s*"
+            r"(?:\{(?P<props>[^}]*)\})?\s*\]\s*->\s*\(\s*(?P<b>\w+)\s*\)")
+
+        def parse_props(s: str | None) -> dict:
+            out: dict[str, Any] = {}
+            if not s:
+                return out
+            for kv in s.split(","):
+                if ":" not in kv:
+                    continue
+                k, v = kv.split(":", 1)
+                v = v.strip().strip("'\"")
+                try:
+                    out[k.strip()] = json.loads(v)
+                except Exception:
+                    out[k.strip()] = v
+            return out
+
+        for stmt in re.split(r";|\n", text):
+            stmt = stmt.strip()
+            if not stmt.upper().startswith("CREATE"):
+                continue
+            body = stmt[len("CREATE"):]
+            for m in edge_re.finditer(body):
+                props = parse_props(m.group("props"))
+                w = float(props.pop("weight", 1.0))
+                a = alias.get(m.group("a"), m.group("a"))
+                b = alias.get(m.group("b"), m.group("b"))
+                g.add_edge(a, b, type=m.group("type") or "RELATED",
+                           weight=w, **props)
+            if not edge_re.search(body):
+                for m in node_re.finditer(body):
+                    props = parse_props(m.group("props"))
+                    labels = tuple((m.group("labels") or "").split(":")) \
+                        if m.group("labels") else ()
+                    nid = str(props.pop("id", m.group("alias") or
+                                        f"n{g.node_count}"))
+                    if m.group("alias"):
+                        alias[m.group("alias")] = nid
+                    g.add_node(nid, labels, **props)
+        return g
+
+    # --- lowering to compute layouts ---
+
+    def node_ids(self) -> list[str]:
+        return list(self._nodes.keys())
+
+    def to_neighbor_graph(self, max_degree: int | None = None,
+                          symmetrize: bool = False):
+        """Lower to the padded-slot NeighborGraph (+ id <-> row maps)."""
+        from ruvector_tpu.graph.neighbors import NeighborGraph
+
+        ids = self.node_ids()
+        row = {nid: i for i, nid in enumerate(ids)}
+        lists: list[list[int]] = [[] for _ in ids]
+        weights: list[list[float]] = [[] for _ in ids]
+        for e in self._edges:
+            lists[row[e.src]].append(row[e.dst])
+            weights[row[e.src]].append(e.weight)
+            if symmetrize:
+                lists[row[e.dst]].append(row[e.src])
+                weights[row[e.dst]].append(e.weight)
+        m = max_degree or max((len(l) for l in lists), default=1)
+        for i in range(len(lists)):
+            lists[i] = lists[i][:m]
+            weights[i] = weights[i][:m]
+        g = NeighborGraph.from_lists(lists, weights, max_degree=m)
+        return g, ids
+
+    def to_csr(self):
+        """Lower to CSRGraph (graph/csr.py)."""
+        from ruvector_tpu.graph.csr import CSRGraph
+
+        ids = self.node_ids()
+        row = {nid: i for i, nid in enumerate(ids)}
+        n = len(ids)
+        counts = np.zeros(n + 1, np.int64)
+        for e in self._edges:
+            counts[row[e.src] + 1] += 1
+        row_ptr = np.cumsum(counts)
+        col = np.zeros(len(self._edges), np.int32)
+        val = np.zeros(len(self._edges), np.float32)
+        cursor = row_ptr[:-1].copy()
+        for e in self._edges:
+            r = row[e.src]
+            col[cursor[r]] = row[e.dst]
+            val[cursor[r]] = e.weight
+            cursor[r] += 1
+        import jax.numpy as jnp
+
+        return CSRGraph(row_ptr=jnp.asarray(row_ptr, jnp.int32),
+                        col_idx=jnp.asarray(col), values=jnp.asarray(val),
+                        num_nodes=n), ids
+
+    def feature_matrix(self, key: str = "embedding",
+                       dim: int | None = None) -> np.ndarray:
+        """Stack per-node embedding properties into [N, D] (missing ->
+        zeros)."""
+        ids = self.node_ids()
+        vecs = [np.asarray(self._nodes[i].properties.get(key, ()),
+                           np.float32) for i in ids]
+        d = dim or max((len(v) for v in vecs), default=0)
+        out = np.zeros((len(ids), d), np.float32)
+        for i, v in enumerate(vecs):
+            out[i, : min(len(v), d)] = v[:d]
+        return out

@@ -373,3 +373,51 @@ def test_sparse_mask_builder_patterns():
     assert 0 < blocks.density() < 1
     r, c = blocks.to_coo()
     assert len(r) == 16 * 4               # 4 blocks of 4x4
+
+
+# --- device-resident min-cut gate (push-relabel) ----------------------------
+
+def test_mincut_device_matches_host_dinic():
+    """Synchronous push-relabel on device == host Dinic gate, bit-equal
+    masks and cut costs (canonical minimal-source-side min cut)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ruvector_tpu.attention.mincut import dynamic_min_cut
+    from ruvector_tpu.attention.mincut_device import mincut_gate_device
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        s = int(rng.integers(4, 40))
+        logits = rng.normal(size=(s, s)).astype(np.float32)
+        lam = float(rng.uniform(0.2, 2.0))
+        host = dynamic_min_cut(logits, s, lam, 2, 0.01)
+        keep_d, cost_d = mincut_gate_device(jnp.asarray(logits), lam, 0.01)
+        assert np.array_equal(np.asarray(keep_d).reshape(-1), host.keep_mask)
+        assert abs(float(cost_d) - host.cut_cost) <= 1e-4 * max(1.0, abs(host.cut_cost))
+
+
+def test_mincut_device_all_gated_and_attention():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ruvector_tpu.attention.mincut import attn_mincut, MincutGateConfig
+    from ruvector_tpu.attention.mincut_device import (
+        attn_mincut_device,
+        mincut_gate_device,
+    )
+
+    kd, cd = mincut_gate_device(jnp.full((6, 6), -2.0), 0.5, 0.01)
+    assert int(np.asarray(kd).sum()) == 0 and float(cd) == 0.0
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(24, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(24, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32))
+    out_host, gating = attn_mincut(q, k, v, MincutGateConfig())
+    out_dev, keep, cut = attn_mincut_device(q, k, v, 0.5, 0.01)
+    np.testing.assert_array_equal(
+        np.asarray(keep).reshape(-1), gating.keep_mask)
+    np.testing.assert_allclose(np.asarray(out_dev), np.asarray(out_host),
+                               atol=1e-5)
