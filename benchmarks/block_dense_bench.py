@@ -39,10 +39,7 @@ def main():
         ruvector_layer_apply,
         ruvector_layer_init,
     )
-    from ruvector_tpu.parallel.ordering import (
-        halo_fraction,
-        recursive_bisection_order,
-    )
+    from ruvector_tpu.parallel.ordering import graph_grow_blocks
 
     n, d, m = 100_000, 128, 16
     feats_np = clustered_features(n, d)
@@ -57,19 +54,6 @@ def main():
                          np.asarray(g.edge_weight))
         np.savez(cache, idx=idx, mask=mask, w=ew)
 
-    t0 = time.time()
-    perm = recursive_bisection_order(feats_np, leaf_size=1024)
-    inv = np.empty(n, np.int64)
-    inv[perm] = np.arange(n)
-    idx_r = inv[idx[perm]].astype(np.int32)
-    mask_r = mask[perm]
-    ew_r = ew[perm]
-    feats_r = feats_np[perm]
-    print(f"bisection order: {time.time()-t0:.1f}s", flush=True)
-    for b in (1024, 2048):
-        print(f"halo_fraction(block={b}): ordered="
-              f"{halo_fraction(idx_r, mask_r, b):.3f} natural="
-              f"{halo_fraction(idx, mask, b):.3f}", flush=True)
 
     cfg32 = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
     cfg16 = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4,
@@ -78,35 +62,41 @@ def main():
     iters = 50
     edges = float(mask.sum())
 
-    def timed(make_body, fpad):
+    def timed(make_body, fpad, graph_arg):
+        # graph passed as a jit ARG: the dev tunnel's remote-compile body
+        # rejects large captured constants (HTTP 413 at ~200MB wdense)
         @jax.jit
-        def loop(p, f):
+        def loop(p, f, g):
             def step(x, _):
-                return make_body(p, x), None
+                return make_body(p, x, g), None
             out, _ = jax.lax.scan(step, f, None, length=iters)
             return jnp.sum(out)
-        float(loop(params, fpad))
+        float(loop(params, fpad, graph_arg))
         t0 = time.perf_counter()
-        float(loop(params, fpad))
+        float(loop(params, fpad, graph_arg))
         return (time.perf_counter() - t0) / iters
 
     results = {}
-    for block in (1024, 2048):
+    for block in (512, 1024, 2048):
         t_build = time.time()
-        bdg = build_block_dense(idx_r, mask_r, ew_r, block=block,
+        perm, leaves = graph_grow_blocks(idx, mask, leaf_size=block)
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        idx_r = inv[idx[perm]].astype(np.int32)
+        mask_r = mask[perm]
+        ew_r = ew[perm]
+        feats_r = feats_np[perm]
+        bdg = build_block_dense(idx_r, mask_r, ew_r, leaf_sizes=leaves,
                                 dtype=np.float32)
-        n_pad = bdg.n_blocks * bdg.block
-        fpad = np.zeros((n_pad, d), np.float32)
-        fpad[:n] = feats_r
-        fpad_j = jnp.asarray(fpad)
+        fpad_j = bdg.pad_features(jnp.asarray(feats_r))
         print(f"block={block}: T={bdg.table} (halo={bdg.table - block}), "
               f"nB={bdg.n_blocks}, build={time.time()-t_build:.1f}s, "
               f"wdense={bdg.wdense.size*4/1e6:.0f}MB", flush=True)
 
         for name, cfg in (("f32", cfg32), ("bf16", cfg16)):
-            dt = timed(lambda p, x, cfg=cfg, bdg=bdg:
-                       ruvector_layer_apply_block_dense(p, cfg, x, bdg),
-                       fpad_j)
+            dt = timed(lambda p, x, g, cfg=cfg:
+                       ruvector_layer_apply_block_dense(p, cfg, x, g),
+                       fpad_j, bdg)
             eps = edges / dt
             results[f"bd_b{block}_{name}"] = {
                 "ms": round(dt * 1e3, 3), "edges_per_s": round(eps, 0),
@@ -114,10 +104,10 @@ def main():
             print(f"  {name}: {dt*1e3:.3f} ms  {eps/1e6:.1f}M edges/s",
                   flush=True)
 
-    graph_r = NeighborGraph(jnp.asarray(idx_r), jnp.asarray(mask_r),
-                            jnp.asarray(ew_r))
-    dt = timed(lambda p, x: ruvector_layer_apply(p, cfg32, x, graph_r),
-               jnp.asarray(feats_r))
+    graph_r = NeighborGraph(jnp.asarray(idx), jnp.asarray(mask),
+                            jnp.asarray(ew))
+    dt = timed(lambda p, x, g: ruvector_layer_apply(p, cfg32, x, g),
+               jnp.asarray(feats_np), graph_r)
     results["slot_f32"] = {"ms": round(dt * 1e3, 3),
                            "edges_per_s": round(edges / dt, 0)}
     print(f"slot f32: {dt*1e3:.3f} ms  {edges/dt/1e6:.1f}M edges/s", flush=True)

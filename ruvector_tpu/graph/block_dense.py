@@ -56,6 +56,8 @@ class BlockDenseGraph:
     wdense: jax.Array
     degrees: jax.Array
     node_pad: jax.Array
+    # node_pos[i] = row of original node i in the padded [nB*B] layout
+    node_pos: jax.Array
     n: int = dataclasses.field(metadata=dict(static=True))
     # log edge multiplicity [nB, B, T], present only when some node lists
     # the same neighbor in several slots (exp(s)*c = exp(s + ln c) keeps
@@ -75,6 +77,16 @@ class BlockDenseGraph:
     def table(self) -> int:
         return self.local_ids.shape[1]
 
+    def pad_features(self, features) -> jax.Array:
+        """Scatter [N, D] node features into the padded [nB*B, D] layout."""
+        f = jnp.asarray(features)
+        out = jnp.zeros((self.n_blocks * self.block, f.shape[1]), f.dtype)
+        return out.at[self.node_pos].set(f[: self.n])
+
+    def unpad(self, x) -> jax.Array:
+        """Gather padded [nB*B, ...] outputs back to original order [N, ...]."""
+        return jnp.asarray(x)[self.node_pos]
+
 
 _EPS_EDGE = 1e-7  # marks real zero-weight edges in wdense
 
@@ -86,10 +98,16 @@ def build_block_dense(
     block: int = 1024,
     table_pad: int = 128,
     dtype=np.float32,
+    leaf_sizes: list[int] | None = None,
 ) -> BlockDenseGraph:
-    """Build from padded-slot adjacency (already community-reordered —
-    see parallel/partition.cluster_reorder; locality sets the halo size).
+    """Build from padded-slot adjacency (already locality-reordered —
+    parallel/ordering.recursive_bisection_order or
+    parallel/partition.cluster_reorder; locality sets the halo size).
 
+    leaf_sizes: optional consecutive leaf lengths from the bisection
+    order — each leaf becomes its own padded block, so block boundaries
+    align with the partitioner's cuts (straddling a cut doubles halo).
+    Without it, nodes are sliced into uniform [block]-sized chunks.
     table_pad: T is rounded up to a multiple of this (MXU lane alignment).
     """
     nbr = np.asarray(nbr_idx)
@@ -97,13 +115,23 @@ def build_block_dense(
     ew = np.asarray(edge_weight).astype(np.float32)
     n, m = nbr.shape
 
-    nb = -(-n // block)
-    n_pad = nb * block
-    if n_pad > n:
-        pad = n_pad - n
-        nbr = np.concatenate([nbr, np.zeros((pad, m), nbr.dtype)])
-        mask = np.concatenate([mask, np.zeros((pad, m), np.float32)])
-        ew = np.concatenate([ew, np.zeros((pad, m), np.float32)])
+    if leaf_sizes is None:
+        nb = -(-n // block)
+        starts = [min(k * block, n) for k in range(nb)]
+        lens = [min(n - s, block) for s in starts]
+        bsz = block
+    else:
+        assert sum(leaf_sizes) == n, "leaf_sizes must cover all nodes"
+        nb = len(leaf_sizes)
+        starts = list(np.cumsum([0] + list(leaf_sizes[:-1])))
+        lens = list(leaf_sizes)
+        bsz = max(8, -(-max(lens) // 8) * 8)
+
+    # node -> (block, offset) and padded position
+    node_pos = np.zeros(n, np.int64)
+    for k in range(nb):
+        node_pos[starts[k]: starts[k] + lens[k]] = (
+            k * bsz + np.arange(lens[k]))
 
     # normalized edge weights with uniform fallback (layer.rs:428-432)
     w = ew * mask
@@ -115,27 +143,28 @@ def build_block_dense(
     # per block: halo = sorted unique out-of-block neighbors
     halos = []
     for k in range(nb):
-        rows = slice(k * block, (k + 1) * block)
+        rows = slice(starts[k], starts[k] + lens[k])
         mk = mask[rows] > 0
         flat = nbr[rows][mk]
-        out = flat[(flat < k * block) | (flat >= (k + 1) * block)]
+        out = flat[(flat < starts[k]) | (flat >= starts[k] + lens[k])]
         halos.append(np.unique(out))
     halo_max = max((len(h) for h in halos), default=0)
-    table = block + halo_max
+    table = bsz + halo_max
     table = -(-table // table_pad) * table_pad
 
     local_ids = np.zeros((nb, table), np.int32)
-    wdense = np.zeros((nb, block, table), np.float32)
-    counts = np.zeros((nb, block, table), np.float32)
+    wdense = np.zeros((nb, bsz, table), np.float32)
+    counts = np.zeros((nb, bsz, table), np.float32)
     for k in range(nb):
-        own = np.arange(k * block, (k + 1) * block, dtype=np.int64)
+        own = np.arange(starts[k], starts[k] + lens[k], dtype=np.int64)
         h = halos[k]
         ids = np.concatenate([own, h])
-        local_ids[k, : len(ids)] = ids
+        # local table columns hold PADDED positions of the named nodes
+        local_ids[k, : len(ids)] = node_pos[ids]
         # map global id -> local column
-        pos = np.full(n_pad, -1, np.int64)
+        pos = np.full(n, -1, np.int64)
         pos[ids] = np.arange(len(ids))
-        rows = slice(k * block, (k + 1) * block)
+        rows = slice(starts[k], starts[k] + lens[k])
         mk = mask[rows] > 0
         r, s = np.nonzero(mk)
         cols = pos[nbr[rows][r, s]]
@@ -143,8 +172,12 @@ def build_block_dense(
         np.add.at(wdense[k], (r, cols), wnorm[rows][r, s])
         np.add.at(counts[k], (r, cols), 1.0)
 
-    degrees = mask.sum(1).reshape(nb, block)
-    node_pad = (np.arange(n_pad) < n).astype(np.float32).reshape(nb, block)
+    degrees = np.zeros((nb, bsz), np.float32)
+    node_pad = np.zeros((nb, bsz), np.float32)
+    degs = mask.sum(1)
+    for k in range(nb):
+        degrees[k, : lens[k]] = degs[starts[k]: starts[k] + lens[k]]
+        node_pad[k, : lens[k]] = 1.0
     log_mult = None
     if counts.max() > 1.0:
         log_mult = jnp.asarray(np.log(np.maximum(counts, 1.0)))
@@ -153,6 +186,7 @@ def build_block_dense(
         wdense=jnp.asarray(wdense).astype(dtype),
         degrees=jnp.asarray(degrees),
         node_pad=jnp.asarray(node_pad),
+        node_pos=jnp.asarray(node_pos),
         n=n,
         log_mult=log_mult,
     )

@@ -72,7 +72,15 @@ class InstantLoop:
 
 
 class BackgroundLoop:
-    """Loop B: pattern extraction + BaseLoRA + EWC++ (loops/background.rs)."""
+    """Loop B: pattern extraction + BaseLoRA + EWC++ (loops/background.rs).
+
+    Per-PARAMETER consolidation: the EWC++ Fisher/constraint state spans
+    every BaseLoRA up-projection parameter (num_layers x rank x hidden
+    flattened), not an activation-proxy vector. The cycle follows
+    background.rs:108-168 exactly: pattern gradients -> apply EWC
+    constraints -> detect task boundary on the RAW gradient -> update
+    Fisher with the CONSTRAINED gradient -> apply to BaseLoRA.
+    """
 
     def __init__(self, cfg: SonaConfig):
         self.cfg = cfg
@@ -82,38 +90,65 @@ class BackgroundLoop:
         ))
         self.base_lora = BaseLoRA(cfg.hidden_dim, cfg.num_layers,
                                   cfg.base_lora_rank)
+        self._up_param_count = (cfg.num_layers * cfg.base_lora_rank
+                                * cfg.hidden_dim)
         self.ewc = EwcPlusPlus(EwcConfig(
-            param_count=cfg.hidden_dim, initial_lambda=cfg.ewc_lambda,
+            param_count=self._up_param_count, initial_lambda=cfg.ewc_lambda,
         ))
         self.task_boundaries = 0
+
+    def _pattern_gradient(self, patterns) -> np.ndarray | None:
+        """Lift pattern centroids to the BaseLoRA up-parameter space.
+
+        The weighted centroid direction (weight = avg_quality x
+        cluster_size, background.rs:174-196) becomes, per layer, the
+        rank-1 up-projection gradient outer(down_l^T d, d) — the full
+        [rank, hidden] gradient of `up_l` for moving layer outputs
+        toward the pattern direction (vs the reference's elementwise
+        slice-splitting of a dim-vector, background.rs:198-218; same
+        signal, proper parameter geometry)."""
+        acc = np.zeros(self.cfg.hidden_dim, np.float32)
+        total = 0.0
+        for p in patterns:
+            wgt = p.avg_quality * max(getattr(p, "cluster_size", 1), 1)
+            acc += p.centroid[: self.cfg.hidden_dim] * wgt
+            total += wgt
+        if total <= 0:
+            return None
+        d = acc / total
+        norm = np.linalg.norm(d)
+        if norm < 1e-8:
+            return None
+        d = d / norm
+        grads = []
+        for layer in range(self.cfg.num_layers):
+            proj = self.base_lora.down[layer].T @ d          # [rank]
+            grads.append(np.outer(proj, d).reshape(-1))      # rank*hidden
+        return np.concatenate(grads)
 
     def run_cycle(self, trajectories: list[QueryTrajectory]) -> BackgroundResult:
         t0 = time.perf_counter()
         for t in trajectories:
             self.bank.add_trajectory(t)
-            # EWC++ observes the trajectory's mean activation as a gradient
-            # proxy for boundary detection
-            if t.steps:
-                g = np.mean(
-                    [np.asarray(s.activations, np.float32)[: self.cfg.hidden_dim]
-                     for s in t.steps], axis=0,
-                )
-                if self.ewc.detect_task_boundary(g):
-                    self.ewc.start_new_task()
-                    self.task_boundaries += 1
-                self.ewc.update_fisher(g)
 
         patterns = self.bank.extract_patterns()
-        # consolidate high-quality patterns into the BaseLoRA, with updates
-        # constrained by EWC++ importance
-        for p in patterns:
-            direction = self.ewc.apply_constraints(
-                p.centroid[: self.cfg.hidden_dim]
-            )
+        grad = self._pattern_gradient(patterns) if patterns else None
+        if grad is not None:
+            constrained = self.ewc.apply_constraints(grad)
+            if self.ewc.detect_task_boundary(grad):
+                self.ewc.start_new_task()
+                self.task_boundaries += 1
+            self.ewc.update_fisher(constrained)
+            per_layer = self.cfg.base_lora_rank * self.cfg.hidden_dim
             for layer in range(self.cfg.num_layers):
-                self.base_lora.update_from_pattern(
-                    layer, direction, p.avg_quality, self.cfg.background_lr
+                sl = constrained[layer * per_layer: (layer + 1) * per_layer]
+                self.base_lora.apply_gradients(
+                    layer,
+                    sl.reshape(self.cfg.base_lora_rank, self.cfg.hidden_dim),
+                    self.cfg.background_lr,
                 )
+            self.ewc.set_optimal_weights(np.concatenate(
+                [u.reshape(-1) for u in self.base_lora.up]))
         return BackgroundResult(
             trajectories_processed=len(trajectories),
             patterns_extracted=len(patterns),

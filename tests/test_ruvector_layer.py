@@ -152,3 +152,46 @@ def test_block_dense_matches_flat():
     out = np.asarray(ruvector_layer_apply_block_dense(
         params, cfg, jnp.asarray(fpad), bdg))[:n]
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_block_dense_ragged_leaves_and_ordering():
+    """graph_grow_blocks ordering + ragged leaf blocks: parity with the
+    flat layer through pad_features/unpad round trip."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ruvector_tpu.graph import NeighborGraph, build_block_dense
+    from ruvector_tpu.nn.block_dense_layer import ruvector_layer_apply_block_dense
+    from ruvector_tpu.nn.ruvector_layer import (
+        RuvectorLayerConfig,
+        ruvector_layer_apply,
+        ruvector_layer_init,
+    )
+    from ruvector_tpu.parallel.ordering import graph_grow_blocks
+
+    rng = np.random.default_rng(4)
+    n, d, m = 257, 32, 6
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    idx = np.stack([rng.choice(n, size=m, replace=False)
+                    for _ in range(n)]).astype(np.int32)
+    mask = (rng.uniform(size=(n, m)) < 0.9).astype(np.float32)
+    ew = rng.uniform(0.1, 1.0, size=(n, m)).astype(np.float32)
+
+    cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
+    params = ruvector_layer_init(jax.random.key(0), cfg)
+    ref = np.asarray(ruvector_layer_apply(
+        params, cfg, jnp.asarray(feats),
+        NeighborGraph(jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(ew))))
+
+    perm, leaves = graph_grow_blocks(idx, mask, leaf_size=64)
+    assert sorted(perm.tolist()) == list(range(n))
+    assert sum(leaves) == n
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    idx_r = inv[idx[perm]].astype(np.int32)
+    bdg = build_block_dense(idx_r, mask[perm], ew[perm], leaf_sizes=leaves)
+    fpad = bdg.pad_features(jnp.asarray(feats[perm]))
+    out_pad = ruvector_layer_apply_block_dense(params, cfg, fpad, bdg)
+    out = np.asarray(bdg.unpad(out_pad))
+    np.testing.assert_allclose(out, ref[perm], atol=2e-4)

@@ -214,3 +214,32 @@ def test_sona_engine_low_quality_not_learned():
     x = np.ones((1, 8), np.float32)
     np.testing.assert_allclose(np.asarray(engine.apply_micro_lora(x)), x,
                                atol=1e-6)
+
+
+def test_background_per_parameter_consolidation():
+    """EWC++ state spans every BaseLoRA up parameter, Fisher grows only
+    where gradients flowed, and the cycle order matches background.rs
+    (constrain -> boundary on raw -> fisher on constrained -> apply)."""
+    cfg = SonaConfig(hidden_dim=8, embedding_dim=8, num_layers=2,
+                     base_lora_rank=4, pattern_clusters=1,
+                     background_interval_s=0.0, quality_threshold=0.0)
+    engine = SonaEngine(config=cfg)
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        b = engine.begin_trajectory(np.ones(8, np.float32))
+        b.add_step(rng.normal(size=8).astype(np.float32), np.ones(2),
+                   reward=1.0)
+        engine.end_trajectory(b, quality=0.9)
+    engine.coordinator.force_background()
+
+    bg = engine.coordinator.background
+    n_up = cfg.num_layers * cfg.base_lora_rank * cfg.hidden_dim
+    assert bg.ewc.config.param_count == n_up
+    assert bg.ewc.current_fisher.shape == (n_up,)
+    # the consolidated adapters moved and fisher recorded it
+    assert max(np.abs(u).max() for u in bg.base_lora.up) > 0
+    assert bg.ewc.current_fisher.max() > 0
+    # anchor weights snapshot the post-update adapters
+    np.testing.assert_allclose(
+        bg.ewc.current_weights,
+        np.concatenate([u.reshape(-1) for u in bg.base_lora.up]))

@@ -293,3 +293,35 @@ def test_health_monitor_states_and_quorum():
     statuses = hm.sweep()
     assert statuses["b"] == "unresponsive"
     assert not hm.quorum_healthy()         # 1/3 healthy
+
+
+def test_async_sharded_checkpoint_roundtrip(tmp_path):
+    """AsyncShardedCheckpointer: per-shard background save, restore onto
+    the same mesh sharding; resume-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ruvector_tpu.utils.checkpoint import AsyncShardedCheckpointer
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("x",))
+    sh = NamedSharding(mesh, P("x"))
+    n = 8 * len(devs)
+    tree = {
+        "feats": jax.device_put(
+            jnp.arange(n * 4, dtype=jnp.float32).reshape(n, 4), sh),
+        "step_scalar": jnp.float32(3.5),
+        "opt": {"m": jax.device_put(jnp.ones((n, 4)) * 2, sh)},
+    }
+    ck = AsyncShardedCheckpointer(tmp_path)
+    ck.save(tree, step=7)
+    ck.wait_until_finished()
+
+    proto = jax.tree.map(jnp.zeros_like, tree)
+    out = ck.restore(proto, step=7)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored arrays keep the mesh sharding
+    assert out["feats"].sharding.is_equivalent_to(sh, 2)
