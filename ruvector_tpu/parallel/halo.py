@@ -360,3 +360,99 @@ def make_blocked_train_step(
         return params, opt_state, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Overlapped halo exchange (VERDICT r1 item 3): packed all_gather + interior/
+# boundary compute split. The all_gather result is consumed ONLY by the
+# boundary rows' attention, so XLA's latency-hiding scheduler runs the
+# collective concurrently with the interior attention (the dominant term at
+# sub-percent halo fractions). See parallel/partition.OverlapPlan.
+# ---------------------------------------------------------------------------
+
+
+def _layer_forward_overlap(
+    params, cfg, feats_blk, pack_idx, pack_mask, local_nbr, nbr_mask,
+    edge_weight, pad_mask, n_interior: int, axis_name: str,
+):
+    msg = linear_apply(params["w_msg"], feats_blk)              # [block, Hd]
+    # publish packed boundary rows; collective starts here
+    pack = msg[pack_idx] * pack_mask[:, None]                   # [Bmax, Hd]
+    halo = jax.lax.all_gather(pack, axis_name, tiled=True)      # [S*Bmax, Hd]
+
+    nI = n_interior
+    # interior rows: no dependence on `halo` -> overlaps with the gather
+    attn_i, wmean_i = _folded_attention_and_aggregate(
+        params["attn"], cfg.heads, msg[:nI], msg,
+        local_nbr[:nI], nbr_mask[:nI], edge_weight[:nI],
+    )
+    # boundary rows: consume local + gathered halo
+    all_msg = jnp.concatenate([msg, halo], axis=0)
+    attn_b, wmean_b = _folded_attention_and_aggregate(
+        params["attn"], cfg.heads, msg[nI:], all_msg,
+        local_nbr[nI:], nbr_mask[nI:], edge_weight[nI:],
+    )
+    attn_out = jnp.concatenate([attn_i, attn_b], axis=0)
+    weighted = jnp.concatenate([wmean_i, wmean_b], axis=0)
+
+    aggregated = linear_apply(params["w_agg"], attn_out + weighted)
+    updated = gru_apply(params["gru"], aggregated, msg)
+    dropped = updated * (1.0 - cfg.dropout)
+    out = layer_norm_apply(params["norm"], dropped, cfg.eps)
+    isolated = layer_norm_apply(params["norm"], msg, cfg.eps)
+    has_nbrs = jnp.sum(nbr_mask, axis=1, keepdims=True) > 0
+    out = jnp.where(has_nbrs, out, isolated)
+    return out * pad_mask[:, None]
+
+
+def make_overlap_layer_forward(
+    net_cfg: RuvectorNetConfig,
+    plan,                       # OverlapPlan
+    mesh: Mesh,
+    axis_name: str = "nodes",
+):
+    """Jitted multi-layer forward over the OverlapPlan: packed all_gather
+    halo + interior/boundary split per layer."""
+    plan_arrays = plan.device_arrays()
+    layer_cfgs = net_cfg.layer_cfgs()
+    n_interior = plan.n_interior
+
+    def block_fn(params_list, feats, pack_idx, pack_mask, local_nbr,
+                 nbr_mask, edge_weight, pad_mask):
+        pack_idx = pack_idx[0]
+        pack_mask = pack_mask[0]
+        local_nbr = local_nbr[0]
+        nbr_mask = nbr_mask[0]
+        edge_weight = edge_weight[0]
+        pad_mask = pad_mask[0]
+        x = feats
+        for params, cfg in zip(params_list, layer_cfgs):
+            x = _layer_forward_overlap(
+                params, cfg, x, pack_idx, pack_mask, local_nbr,
+                nbr_mask, edge_weight, pad_mask, n_interior, axis_name,
+            )
+        return x
+
+    sharded = shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(axis_name),
+            P(axis_name), P(axis_name), P(axis_name),
+            P(axis_name), P(axis_name), P(axis_name),
+        ),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def forward(params_list, feats):
+        return sharded(
+            params_list, feats,
+            plan_arrays["pack_idx"], plan_arrays["pack_mask"],
+            plan_arrays["local_nbr_idx"], plan_arrays["nbr_mask"],
+            plan_arrays["edge_weight"], plan_arrays["node_pad_mask"],
+        )
+
+    return forward

@@ -292,3 +292,55 @@ def test_blocked_train_step_decreases_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(losses))
+
+
+def test_overlap_plan_matches_unsharded():
+    """OverlapPlan (packed all_gather + interior/boundary split) ==
+    unsharded layer, and the plan's structural metrics are sane."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ruvector_tpu.graph import NeighborGraph
+    from ruvector_tpu.models.ruvector_net import (
+        RuvectorNetConfig,
+        ruvector_net_apply,
+        ruvector_net_init,
+    )
+    from ruvector_tpu.parallel.halo import make_overlap_layer_forward
+    from ruvector_tpu.parallel.partition import build_overlap_plan
+
+    rng = np.random.default_rng(7)
+    n, d, m = 230, 16, 5
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    # clustered adjacency: mostly-local neighbors + a few cross links
+    idx = np.zeros((n, m), np.int32)
+    for i in range(n):
+        base = (i // 32) * 32
+        idx[i] = (base + rng.choice(32, m, replace=False)) % n
+    idx[::17] = rng.integers(0, n, (len(idx[::17]), m))   # cross edges
+    mask = np.ones((n, m), np.float32)
+    mask[3] = 0.0
+    ew = rng.uniform(0.1, 1.0, (n, m)).astype(np.float32)
+    graph = NeighborGraph(jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(ew))
+
+    cfg = RuvectorNetConfig(input_dim=d, hidden_dim=d, num_layers=2, heads=4)
+    params = ruvector_net_init(jax.random.key(0), cfg)
+
+    ref = np.asarray(ruvector_net_apply(params, cfg, jnp.asarray(feats), graph))
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs), ("nodes",))
+    plan, perm = build_overlap_plan(graph, len(devs), reorder="cluster")
+    assert 0 <= plan.n_interior <= plan.block
+    model = plan.bytes_per_layer(d)
+    assert model["all_gather_bytes"] <= model["all_to_all_padded_bytes_upper"]
+
+    n_pad = plan.n_shards * plan.block
+    fpad = np.zeros((n_pad, d), np.float32)
+    live = perm >= 0
+    fpad[live] = feats[perm[live]]
+    forward = make_overlap_layer_forward(cfg, plan, mesh)
+    out = np.asarray(forward(params, jnp.asarray(fpad)))
+    np.testing.assert_allclose(out[live], ref[perm[live]], atol=2e-4)
