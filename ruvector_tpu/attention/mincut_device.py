@@ -36,11 +36,54 @@ import jax.numpy as jnp
 from ruvector_tpu.ops.segment import masked_softmax
 
 
+def _global_relabel(r: jax.Array, h: jax.Array, s: int, t: int) -> jax.Array:
+    """Exact distance labels via dense backward BFS (the global-relabeling
+    heuristic — Cherkassky-Goldberg): h[v] = dist(v -> t) over residual
+    edges, or n + dist(v -> s) for nodes cut off from t (they can only
+    return excess to the source). Exact labels are valid and dominate any
+    current valid labeling, so monotonicity is preserved; on dense
+    attention graphs the BFS converges in ~graph-diameter (tiny) rounds
+    and collapses the round count from O(n^2) to O(n)."""
+    n = r.shape[0]
+    inf = jnp.int32(4 * n)
+    adj = r > 1e-12                                  # residual edge u -> v
+
+    def bfs_to(target):
+        d0 = jnp.full((n,), inf, jnp.int32).at[target].set(0)
+
+        def cond(state):
+            d, changed = state
+            return changed
+
+        def body(state):
+            d, _ = state
+            via = jnp.min(jnp.where(adj, d[None, :], inf), axis=1)
+            new = jnp.minimum(d, 1 + via)
+            return new, jnp.any(new < d)
+
+        d, _ = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True)))
+        return d
+
+    dist_t = bfs_to(t)
+    dist_s = bfs_to(s)
+    h_new = jnp.where(dist_t < inf, dist_t,
+                      n + jnp.minimum(dist_s, jnp.int32(n)))
+    h_new = h_new.at[s].set(n)
+    return jnp.maximum(h, h_new)
+
+
 def _push_relabel_maxflow(cap: jax.Array, s: int, t: int,
-                          max_rounds: int) -> tuple[jax.Array, jax.Array]:
+                          max_rounds: int,
+                          stop_above: jax.Array | None = None,
+                          relabel_every: int = 8,
+                          ) -> tuple[jax.Array, jax.Array]:
     """Exact max flow on a dense capacity matrix. Returns (residual, flow).
 
     cap: [n, n] float32, cap[i, j] = capacity of edge i->j (0 = absent).
+    stop_above: optional scalar — stop as soon as the arrived flow e[t]
+        exceeds it (callers that only compare the flow VALUE against a
+        threshold get an exact decision without running to convergence;
+        the residual is then NOT a max-flow residual).
     """
     n = cap.shape[0]
     idx = jnp.arange(n)
@@ -54,13 +97,17 @@ def _push_relabel_maxflow(cap: jax.Array, s: int, t: int,
     r = r.at[:, s].add(push0)
     # e[v] = cap[s, v] for v != s; e[t] accumulates arrived flow
     e = push0.at[s].set(0.0)
+    h = _global_relabel(r, h, s, t)
 
     def active(e, h):
         return (e > 1e-12) & not_st & (h < two_n)
 
     def cond(state):
         r, e, h, i = state
-        return jnp.any(active(e, h)) & (i < max_rounds)
+        go = jnp.any(active(e, h)) & (i < max_rounds)
+        if stop_above is not None:
+            go = go & (e[t] <= stop_above)
+        return go
 
     def body(state):
         r, e, h, i = state
@@ -79,6 +126,10 @@ def _push_relabel_maxflow(cap: jax.Array, s: int, t: int,
         nbr_h = jnp.where(r > 1e-12, h[None, :], two_n + 1)
         lift = 1 + jnp.min(nbr_h, axis=1)
         h = jnp.where(act & ~has_adm, jnp.maximum(h, lift), h)
+        h = jax.lax.cond(
+            (i + 1) % relabel_every == 0,
+            lambda: _global_relabel(r, h, s, t),
+            lambda: h)
         return r, e, h, i + 1
 
     r, e, h, _ = jax.lax.while_loop(
@@ -128,7 +179,13 @@ def mincut_gate_device(
     threshold = lam * mean_w
 
     rounds = max_rounds or (4 * sq * sq + 8)
-    resid, flow = _push_relabel_maxflow(clamped, 0, sq - 1, rounds)
+    # stop_above=threshold: the moment arrived flow exceeds the gate
+    # threshold the cut is provably not applied (max-flow >= e[t]), so
+    # the loop exits with an exact decision — the common no-cut case
+    # costs only a few rounds instead of full convergence.
+    resid, flow = _push_relabel_maxflow(
+        clamped, 0, sq - 1, rounds,
+        stop_above=jnp.asarray(threshold, jnp.float32))
     reach = _reachable_from(resid, 0)
     crossing = reach[:, None] & ~reach[None, :] & pos
     cut_cost = jnp.sum(jnp.where(crossing, clamped, 0.0))

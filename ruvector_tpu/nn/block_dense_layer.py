@@ -170,8 +170,13 @@ def ruvector_layer_apply_block_dense_fused(
     features: jax.Array,        # [Npad, Din]
     bdg: BlockDenseGraph,
     tile: int = 256,
+    io_dtype=None,
 ) -> jax.Array:
     """Whole layer as msg-linear + ONE fused Pallas kernel.
+
+    io_dtype=jnp.bfloat16 stores msg and the output in bf16 (halves the
+    layer's HBM residency for 10M-node-class graphs); in-kernel GRU/LN
+    math stays f32.
 
     When the block layout has no halo (table == block, the common case
     after graph-grown blocking on clustered data), the local tables are a
@@ -186,6 +191,8 @@ def ruvector_layer_apply_block_dense_fused(
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     msg = linear_apply(params["w_msg"], features)       # [Npad, D] f32
+    if io_dtype is not None:
+        msg = msg.astype(io_dtype)
     msgf = msg.reshape(nb, b, d)
     if t == b:
         L_tab = msgf.astype(cdt)                        # free: own rows only

@@ -159,7 +159,8 @@ def _make_fused_kernel(heads: int, scale: float, dropout: float, eps: float,
         else:
             (out_ref,) = rest
         L = L_ref[0]                                  # [T, D] cdt
-        M = msg_ref[0]                                # [Bt, D] f32
+        # msg may arrive bf16 (large-scale IO mode); GRU/LN math runs f32
+        M = msg_ref[0].astype(jnp.float32)            # [Bt, D]
         wd = wd_ref[0]                                # [Bt, T]
         d = M.shape[1]
         cdt = L.dtype
@@ -225,7 +226,8 @@ def _make_fused_kernel(heads: int, scale: float, dropout: float, eps: float,
             var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
             return (x - mu) * jax.lax.rsqrt(var + eps) * gam_ref[0] + bet_ref[0]
 
-        out_ref[0] = jnp.where(has_any > 0, ln(dropped), ln(M))
+        out_ref[0] = jnp.where(has_any > 0, ln(dropped),
+                               ln(M)).astype(out_ref.dtype)
 
     return kernel
 
@@ -238,7 +240,10 @@ def block_dense_layer_fused(L, msgf, wd, deg, folded, lm=None, *,
     """One-kernel RuvectorLayer epilogue-fused forward over local tables.
 
     L:      [nB, T, D]  local message tables (cdt)
-    msgf:   [nB, B, D]  f32 message rows (block-own rows; GRU/LN exactness)
+    msgf:   [nB, B, D]  message rows (block-own rows). f32 for strict
+            parity; bf16 IO is supported for HBM-constrained scales —
+            GRU/LN math still runs in f32 in-kernel, only the buffer IO
+            rounds. Output dtype follows msgf.
     wd:     [nB, B, T]  normalized edge weights
     deg:    [nB, B, 1]  true degrees (isolated-node short-circuit)
     folded: dict of folded parameter tensors (see fold_layer_params)
@@ -297,7 +302,7 @@ def block_dense_layer_fused(L, msgf, wd, deg, folded, lm=None, *,
         grid=(nb, b // bt),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bt, d), node3, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, b, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, b, d), msgf.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=nb * b * (h * t + 3 * d)),

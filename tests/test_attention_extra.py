@@ -421,3 +421,51 @@ def test_mincut_device_all_gated_and_attention():
         np.asarray(keep).reshape(-1), gating.keep_mask)
     np.testing.assert_allclose(np.asarray(out_dev), np.asarray(out_host),
                                atol=1e-5)
+
+
+def test_mincut_device_cut_applied_at_gate_scale():
+    """Two weakly-coupled communities at S=100: flow is small, the cut IS
+    applied — exercises the full-convergence path (global relabeling) and
+    checks bit-equality with the host Dinic at production gate scale."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ruvector_tpu.attention.mincut import dynamic_min_cut
+    from ruvector_tpu.attention.mincut_device import mincut_gate_device
+
+    rng = np.random.default_rng(0)
+    s = 100
+    half = s // 2
+    logits = np.full((s, s), -1.0, np.float32)
+    for blk in (slice(0, half), slice(half, s)):
+        sub = rng.uniform(0.5, 2.0, (half, half)).astype(np.float32)
+        logits[blk, blk] = sub
+    # a few tiny cross edges: the min s-t cut severs them
+    for _ in range(6):
+        i = int(rng.integers(0, half))
+        j = int(rng.integers(half, s))
+        logits[i, j] = 0.05
+    host = dynamic_min_cut(logits, s, lam=0.5, tau=2, eps=0.01)
+    keep_d, cost_d = mincut_gate_device(jnp.asarray(logits), 0.5, 0.01)
+    assert host.cut_cost > 0          # the cut fired
+    assert np.array_equal(np.asarray(keep_d).reshape(-1), host.keep_mask)
+    assert abs(float(cost_d) - host.cut_cost) <= 1e-4 * max(1.0, host.cut_cost)
+
+
+def test_mincut_device_early_exit_no_cut():
+    """Dense strongly-connected logits at S=100: flow >> threshold, the
+    early-exit path fires — decision must still match the host gate."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ruvector_tpu.attention.mincut import dynamic_min_cut
+    from ruvector_tpu.attention.mincut_device import mincut_gate_device
+
+    rng = np.random.default_rng(3)
+    s = 100
+    logits = rng.uniform(0.2, 1.5, (s, s)).astype(np.float32)
+    host = dynamic_min_cut(logits, s, lam=0.5, tau=2, eps=0.01)
+    keep_d, cost_d = mincut_gate_device(jnp.asarray(logits), 0.5, 0.01)
+    assert host.cut_cost == 0.0       # gate declined the cut
+    assert np.array_equal(np.asarray(keep_d).reshape(-1), host.keep_mask)
+    assert float(cost_d) == 0.0

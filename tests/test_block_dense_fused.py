@@ -107,3 +107,24 @@ def test_mixed_kernel_head_major_matches_scan():
     got = np.asarray(ruvector_layer_apply_block_dense(
         params, cfg, fpad, bdg, use_pallas=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+def test_fused_bf16_io_parity():
+    """bf16 IO mode: buffers round to bf16 but GRU/LN math stays f32 —
+    output must track the f32 path within bf16 rounding noise."""
+    n, d, m = 500, 128, 8
+    idx, mask, ew = _random_graph(n, m, seed=11)
+    bdg = build_block_dense(idx, mask, ew, dtype=np.float32)
+    cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
+    params = ruvector_layer_init(jax.random.key(12), cfg)
+    feats = jnp.asarray(
+        np.random.default_rng(13).normal(size=(n, d)).astype(np.float32))
+    fpad = bdg.pad_features(feats)
+    ref = np.asarray(
+        ruvector_layer_apply_block_dense_fused(params, cfg, fpad, bdg))
+    got = ruvector_layer_apply_block_dense_fused(
+        params, cfg, fpad, bdg, io_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    got32 = np.asarray(got.astype(jnp.float32))
+    # bf16 has ~3 decimal digits; LN-normalized outputs are O(1)
+    np.testing.assert_allclose(got32[: len(ref)], ref, atol=4e-2)
+    assert np.mean(np.abs(got32[: len(ref)] - ref)) < 8e-3
