@@ -177,9 +177,46 @@ def main():
     iters = 50
     for _ in range(iters):
         model.infer(tokens=tokens)
+    # NOTE: this is TUNNEL-BOUND — per-call host->device dispatch + logits
+    # fetch + witness hashing dominate on the dev tunnel. The device-bound
+    # program latency is transformer_infer_device_ms below; keep both so
+    # artifacts stay comparable across rounds.
     results["transformer_infer_ms"] = round(
         (time.perf_counter() - t0) / iters * 1e3, 3
     )
+
+    # 7b. DEVICE-BOUND tier-program latency: the same normal-tier program
+    # in a value-synced scan (each iteration's last_pos depends on the
+    # previous logits, so XLA cannot hoist the body; dispatch cost
+    # amortizes over the scan length).
+    s_full = tcfg.seq_len_max
+    ids_dev = jnp.asarray(np.resize(tokens, s_full).astype(np.int32))
+    extra_m = jnp.ones((s_full, s_full), jnp.float32)
+    mod_m = jnp.ones((tcfg.layers, s_full), jnp.float32)
+    run_prog = model._program(tcfg.layers, s_full, tcfg.window_normal)
+
+    def make_tier_loop(iters):
+        @jax.jit
+        def loop(w, ids):
+            def body(acc, _):
+                lp = jnp.int32(31) + (acc > jnp.float32(3.4e38)).astype(
+                    jnp.int32)
+                logits, _ = run_prog(w, ids, lp, extra_m, mod_m,
+                                     from_tokens=True)
+                return jnp.sum(logits), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return out
+        return loop
+
+    f_short, f_long = make_tier_loop(2), make_tier_loop(12)
+    float(f_short(model.weights, ids_dev))
+    float(f_long(model.weights, ids_dev))
+    t0 = time.perf_counter(); float(f_short(model.weights, ids_dev))
+    t_s = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(f_long(model.weights, ids_dev))
+    t_l = time.perf_counter() - t0
+    results["transformer_infer_device_ms"] = round(
+        max(t_l - t_s, 1e-9) / 10 * 1e3, 3)
 
     # 8. autoregressive decode throughput (whole-generation jitted scan —
     # one dispatch for the full sequence, so tunnel latency is amortized)

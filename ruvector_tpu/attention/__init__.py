@@ -70,6 +70,22 @@ from ruvector_tpu.attention import pde as _pde  # noqa: F401
 from ruvector_tpu.attention import sheaf as _sheaf  # noqa: F401
 from ruvector_tpu.attention import mixed_curvature as _mixed  # noqa: F401
 from ruvector_tpu.attention import topology as _topology  # noqa: F401
+from ruvector_tpu.attention.cgt import (
+    CgtConfig,
+    ComputeLane,
+    EarlyExitConfig,
+    ExitReason,
+    SparseResidualConfig,
+    TokenRouterConfig,
+    cgt_block_apply,
+    cgt_forward,
+    cgt_init,
+    lane_statistics,
+    residual_sparse_mask,
+    route_by_energy,
+    run_with_early_exit,
+    tune_thresholds,
+)
 
 __all__ = [
     "AttentionMechanism",

@@ -131,3 +131,9 @@ __all__ = [
     "IncentiveState",
     "incentive_aligned_step",
 ]
+from ruvector_tpu.graph_transformer.gated import (
+    GatedGraphTransformerConfig,
+    gated_graph_transformer_init,
+    gated_graph_transformer_apply,
+    gated_graph_transformer_loss,
+)

@@ -1,0 +1,189 @@
+"""Partitioned mincut-gated graph transformer (BASELINE.json config 5).
+
+The reference runs its mincut-gated transformer over a partitioned graph
+(ruvector-graph-transformer + ruvector-attn-mincut/src/gating.rs:70-102,
+with the partitioner role of ruvector-graph/src/distributed/shard.rs:209):
+attention within a partition is gated by a dynamic min-cut over the
+positive attention logits, and information crosses partitions only along
+graph edges.
+
+TPU-first formulation: partitions ARE the block-dense blocks
+(graph/block_dense.py), so one layer is three batched sublayers over the
+[nB, B, D] layout with no gathers in the hot path:
+
+  1. intra-partition mincut-gated MHA — per-(partition, head) device
+     push-relabel gate (attention/mincut_device.py), chunk-vmapped with
+     lax.map so the [chunk, B, B] residual/capacity buffers stay bounded
+     at 1M-node scale;
+  2. cross-partition neighbor mixing — the normalized edge weights of the
+     BlockDenseGraph as one einsum against each block's local table
+     (mean-aggregate semantics, layer.rs:379-457's aggregate step);
+  3. pre-norm FFN.
+
+The gate decision is a discrete mask: it is wrapped in stop_gradient, so
+the whole layer is differentiable end-to-end through the kept attention
+entries (the host Dinic gate has the same semantics by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ruvector_tpu.attention.mincut_device import mincut_gate_device
+from ruvector_tpu.graph.block_dense import BlockDenseGraph
+from ruvector_tpu.nn.core import (
+    layer_norm_apply,
+    layer_norm_init,
+    linear_apply,
+    linear_init,
+    xavier_normal,
+)
+from ruvector_tpu.ops.segment import masked_softmax
+
+
+@dataclasses.dataclass(frozen=True)
+class GatedGraphTransformerConfig:
+    dim: int
+    num_heads: int = 4
+    ffn_mult: int = 4
+    num_layers: int = 2
+    lam: float = 0.5            # gate threshold multiplier (mincut.rs:163)
+    eps: float = 0.01           # positive-logit clamp
+    gate_chunk: int = 256       # partitions per lax.map step (memory bound)
+    compute_dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.dim % self.num_heads == 0
+        return self.dim // self.num_heads
+
+
+def gated_graph_transformer_init(
+    key, cfg: GatedGraphTransformerConfig
+) -> list[dict]:
+    layers = []
+    for k in jax.random.split(key, cfg.num_layers):
+        kq, kk, kv, ko, kg, ki, kf = jax.random.split(k, 7)
+        d = cfg.dim
+        layers.append({
+            "wq": xavier_normal(kq, d, d),
+            "wk": xavier_normal(kk, d, d),
+            "wv": xavier_normal(kv, d, d),
+            "wo": xavier_normal(ko, d, d),
+            "w_gnn": linear_init(kg, d, d),
+            "ln1": layer_norm_init(d),
+            "ln_g": layer_norm_init(d),
+            "ln2": layer_norm_init(d),
+            "ffn_in": linear_init(ki, d, d * cfg.ffn_mult),
+            "ffn_out": linear_init(kf, d * cfg.ffn_mult, d),
+        })
+    return layers
+
+
+def _gated_attention_block(h, node_pad, wq, wk, wv, wo, cfg):
+    """Mincut-gated MHA within each partition.
+
+    h: [nB, B, D]; node_pad: [nB, B]. Returns ([nB, B, D], stats) where
+    stats = (cut_applied [nB, H] bool, cut_cost [nB, H]).
+    """
+    nb, b, d = h.shape
+    hh, dh = cfg.num_heads, cfg.head_dim
+    scale = 1.0 / (dh ** 0.5)
+
+    def proj(w):
+        return jnp.einsum(
+            "nbd,de->nbe", h, w, preferred_element_type=jnp.float32
+        ).reshape(nb, b, hh, dh).transpose(0, 2, 1, 3)    # [nB, H, B, dh]
+
+    q, k, v = proj(wq), proj(wk), proj(wv)
+    valid = (node_pad[:, None, :, None] * node_pad[:, None, None, :])
+
+    def one_chunk(args):
+        qc, kc, vc, vmc = args                      # [C, H, B, *]
+        logits = jnp.einsum(
+            "chqd,chkd->chqk", qc, kc,
+            preferred_element_type=jnp.float32) * scale
+        # padding rows/cols carry no positive weight -> invisible to gate
+        logits = jnp.where(vmc > 0, logits, -1.0)
+        keep, cost = jax.vmap(jax.vmap(
+            lambda lg: mincut_gate_device(lg, cfg.lam, cfg.eps)
+        ))(logits)
+        keep = jax.lax.stop_gradient(keep)
+        attn = masked_softmax(logits, keep.astype(jnp.float32) * vmc)
+        out = jnp.einsum(
+            "chqk,chkd->chqd", attn, vc,
+            preferred_element_type=jnp.float32)
+        return out, (cost > 0, cost)
+
+    # largest divisor of nb that fits the memory budget (static shapes:
+    # lax.map needs equal chunks; falling back to chunk=nb would blow the
+    # [chunk, H, B, B] gate buffers at 1M-node scale)
+    chunk = max(c for c in range(1, min(cfg.gate_chunk, nb) + 1)
+                if nb % c == 0)
+    def reshape_c(x):
+        return x.reshape(nb // chunk, chunk, *x.shape[1:])
+    out, (applied, cost) = jax.lax.map(
+        one_chunk,
+        (reshape_c(q), reshape_c(k), reshape_c(v), reshape_c(valid)))
+    out = out.reshape(nb, hh, b, dh).transpose(0, 2, 1, 3).reshape(nb, b, d)
+    out = jnp.einsum(
+        "nbd,de->nbe", out, wo, preferred_element_type=jnp.float32)
+    return out * node_pad[..., None], (
+        applied.reshape(nb, hh), cost.reshape(nb, hh))
+
+
+def _neighbor_mix(h, bdg: BlockDenseGraph, w_gnn):
+    """Cross-partition mean-aggregate along graph edges (one einsum)."""
+    nb, b, d = h.shape
+    flat = h.reshape(nb * b, d)
+    if bdg.table == b:            # halo-free: local table is the block
+        local = h
+    else:
+        local = flat[bdg.local_ids]                  # [nB, T, D]
+    agg = jnp.einsum(
+        "nbt,ntd->nbd", bdg.wdense.astype(jnp.float32), local,
+        preferred_element_type=jnp.float32)
+    return linear_apply(w_gnn, agg)
+
+
+def gated_graph_transformer_apply(
+    params: list[dict],
+    cfg: GatedGraphTransformerConfig,
+    fpad: jax.Array,              # [nB*B, D] padded to the block layout
+    bdg: BlockDenseGraph,
+    with_stats: bool = False,
+):
+    """Forward over the partitioned graph. Returns [nB*B, D] (and, with
+    with_stats, a list of per-layer (cut_applied [nB, H], cut_cost))."""
+    nb, b = bdg.n_blocks, bdg.block
+    x = fpad.reshape(nb, b, -1)
+    pad = bdg.node_pad
+    stats = []
+    for p in params:
+        h = layer_norm_apply(p["ln1"], x)
+        a, st = _gated_attention_block(
+            h, pad, p["wq"], p["wk"], p["wv"], p["wo"], cfg)
+        stats.append(st)
+        x = x + a
+        g = layer_norm_apply(p["ln_g"], x)
+        x = x + _neighbor_mix(g, bdg, p["w_gnn"]) * pad[..., None]
+        h2 = layer_norm_apply(p["ln2"], x)
+        x = x + linear_apply(
+            p["ffn_out"], jax.nn.gelu(linear_apply(p["ffn_in"], h2))
+        ) * pad[..., None]
+    out = x.reshape(nb * b, -1)
+    return (out, stats) if with_stats else out
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def gated_graph_transformer_loss(params, cfg, fpad, bdg, targets):
+    """Mean-squared node-embedding loss — proves end-to-end
+    differentiability through the gated layers (gate is stop-gradient)."""
+    out = gated_graph_transformer_apply(params, cfg, fpad, bdg)
+    pad = bdg.node_pad.reshape(-1, 1)
+    err = (out - targets) * pad
+    return jnp.sum(err * err) / jnp.maximum(jnp.sum(pad), 1.0)

@@ -23,8 +23,14 @@ from ruvector_tpu.utils.monitoring import MetricWatcher
 
 
 class DynamicMinCut:
+    """backend='auto' uses the native incremental solver
+    (native.IncrementalMinCut: persistent warm residual, O(1)
+    value-preserving inserts, excess-cancellation deletes) when the C++
+    runtime is importable; 'python' forces the lazy exact-recompute path
+    (always available, bit-exact oracle for the native one)."""
+
     def __init__(self, num_nodes: int, source: int = 0,
-                 sink: int | None = None):
+                 sink: int | None = None, backend: str = "auto"):
         self.n = num_nodes
         self.source = source
         self.sink = sink if sink is not None else num_nodes - 1
@@ -34,16 +40,33 @@ class DynamicMinCut:
         self._cut_edges: list[tuple[int, int]] = []
         self.watcher = MetricWatcher()
         self.update_count = 0
+        self._inc = None
+        if backend in ("auto", "native"):
+            try:
+                from ruvector_tpu.native import IncrementalMinCut, available
+
+                if available:
+                    self._inc = IncrementalMinCut(
+                        num_nodes, self.source, self.sink)
+                elif backend == "native":
+                    raise RuntimeError("native runtime unavailable")
+            except ImportError:
+                if backend == "native":
+                    raise
 
     # --- updates (linkcut-equivalent surface) ------------------------------
 
     def insert_edge(self, u: int, v: int, w: float):
         self.weights[(u, v)] = self.weights.get((u, v), 0.0) + w
+        if self._inc is not None:
+            self._inc.insert_edge(u, v, w)
         self._dirty = True
         self.update_count += 1
 
     def delete_edge(self, u: int, v: int):
         self.weights.pop((u, v), None)
+        if self._inc is not None:
+            self._inc.delete_edge(u, v)
         self._dirty = True
         self.update_count += 1
 
@@ -52,12 +75,20 @@ class DynamicMinCut:
             self.delete_edge(u, v)
         else:
             self.weights[(u, v)] = w
+            if self._inc is not None:
+                self._inc.reweight_edge(u, v, w)
             self._dirty = True
             self.update_count += 1
 
     # --- queries -----------------------------------------------------------
 
     def _recompute(self):
+        if self._inc is not None:
+            self._cut_value = self._inc.cut_value()
+            self._cut_edges = self._inc.cut_edges()
+            self._dirty = False
+            self.watcher.observe("cut_value", self._cut_value)
+            return
         from ruvector_tpu.attention.mincut import _Dinic
 
         dinic = _Dinic(self.n)
@@ -81,12 +112,18 @@ class DynamicMinCut:
             self._recompute()
         return list(self._cut_edges)
 
+    def solver_stats(self) -> dict | None:
+        """Native repair counters (None on the python backend)."""
+        return self._inc.stats() if self._inc is not None else None
+
     def partition(self) -> np.ndarray:
         """Boolean source-side indicator over nodes."""
-        from ruvector_tpu.attention.mincut import _Dinic
-
         if self._dirty:
             self._recompute()
+        if self._inc is not None:
+            return self._inc.partition()
+        from ruvector_tpu.attention.mincut import _Dinic
+
         dinic = _Dinic(self.n)
         for (u, v), w in self.weights.items():
             dinic.add_edge(u, v, float(w))

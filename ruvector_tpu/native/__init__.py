@@ -62,6 +62,19 @@ def _load():
     lib.csr_count.restype = i64
     lib.csr_fill.argtypes = [i32p, f32p, f32p, i64, i64, i32p, i32p, f32p]
 
+    i32 = ctypes.c_int32
+    voidp = ctypes.c_void_p
+    lib.incmc_create.argtypes = [i32, i32, i32]
+    lib.incmc_create.restype = voidp
+    lib.incmc_free.argtypes = [voidp]
+    lib.incmc_update.argtypes = [voidp, i32, i32, f32, i32]
+    lib.incmc_value.argtypes = [voidp]
+    lib.incmc_value.restype = f32
+    lib.incmc_partition.argtypes = [voidp, u8p]
+    lib.incmc_cut_edges.argtypes = [voidp, i32p, i32p, i64]
+    lib.incmc_cut_edges.restype = i64
+    lib.incmc_stats.argtypes = [voidp, i64p]
+
     _lib = lib
     available = True
 
@@ -134,3 +147,67 @@ def to_csr(nbr: np.ndarray, mask: np.ndarray, weight: np.ndarray):
                   np.ascontiguousarray(weight, np.float32),
                   n, m, row_ptr, col_idx, values)
     return row_ptr, col_idx, values
+
+
+class IncrementalMinCut:
+    """Persistent-residual incremental s-t min-cut (graph_runtime.cpp
+    incmc_*) — the large-graph maintainer standing in for the reference's
+    subpolynomial structures (ruvector-mincut/src/{linkcut,euler}/).
+
+    Updates are O(1) bookkeeping (value-preserving inserts skip repair
+    entirely); queries repair the warm max-flow residual instead of
+    recomputing from scratch.
+    """
+
+    def __init__(self, n: int, source: int = 0, sink: int | None = None):
+        if not available:
+            raise RuntimeError("native graph runtime unavailable")
+        self.n = int(n)
+        self.source = int(source)
+        self.sink = int(sink if sink is not None else n - 1)
+        self._h = _lib.incmc_create(self.n, self.source, self.sink)
+
+    def close(self):
+        if self._h:
+            _lib.incmc_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def insert_edge(self, u: int, v: int, w: float):
+        _lib.incmc_update(self._h, u, v, float(w), 0)
+
+    def reweight_edge(self, u: int, v: int, w: float):
+        _lib.incmc_update(self._h, u, v, float(w), 1)
+
+    def delete_edge(self, u: int, v: int):
+        _lib.incmc_update(self._h, u, v, 0.0, 1)
+
+    def cut_value(self) -> float:
+        return float(_lib.incmc_value(self._h))
+
+    def partition(self) -> np.ndarray:
+        out = np.zeros(self.n, np.uint8)
+        _lib.incmc_partition(self._h, out)
+        return out.astype(bool)
+
+    def cut_edges(self) -> list[tuple[int, int]]:
+        cap = 1024
+        while True:
+            us = np.zeros(cap, np.int32)
+            vs = np.zeros(cap, np.int32)
+            k = int(_lib.incmc_cut_edges(self._h, us, vs, cap))
+            if k <= cap:
+                return sorted(zip(us[:k].tolist(), vs[:k].tolist()))
+            cap = k
+
+    def stats(self) -> dict:
+        out = np.zeros(5, np.int64)
+        _lib.incmc_stats(self._h, out)
+        return {"updates": int(out[0]), "o1_skips": int(out[1]),
+                "augment_phases": int(out[2]), "cancels": int(out[3]),
+                "rebuilds": int(out[4])}

@@ -377,3 +377,310 @@ void csr_fill(const int32_t* nbr, const float* mask, const float* weight,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Incremental s-t min-cut maintenance (the ruvector-mincut role,
+// crates/ruvector-mincut/src/lib.rs:1-57 — dynamic cut under edge updates).
+//
+// TPU-native stance: the gate-scale cuts run on device
+// (attention/mincut_device.py); THIS solver is the host-side large-graph
+// maintainer. Instead of the reference's link-cut/Euler-tour forests it
+// keeps the max-flow RESIDUAL persistent across updates and repairs it
+// incrementally:
+//   - insert that does not cross the current cut (source-side ->
+//     sink-side): provably value-preserving, O(1) — the old flow is still
+//     feasible and the old cut still has the same capacity, so
+//     maxflow == cut pins both.
+//   - crossing insert: residual gains capacity; the next query re-runs
+//     warm Dinic phases from the EXISTING flow (cost ~ new augmenting
+//     paths, not the whole graph).
+//   - capacity decrease below current edge flow: cancel only the excess
+//     along flow-carrying paths (s->u and v->t), then re-augment warm.
+// Amortized update cost is proportional to the cut churn, not to |V|+|E|.
+// ---------------------------------------------------------------------------
+
+#include <unordered_map>
+
+namespace incmc {
+
+constexpr float EPSC = 1e-12f;
+
+struct Edge { int32_t to; int32_t rev; float cap; float total; uint8_t fwd; };
+
+struct Solver {
+    int32_t n, s, t;
+    std::vector<std::vector<Edge>> adj;
+    std::unordered_map<int64_t, int32_t> loc;  // u*n+v -> idx in adj[u]
+    double flow = 0.0;
+    bool dirty = true;
+    bool side_fresh = false;   // side == canonical residual reachability
+    std::vector<uint8_t> side;
+    bool side_valid = false;
+    // stats: updates, o1_skips, augment_phases, cancels, rebuilds
+    int64_t st_updates = 0, st_o1 = 0, st_phases = 0, st_cancels = 0,
+            st_rebuilds = 0;
+
+    explicit Solver(int32_t n_, int32_t s_, int32_t t_)
+        : n(n_), s(s_), t(t_), adj(n_), side(n_, 0) {}
+
+    Edge& fwd_edge(int32_t u, int32_t idx) { return adj[u][idx]; }
+
+    int32_t find_or_add(int32_t u, int32_t v) {
+        int64_t key = (int64_t)u * n + v;
+        auto it = loc.find(key);
+        if (it != loc.end()) return it->second;
+        int32_t iu = (int32_t)adj[u].size(), iv = (int32_t)adj[v].size();
+        adj[u].push_back({v, iv, 0.0f, 0.0f, 1});
+        adj[v].push_back({u, iu, 0.0f, 0.0f, 0});
+        loc.emplace(key, iu);
+        return iu;
+    }
+
+    // BFS over residual from s; fills level (-1 unreachable).
+    void bfs_levels(std::vector<int32_t>& level) {
+        std::fill(level.begin(), level.end(), -1);
+        level[s] = 0;
+        std::queue<int32_t> q;
+        q.push(s);
+        while (!q.empty()) {
+            int32_t u = q.front(); q.pop();
+            for (auto& e : adj[u]) {
+                if (e.cap > EPSC && level[e.to] < 0) {
+                    level[e.to] = level[u] + 1;
+                    q.push(e.to);
+                }
+            }
+        }
+    }
+
+    // One warm Dinic run: phases until t unreachable. Iterative DFS.
+    void augment_to_optimal() {
+        std::vector<int32_t> level(n);
+        std::vector<size_t> it(n);
+        std::vector<std::pair<int32_t, size_t>> path;  // (node, edge idx)
+        const float INF = 3.0e38f / 2;
+        while (true) {
+            bfs_levels(level);
+            if (level[t] < 0) break;
+            ++st_phases;
+            std::fill(it.begin(), it.end(), 0);
+            path.clear();
+            int32_t u = s;
+            while (true) {
+                if (u == t) {
+                    float f = INF;
+                    for (auto& pr : path)
+                        f = std::min(f, adj[pr.first][pr.second].cap);
+                    for (auto& pr : path) {
+                        Edge& e = adj[pr.first][pr.second];
+                        e.cap -= f;
+                        adj[e.to][e.rev].cap += f;
+                    }
+                    flow += f;
+                    path.clear();
+                    u = s;
+                    continue;
+                }
+                bool advanced = false;
+                for (; it[u] < adj[u].size(); ++it[u]) {
+                    Edge& e = adj[u][it[u]];
+                    if (e.cap > EPSC && level[e.to] == level[u] + 1) {
+                        path.emplace_back(u, it[u]);
+                        u = e.to;
+                        advanced = true;
+                        break;
+                    }
+                }
+                if (!advanced) {
+                    if (u == s) break;          // phase exhausted
+                    level[u] = -1;              // dead-end prune
+                    u = path.back().first;
+                    path.pop_back();
+                }
+            }
+        }
+    }
+
+    // Cancel `amount` units of flow between `node` and s (to_source=1:
+    // walk reverse partners carrying flow) or between `node` and t
+    // (to_source=0: walk forward edges carrying flow). Returns leftover
+    // (>0 means decomposition hit a cycle — caller falls back to rebuild).
+    float cancel(int32_t node, float amount, bool to_source) {
+        int32_t target = to_source ? s : t;
+        std::vector<int32_t> prev_node(n), prev_edge(n);
+        while (amount > EPSC && node != target) {
+            std::fill(prev_node.begin(), prev_node.end(), -1);
+            prev_node[node] = node;
+            std::queue<int32_t> q;
+            q.push(node);
+            bool found = false;
+            while (!q.empty() && !found) {
+                int32_t u = q.front(); q.pop();
+                for (size_t i = 0; i < adj[u].size(); ++i) {
+                    Edge& e = adj[u][i];
+                    float carried = to_source
+                        ? (e.fwd ? 0.0f : e.cap)            // rev cap == flow
+                        : (e.fwd ? e.total - e.cap : 0.0f); // fwd flow
+                    if (carried > EPSC && prev_node[e.to] < 0) {
+                        prev_node[e.to] = u;
+                        prev_edge[e.to] = (int32_t)i;
+                        if (e.to == target) { found = true; break; }
+                        q.push(e.to);
+                    }
+                }
+            }
+            if (!found) return amount;  // cycle flow: rebuild needed
+            // bottleneck along node -> target
+            float d = amount;
+            for (int32_t v = target; v != node; v = prev_node[v]) {
+                Edge& e = adj[prev_node[v]][prev_edge[v]];
+                float carried = to_source ? e.cap : e.total - e.cap;
+                d = std::min(d, carried);
+            }
+            for (int32_t v = target; v != node; v = prev_node[v]) {
+                Edge& e = adj[prev_node[v]][prev_edge[v]];
+                if (to_source) {        // e is a reverse partner
+                    e.cap -= d;
+                    adj[e.to][e.rev].cap += d;
+                } else {                // e is a forward edge carrying flow
+                    e.cap += d;
+                    adj[e.to][e.rev].cap -= d;
+                }
+            }
+            amount -= d;
+        }
+        return amount <= EPSC ? 0.0f : amount;
+    }
+
+    void rebuild_from_totals() {
+        ++st_rebuilds;
+        for (auto& es : adj)
+            for (auto& e : es) e.cap = e.fwd ? e.total : 0.0f;
+        flow = 0.0;
+        dirty = true;
+        side_valid = false;
+    }
+
+    void update(int32_t u, int32_t v, float w, int32_t mode) {
+        // mode 0: add w to capacity; mode 1: set capacity to w (w<=0 del)
+        ++st_updates;
+        side_fresh = false;
+        if (u == v || u < 0 || v < 0 || u >= n || v >= n) return;
+        int64_t key = (int64_t)u * n + v;
+        auto itl = loc.find(key);
+        if (itl == loc.end() && (mode == 0 ? w <= 0 : w <= 0)) return;
+        int32_t idx = find_or_add(u, v);
+        Edge& e = adj[u][idx];
+        float f = e.total - e.cap;             // current flow on the edge
+        float w_new = mode == 0 ? e.total + w : std::max(w, 0.0f);
+        if (w_new >= e.total) {                // capacity increase
+            bool grew = w_new > e.total + EPSC;
+            e.cap += w_new - e.total;
+            e.total = w_new;
+            if (grew && side_valid && side[u] && !side[v]) {
+                dirty = true;                  // crossing: may open new flow
+                side_valid = false;
+            } else if (!side_valid) {
+                dirty = true;
+            } else {
+                ++st_o1;                       // value-preserving insert
+            }
+        } else if (w_new >= f - EPSC) {        // decrease above current flow
+            e.cap = w_new - f;
+            e.total = w_new;
+            // unsaturated => not a crossing edge of the stored min cut:
+            // flow and cut value are both unchanged. Clean stays clean.
+            if (!side_valid) dirty = true;
+        } else {                               // decrease below flow: cancel
+            ++st_cancels;
+            float excess = f - w_new;
+            e.total = w_new;
+            e.cap = 0.0f;
+            adj[v][e.rev].cap -= excess;
+            float left_u = (u == s) ? 0.0f : cancel(u, excess, true);
+            float left_v = (v == t) ? 0.0f : cancel(v, excess, false);
+            if (left_u > 0 || left_v > 0) {
+                rebuild_from_totals();
+                return;
+            }
+            flow -= excess;
+            dirty = true;
+            side_valid = false;
+        }
+    }
+
+    double value() {
+        if (dirty) {
+            augment_to_optimal();
+            refresh_side();
+            dirty = false;
+        }
+        return flow;
+    }
+
+    // Canonical min-cut side: residual reachability from s. One BFS —
+    // no flow work. Kept lazily fresh so partition()/cut_edges() match
+    // the from-scratch oracle even after value-preserving updates.
+    void refresh_side() {
+        std::vector<int32_t> level(n);
+        bfs_levels(level);
+        for (int32_t i = 0; i < n; ++i) side[i] = level[i] >= 0;
+        side_valid = true;
+        side_fresh = true;
+    }
+
+    void ensure_side() {
+        value();
+        if (!side_fresh) refresh_side();
+    }
+};
+
+}  // namespace incmc
+
+extern "C" {
+
+void* incmc_create(int32_t n, int32_t s, int32_t t) {
+    return new incmc::Solver(n, s, t);
+}
+
+void incmc_free(void* h) { delete (incmc::Solver*)h; }
+
+void incmc_update(void* h, int32_t u, int32_t v, float w, int32_t mode) {
+    ((incmc::Solver*)h)->update(u, v, w, mode);
+}
+
+float incmc_value(void* h) { return (float)((incmc::Solver*)h)->value(); }
+
+void incmc_partition(void* h, uint8_t* out) {
+    auto* sv = (incmc::Solver*)h;
+    sv->ensure_side();
+    std::memcpy(out, sv->side.data(), sv->n);
+}
+
+int64_t incmc_cut_edges(void* h, int32_t* u_out, int32_t* v_out,
+                        int64_t cap) {
+    auto* sv = (incmc::Solver*)h;
+    sv->ensure_side();
+    int64_t k = 0;
+    for (auto& kv : sv->loc) {
+        int32_t u = (int32_t)(kv.first / sv->n);
+        int32_t v = (int32_t)(kv.first % sv->n);
+        const incmc::Edge& e = sv->adj[u][kv.second];
+        if (e.total > incmc::EPSC && sv->side[u] && !sv->side[v]) {
+            if (k < cap) { u_out[k] = u; v_out[k] = v; }
+            ++k;
+        }
+    }
+    return k;
+}
+
+void incmc_stats(void* h, int64_t* out5) {
+    auto* sv = (incmc::Solver*)h;
+    out5[0] = sv->st_updates;
+    out5[1] = sv->st_o1;
+    out5[2] = sv->st_phases;
+    out5[3] = sv->st_cancels;
+    out5[4] = sv->st_rebuilds;
+}
+
+}  // extern "C"

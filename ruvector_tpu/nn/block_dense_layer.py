@@ -190,9 +190,18 @@ def ruvector_layer_apply_block_dense_fused(
     d = cfg.hidden_dim
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    msg = linear_apply(params["w_msg"], features)       # [Npad, D] f32
     if io_dtype is not None:
-        msg = msg.astype(io_dtype)
+        # compute the projection directly in io_dtype: at 10M nodes a
+        # transient f32 [Npad, D] (5.1GB) is the difference between
+        # fitting HBM and OOM; bf16 matmul loses <1e-2 which the f32
+        # in-kernel GRU/LN math downstream tolerates (parity test
+        # test_fused_bf16_io_parity)
+        msg = (jnp.dot(features.astype(io_dtype),
+                       params["w_msg"]["kernel"].astype(io_dtype),
+                       preferred_element_type=io_dtype)
+               + params["w_msg"]["bias"].astype(io_dtype))
+    else:
+        msg = linear_apply(params["w_msg"], features)   # [Npad, D] f32
     msgf = msg.reshape(nb, b, d)
     if t == b:
         L_tab = msgf.astype(cdt)                        # free: own rows only

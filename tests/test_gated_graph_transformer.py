@@ -1,0 +1,133 @@
+"""Partitioned mincut-gated graph transformer (BASELINE config 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ruvector_tpu.graph.block_dense import build_block_dense
+from ruvector_tpu.graph_transformer.gated import (
+    GatedGraphTransformerConfig,
+    _gated_attention_block,
+    gated_graph_transformer_apply,
+    gated_graph_transformer_init,
+    gated_graph_transformer_loss,
+)
+from ruvector_tpu.attention.mincut_device import mincut_gate_device
+
+
+def _graph(n, m, seed=0, block=32):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, (n, m)).astype(np.int32)
+    mask = np.ones((n, m), np.float32)
+    ew = rng.uniform(0.1, 1.0, (n, m)).astype(np.float32)
+    return build_block_dense(idx, mask, ew, block=block, table_pad=8)
+
+
+def test_forward_shapes_and_padding():
+    n, d = 50, 32          # padded to 2 blocks of 32 -> 14 pad rows
+    bdg = _graph(n, 8, block=32)
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=4, num_layers=2)
+    params = gated_graph_transformer_init(jax.random.key(0), cfg)
+    feats = np.random.default_rng(1).normal(size=(n, d)).astype(np.float32)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+    out, stats = gated_graph_transformer_apply(
+        params, cfg, fpad, bdg, with_stats=True)
+    assert out.shape == (bdg.n_blocks * bdg.block, d)
+    # padded rows never acquire signal
+    pad = np.asarray(bdg.node_pad.reshape(-1))
+    np.testing.assert_array_equal(np.asarray(out)[pad == 0], 0.0)
+    assert len(stats) == cfg.num_layers
+    applied, cost = stats[0]
+    assert applied.shape == (bdg.n_blocks, cfg.num_heads)
+    assert np.all(np.asarray(cost) >= 0)
+
+
+def test_chunked_gate_matches_direct_vmap():
+    """The lax.map chunking is a memory optimization — results must be
+    identical to a direct double-vmap over (partition, head)."""
+    nb, b, d, h = 4, 16, 32, 4
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(nb, b, d)).astype(np.float32))
+    pad = jnp.ones((nb, b), jnp.float32)
+    cfg_c = GatedGraphTransformerConfig(dim=d, num_heads=h, gate_chunk=2)
+    cfg_1 = GatedGraphTransformerConfig(dim=d, num_heads=h, gate_chunk=4)
+    w = [jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.2)
+         for _ in range(4)]
+    out_c, (ap_c, co_c) = _gated_attention_block(x, pad, *w, cfg_c)
+    out_1, (ap_1, co_1) = _gated_attention_block(x, pad, *w, cfg_1)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_1),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ap_c), np.asarray(ap_1))
+
+
+def test_gate_stats_reflect_structure():
+    """Two-community partitions draw a cut; dense partitions do not."""
+    b, d, h = 32, 32, 1
+    rng = np.random.default_rng(3)
+    # block 0: two tight communities in orthogonal subspaces, weakly
+    # bridged through two rows — the min s-t cut severs the bridge
+    cA = np.zeros(d)
+    cA[: d // 2] = rng.normal(size=d // 2)
+    cA *= 2 * np.sqrt(d) / np.linalg.norm(cA)
+    cB = np.zeros(d)
+    cB[d // 2:] = rng.normal(size=d // 2)
+    cB *= 2 * np.sqrt(d) / np.linalg.norm(cB)
+    f0 = np.zeros((b, d))
+    f0[: b // 2, : d // 2] = 0.1 * rng.normal(size=(b // 2, d // 2))
+    f0[b // 2:, d // 2:] = 0.1 * rng.normal(size=(b // 2, d // 2))
+    f0[: b // 2] += cA
+    f0[b // 2:] += cB
+    for i in (16, 17):
+        f0[i] += 0.01 * cA
+    # block 1: one tight community -> flow >> threshold, no cut
+    f1 = cA + 0.05 * rng.normal(size=(b, d))
+    x = jnp.asarray(np.stack([f0, f1]).astype(np.float32))
+    pad = jnp.ones((2, b), jnp.float32)
+    eye = jnp.eye(d, dtype=jnp.float32)
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=h, lam=0.5)
+    _, (applied, cost) = _gated_attention_block(
+        x, pad, eye, eye, eye, eye, cfg)
+    applied = np.asarray(applied)
+    # identity projections: logits = x @ x.T / sqrt(d); orthogonal
+    # communities -> cheap cut; tight cluster -> flow >> threshold
+    assert applied[0, 0] and not applied[1, 0]
+
+
+def test_gate_matches_device_oracle_per_partition():
+    """Layer-internal gating equals mincut_gate_device run standalone on
+    the same logits."""
+    nb, b, d, h = 2, 16, 16, 2
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(nb, b, d)).astype(np.float32))
+    pad = jnp.ones((nb, b), jnp.float32)
+    w = [jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.3)
+         for _ in range(4)]
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=h)
+    _, (applied, cost) = _gated_attention_block(x, pad, *w, cfg)
+    dh = d // h
+    q = (x @ w[0]).reshape(nb, b, h, dh).transpose(0, 2, 1, 3)
+    k = (x @ w[1]).reshape(nb, b, h, dh).transpose(0, 2, 1, 3)
+    for i in range(nb):
+        for j in range(h):
+            lg = (q[i, j] @ k[i, j].T) / (dh ** 0.5)
+            _, ref_cost = mincut_gate_device(lg, cfg.lam, cfg.eps)
+            assert (float(ref_cost) > 0) == bool(applied[i, j])
+            np.testing.assert_allclose(
+                float(ref_cost), float(cost[i, j]), atol=1e-5)
+
+
+def test_loss_differentiable_end_to_end():
+    n, d = 64, 32
+    bdg = _graph(n, 8, seed=5, block=32)
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=4, num_layers=2)
+    params = gated_graph_transformer_init(jax.random.key(6), cfg)
+    feats = np.random.default_rng(7).normal(size=(n, d)).astype(np.float32)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+    tgt = jnp.zeros_like(fpad)
+    loss, grads = jax.value_and_grad(gated_graph_transformer_loss)(
+        params, cfg, fpad, bdg, tgt)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)

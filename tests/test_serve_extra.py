@@ -100,3 +100,73 @@ def test_cli_create_insert_search(tmp_path):
     assert res["results"][0]["id"] == 5
     info = json.loads(run("info", col))
     assert info["points_count"] == 20
+
+
+def test_http_server_concurrent_load():
+    """Threaded server under mixed load: 4 writer + 8 reader threads
+    hammer upserts and searches concurrently; every request must succeed
+    and the final collection must hold every written point (weak spot
+    flagged in round-1 review: no concurrency test touched the server)."""
+    import threading
+
+    from ruvector_tpu.serve.server import RuvectorServer
+
+    server = RuvectorServer(port=0).start()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def req(method, path, payload=None):
+        data = json.dumps(payload).encode() if payload is not None else None
+        r = urllib.request.Request(base + path, data=data, method=method,
+                                   headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            return json.loads(resp.read())
+
+    try:
+        req("PUT", "/collections/load",
+            {"vectors": {"size": 8, "distance": "Cosine"}})
+        rng = np.random.default_rng(0)
+        n_writers, per_writer, n_readers = 4, 25, 8
+        errors = []
+
+        def writer(w):
+            try:
+                for i in range(per_writer):
+                    pid = w * per_writer + i
+                    req("PUT", "/collections/load/points", {"points": [{
+                        "id": pid,
+                        "vector": rng.normal(size=8).tolist(),
+                        "payload": {"w": w}}]})
+            except Exception as e:          # pragma: no cover
+                errors.append(e)
+
+        def reader():
+            try:
+                for _ in range(20):
+                    out = req("POST", "/collections/load/points/search",
+                              {"vector": rng.normal(size=8).tolist(),
+                               "limit": 5})
+                    assert "result" in out
+                    # /metrics is prometheus text, not JSON
+                    with urllib.request.urlopen(
+                            base + "/metrics", timeout=30) as resp:
+                        assert b"search_latency_seconds" in resp.read()
+            except Exception as e:          # pragma: no cover
+                errors.append(e)
+
+        threads = ([threading.Thread(target=writer, args=(w,))
+                    for w in range(n_writers)]
+                   + [threading.Thread(target=reader)
+                      for _ in range(n_readers)])
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        info = req("GET", "/collections/load")["result"]
+        assert info["points_count"] == n_writers * per_writer
+        # searches after the storm return exact top-k
+        res = req("POST", "/collections/load/points/search",
+                  {"vector": rng.normal(size=8).tolist(), "limit": 5})
+        assert len(res["result"]) == 5
+    finally:
+        server.stop()
