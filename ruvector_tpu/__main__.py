@@ -94,6 +94,15 @@ def main(argv=None):
     gb.add_argument("out")
     gb.add_argument("--k", type=int, default=16)
 
+    gq = sub.add_parser("graph-query",
+                        help="run a Cypher query against a property graph "
+                             "(edge-list/.jsonl/.cypher file)")
+    gq.add_argument("path")
+    gq.add_argument("query")
+    gs = sub.add_parser("graph-shell",
+                        help="interactive Cypher shell over a property graph")
+    gs.add_argument("path")
+
     args = p.parse_args(argv)
 
     if args.cmd == "mcp":
@@ -206,6 +215,26 @@ def main(argv=None):
                  edge_weight=np.asarray(graph.edge_weight))
         print(f"built k={args.k} graph over {len(feats)} nodes in {dt:.2f}s "
               f"-> {args.out}")
+
+    elif args.cmd in ("graph-query", "graph-shell"):
+        from ruvector_tpu.graph.cypher import cypher_shell, execute_cypher
+        from ruvector_tpu.graph.property import PropertyGraph
+        from ruvector_tpu.graph.property import PNode
+
+        path = Path(args.path)
+        if path.suffix == ".jsonl":
+            pg = PropertyGraph.from_jsonl(str(path))
+        elif path.suffix == ".cypher":
+            pg = PropertyGraph.from_cypher(path.read_text())
+        else:
+            pg = PropertyGraph.from_edge_file(str(path))
+        if args.cmd == "graph-query":
+            for row in execute_cypher(pg, args.query):
+                print(json.dumps({
+                    k: (v.id if isinstance(v, PNode) else v)
+                    for k, v in row.items()}, default=str))
+        else:
+            cypher_shell(pg)
 
     elif args.cmd == "serve":
         from ruvector_tpu.serve.server import RuvectorServer

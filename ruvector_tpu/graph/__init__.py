@@ -7,3 +7,10 @@ from ruvector_tpu.graph.property import PropertyGraph, PNode, PEdge
 __all__ = ["NeighborGraph", "CSRGraph", "build_knn_graph", "knn_graph_numpy",
            "BlockDenseGraph", "build_block_dense",
            "PropertyGraph", "PNode", "PEdge"]
+from ruvector_tpu.graph.cypher import (
+    CypherEngine,
+    CypherSyntaxError,
+    cypher_shell,
+    execute_cypher,
+    parse_cypher,
+)

@@ -1,0 +1,182 @@
+"""Cypher engine over PropertyGraph (graph/cypher.py vs cypher/*.rs)."""
+
+import pytest
+
+from ruvector_tpu.graph.cypher import (
+    CypherSyntaxError,
+    cypher_shell,
+    execute_cypher,
+    parse_cypher,
+)
+from ruvector_tpu.graph.property import PropertyGraph
+
+
+def social_graph():
+    g = PropertyGraph()
+    g.add_node("alice", ["Person"], age=34, name="Alice")
+    g.add_node("bob", ["Person"], age=27, name="Bob")
+    g.add_node("carol", ["Person", "Admin"], age=41, name="Carol")
+    g.add_node("acme", ["Company"], name="Acme")
+    g.add_edge("alice", "bob", "KNOWS", since=2019)
+    g.add_edge("bob", "carol", "KNOWS", since=2021)
+    g.add_edge("alice", "acme", "WORKS_AT", role="eng")
+    g.add_edge("carol", "acme", "WORKS_AT", role="cto")
+    return g
+
+
+def test_match_label_scan_and_filter():
+    rows = execute_cypher(
+        social_graph(),
+        "MATCH (p:Person) WHERE p.age > 30 RETURN p.name ORDER BY p.name")
+    assert [r["p.name"] for r in rows] == ["Alice", "Carol"]
+
+
+def test_match_relationship_direction_and_type():
+    g = social_graph()
+    rows = execute_cypher(
+        g, "MATCH (a:Person)-[r:KNOWS]->(b) RETURN a.name, b.name "
+           "ORDER BY a.name")
+    assert [(r["a.name"], r["b.name"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Carol")]
+    # reversed direction
+    rows = execute_cypher(
+        g, "MATCH (a)<-[:KNOWS]-(b) RETURN a.name, b.name ORDER BY a.name")
+    assert [(r["a.name"], r["b.name"]) for r in rows] == [
+        ("Bob", "Alice"), ("Carol", "Bob")]
+
+
+def test_property_pattern_inline():
+    rows = execute_cypher(
+        social_graph(),
+        "MATCH (p:Person {name: 'Bob'})-[:KNOWS]->(q) RETURN q.name")
+    assert rows == [{"q.name": "Carol"}]
+
+
+def test_variable_length_path():
+    rows = execute_cypher(
+        social_graph(),
+        "MATCH (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(b) "
+        "RETURN b.name ORDER BY b.name")
+    assert [r["b.name"] for r in rows] == ["Bob", "Carol"]
+
+
+def test_two_hop_join_through_company():
+    rows = execute_cypher(
+        social_graph(),
+        "MATCH (a:Person)-[:WORKS_AT]->(c:Company)<-[:WORKS_AT]-(b:Person) "
+        "WHERE a.name < b.name RETURN a.name, b.name")
+    assert rows == [{"a.name": "Alice", "b.name": "Carol"}]
+
+
+def test_aggregations():
+    rows = execute_cypher(
+        social_graph(),
+        "MATCH (p:Person) RETURN count(*) AS n, avg(p.age) AS mean, "
+        "max(p.age) AS oldest")
+    assert rows == [{"n": 3, "mean": pytest.approx(34.0), "oldest": 41}]
+
+
+def test_collect_and_distinct():
+    g = social_graph()
+    rows = execute_cypher(
+        g, "MATCH (p:Person)-[:WORKS_AT]->(c) RETURN collect(p.name) AS who")
+    assert sorted(rows[0]["who"]) == ["Alice", "Carol"]
+    rows = execute_cypher(
+        g, "MATCH (p:Person)-[:KNOWS]->() RETURN DISTINCT p.age > 0 AS any")
+    assert rows == [{"any": True}]
+
+
+def test_where_string_operators():
+    rows = execute_cypher(
+        social_graph(),
+        "MATCH (p:Person) WHERE p.name STARTS WITH 'A' OR "
+        "p.name CONTAINS 'aro' RETURN p.name ORDER BY p.name")
+    assert [r["p.name"] for r in rows] == ["Alice", "Carol"]
+
+
+def test_skip_limit():
+    rows = execute_cypher(
+        social_graph(),
+        "MATCH (p:Person) RETURN p.name ORDER BY p.age DESC SKIP 1 LIMIT 1")
+    assert rows == [{"p.name": "Alice"}]
+
+
+def test_create_nodes_and_edges():
+    g = PropertyGraph()
+    execute_cypher(
+        g, "CREATE (a:Person {name: 'Ann'}), (b:Person {name: 'Ben'})")
+    assert g.node_count == 2
+    execute_cypher(
+        g, "MATCH (a:Person {name: 'Ann'}), (b:Person {name: 'Ben'}) "
+           "CREATE (a)-[:KNOWS {since: 2024}]->(b)")
+    assert g.edge_count == 1
+    rows = execute_cypher(
+        g, "MATCH (a)-[r:KNOWS]->(b) WHERE r.since = 2024 RETURN b.name")
+    assert rows == [{"b.name": "Ben"}]
+
+
+def test_set_and_delete():
+    g = social_graph()
+    execute_cypher(g, "MATCH (p:Person {name: 'Bob'}) SET p.age = 28")
+    assert g.get_node("bob").properties["age"] == 28
+    execute_cypher(g, "MATCH (p:Person {name: 'Bob'}) DELETE p")
+    assert g.get_node("bob") is None
+
+
+def test_anonymous_nodes_and_rel_var_binding():
+    rows = execute_cypher(
+        social_graph(),
+        "MATCH (:Person {name: 'Alice'})-[r:WORKS_AT]->(c) "
+        "RETURN c.name AS company")
+    assert rows == [{"company": "Acme"}]
+
+
+def test_syntax_errors():
+    with pytest.raises(CypherSyntaxError):
+        parse_cypher("MATCH (a RETURN a")
+    with pytest.raises(CypherSyntaxError):
+        parse_cypher("FROB (a) RETURN a")
+
+
+def test_shell_drives_queries():
+    g = social_graph()
+    lines = iter([
+        "MATCH (p:Person) RETURN count(*) AS n",
+        ":stats",
+        ":quit",
+    ])
+    outputs = []
+    cypher_shell(g, input_fn=lambda _: next(lines),
+                 print_fn=outputs.append)
+    joined = "\n".join(str(o) for o in outputs)
+    assert "'n': 3" in joined and "nodes: 4" in joined
+
+
+def test_optimizer_reverses_to_selective_anchor():
+    from ruvector_tpu.graph.cypher import optimize_query, parse_cypher
+
+    g = social_graph()
+    q = parse_cypher(
+        "MATCH (a)-[:WORKS_AT]->(c:Company {name: 'Acme'}) RETURN a.name")
+    q2 = optimize_query(q, g)
+    # anchor flipped to the selective Company node; direction inverted
+    assert q2.matches[0].nodes[0].labels == ["Company"]
+    assert q2.matches[0].rels[0].direction == "in"
+    # results identical with and without the rewrite
+    e = __import__("ruvector_tpu.graph.cypher", fromlist=["CypherEngine"])
+    rows_opt = e.CypherEngine(g).execute(q, optimize=True)
+    rows_raw = e.CypherEngine(social_graph()).execute(
+        parse_cypher("MATCH (a)-[:WORKS_AT]->(c:Company {name: 'Acme'}) "
+                     "RETURN a.name"), optimize=False)
+    key = lambda r: r["a.name"]
+    assert sorted(rows_opt, key=key) == sorted(rows_raw, key=key)
+
+
+def test_optimizer_orders_matches_by_selectivity():
+    from ruvector_tpu.graph.cypher import optimize_query, parse_cypher
+
+    g = social_graph()
+    q = parse_cypher(
+        "MATCH (p:Person), (c:Company) RETURN count(*) AS n")
+    q2 = optimize_query(q, g)
+    assert q2.matches[0].nodes[0].labels == ["Company"]  # 1 < 3 candidates

@@ -153,3 +153,58 @@ def test_tpu_layer_throughput_gate():
     eps = n * m / dt
     assert eps > g["layer_forward_100k_edges_per_s_min"], \
         f"layer {eps/1e6:.0f}M edges/s"
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUVECTOR_PERF_GATES") != "tpu",
+    reason="TPU gates run only with RUVECTOR_PERF_GATES=tpu on real TPU",
+)
+def test_tpu_fused_block_dense_gate():
+    """The headline path (bench.py): fused block-dense layer on clustered
+    data must stay above the committed floor (680M edges/s measured,
+    1.5x regression margin -> 450M)."""
+    import jax
+    import jax.numpy as jnp
+
+    assert _backend() not in ("cpu",), "TPU gate requires TPU backend"
+
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "benchmarks"))
+    from scale_sweep_r02 import gen_cluster_graph
+
+    from ruvector_tpu.graph import build_block_dense
+    from ruvector_tpu.nn.block_dense_layer import (
+        ruvector_layer_apply_block_dense_fused,
+    )
+    from ruvector_tpu.nn.ruvector_layer import (
+        RuvectorLayerConfig,
+        ruvector_layer_init,
+    )
+
+    g = GATES["tpu"]
+    n, d, k = 99_968, 128, 16
+    feats, idx, mask, ew = gen_cluster_graph(n, d, k)
+    bdg = build_block_dense(idx, mask, ew, block=256)
+    cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4,
+                              compute_dtype="bfloat16")
+    params = ruvector_layer_init(jax.random.key(0), cfg)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+
+    iters = 20
+
+    @jax.jit
+    def loop(p, f):
+        def body(x, _):
+            return ruvector_layer_apply_block_dense_fused(
+                p, cfg, x, bdg, tile=256), None
+        out, _ = jax.lax.scan(body, f, None, length=iters)
+        return jnp.sum(out)
+
+    float(loop(params, fpad))
+    t0 = time.perf_counter()
+    float(loop(params, fpad))
+    dt = (time.perf_counter() - t0) / iters
+    eps = n * k / dt
+    assert eps > g["fused_layer_100k_edges_per_s_min"], \
+        f"fused layer {eps/1e6:.0f}M edges/s"
