@@ -184,9 +184,18 @@ def build_block_dense(
     log_mult = None
     if counts.max() > 1.0:
         log_mult = jnp.asarray(np.log(np.maximum(counts, 1.0)))
+    # cast to the target dtype on HOST before the device transfer: a
+    # [39k, 256, 256] f32 staging buffer on device is 10.2GB at 10M
+    # nodes — casting first halves both transfer bytes and peak HBM
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        import ml_dtypes
+
+        wdense = wdense.astype(ml_dtypes.bfloat16)
+    else:
+        wdense = wdense.astype(dtype)
     return BlockDenseGraph(
         local_ids=jnp.asarray(local_ids),
-        wdense=jnp.asarray(wdense).astype(dtype),
+        wdense=jnp.asarray(wdense),
         degrees=jnp.asarray(degrees),
         node_pad=jnp.asarray(node_pad),
         node_pos=jnp.asarray(node_pos),
