@@ -68,12 +68,14 @@ def main():
     fpad = bdg.pad_features(jnp.asarray(feats))
     del feats
 
-    # --- forward + gate stats (once) -----------------------------------
+    # --- forward + gate stats (once). bdg is a jit ARGUMENT, not a
+    # closure: closed-over device arrays become baked-in constants in
+    # the serialized program (1GB+ at 1M nodes -> remote-compile 413)
     fwd_stats = jax.jit(
-        lambda p, f: gated_graph_transformer_apply(
-            p, cfg, f, bdg, with_stats=True))
+        lambda p, f, g: gated_graph_transformer_apply(
+            p, cfg, f, g, with_stats=True))
     t0 = time.time()
-    out, stats = fwd_stats(params, fpad)
+    out, stats = fwd_stats(params, fpad, bdg)
     jax.block_until_ready(out)
     t_compile = time.time() - t0
     applied = np.concatenate([np.asarray(s[0]).reshape(-1) for s in stats])
@@ -84,34 +86,34 @@ def main():
     # --- forward latency: scan difference ------------------------------
     def make_loop(iters):
         @jax.jit
-        def loop(p, f):
+        def loop(p, f, g):
             def body(x, _):
-                return gated_graph_transformer_apply(p, cfg, x, bdg), None
+                return gated_graph_transformer_apply(p, cfg, x, g), None
             o, _ = jax.lax.scan(body, f, None, length=iters)
             return jnp.sum(o)
         return loop
 
     k = args.iters
     loop1, loop2 = make_loop(1), make_loop(1 + k)
-    float(loop1(params, fpad)); float(loop2(params, fpad))
-    t0 = time.perf_counter(); float(loop1(params, fpad))
-    t1 = time.perf_counter(); float(loop2(params, fpad))
+    float(loop1(params, fpad, bdg)); float(loop2(params, fpad, bdg))
+    t0 = time.perf_counter(); float(loop1(params, fpad, bdg))
+    t1 = time.perf_counter(); float(loop2(params, fpad, bdg))
     t2 = time.perf_counter()
     fwd_s = ((t2 - t1) - (t1 - t0)) / k
 
-    # --- one training step ---------------------------------------------
-    tgt = jnp.zeros_like(fpad)
-
+    # --- one training step (tgt built inside jit: a closed-over 2.5GB
+    # zeros array would be serialized as a program constant) -------------
     @jax.jit
-    def train_step(p, f):
-        loss, g = jax.value_and_grad(gated_graph_transformer_loss)(
-            p, cfg, f, bdg, tgt)
-        return jax.tree_util.tree_map(lambda w, gw: w - 1e-3 * gw, p, g), loss
+    def train_step(p, f, g):
+        loss, gr = jax.value_and_grad(gated_graph_transformer_loss)(
+            p, cfg, f, g, jnp.zeros_like(f))
+        return jax.tree_util.tree_map(
+            lambda w, gw: w - 1e-3 * gw, p, gr), loss
 
-    p2, loss = train_step(params, fpad)
+    p2, loss = train_step(params, fpad, bdg)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    p2, loss = train_step(params, fpad)
+    p2, loss = train_step(params, fpad, bdg)
     jax.block_until_ready(loss)
     step_s = time.perf_counter() - t0
 

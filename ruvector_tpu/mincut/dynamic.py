@@ -3,12 +3,19 @@
 Reference: ruvector-mincut — subpolynomial dynamic min-cut
 (linkcut/euler/expander subsystems) + monitoring module (event-driven
 threshold callbacks, monitoring/mod.rs). This maintainer keeps the exact
-s-t min-cut of an edge-weighted digraph under insert/delete/reweight:
-updates mark the structure dirty and cut queries recompute lazily with
-the exact Dinic core (attention/mincut._Dinic / native C++) — at gate-
-and shard-scale graphs an exact recompute is microseconds, which is why
-the reference's amortized-subpolynomial machinery is not the right
-trade on this stack (see docs/DESIGN_NOTES.md).
+s-t min-cut of an edge-weighted digraph under insert/delete/reweight.
+
+Two backends:
+- native (default when the C++ runtime builds): the INCREMENTAL solver
+  (native/graph_runtime.cpp incmc_*) — persistent warm max-flow
+  residual; inserts that don't cross the current cut are O(1) and
+  provably value-preserving, crossing updates repair with warm Dinic
+  phases, deletes cancel only the excess flow. 542x faster than
+  recompute-per-query at 1M nodes / 4M edges (MINCUT_SCALE_r02.json).
+- python: lazy exact recompute with the Dinic core
+  (attention/mincut._Dinic) — always available; serves as the bit-exact
+  oracle the native backend is fuzz-pinned to
+  (tests/test_incremental_mincut.py).
 
 Monitoring semantics follow the reference: registered watchers fire when
 the cut value crosses their threshold (edge-triggered, via
