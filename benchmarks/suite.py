@@ -114,6 +114,44 @@ def main():
     dt = scan_diff_time(fwd_b, nparams, feats_pad)
     results["gnn_layer_blocked_edges_per_s"] = round(n * k / dt, 0)
 
+    # 1c. fused block-dense kernel — the bench.py headline path, on
+    # CLUSTERED data (the vector-DB regime; the suite's main graph is
+    # uniform-random = an expander, where the fused path correctly
+    # declines and falls back to the slot layer).
+    from ruvector_tpu.graph import build_block_dense
+    from ruvector_tpu.nn.block_dense_layer import (
+        ruvector_layer_apply_block_dense_fused,
+    )
+    from ruvector_tpu.parallel.ordering import graph_grow_blocks
+
+    try:
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scale_sweep_r02 import gen_cluster_graph
+
+        n_c = n - n % 128
+        feats_c, idx_c, mask_c, ew_c = gen_cluster_graph(n_c, d, k)
+        order, leaves = graph_grow_blocks(idx_c, mask_c, 512)
+        inv = np.empty(n_c, np.int64)
+        inv[order] = np.arange(n_c)
+        bdg = build_block_dense(inv[idx_c[order]].astype(np.int32),
+                                mask_c[order], ew_c[order],
+                                leaf_sizes=leaves)
+        if bdg.table <= 2 * bdg.block:
+            cfg_f = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4,
+                                        compute_dtype="bfloat16")
+            params_f = ruvector_layer_init(jax.random.key(0), cfg_f)
+            tile = 512 if bdg.block % 512 == 0 else 256
+            fpad_f = bdg.pad_features(jnp.asarray(feats_c[order]))
+            dt = scan_diff_time(
+                lambda p, x: ruvector_layer_apply_block_dense_fused(
+                    p, cfg_f, x, bdg, tile=tile), params_f, fpad_f)
+            results["gnn_layer_fused_edges_per_s"] = round(n_c * k / dt, 0)
+        else:
+            results["gnn_layer_fused_edges_per_s"] = None   # degenerate halo
+    except Exception as e:      # fused path optional on exotic backends
+        results["gnn_layer_fused_edges_per_s"] = f"error: {e}"
+
     # 2. SpMM
     spmm = jax.jit(lambda f: spmm_padded(f, graph.nbr_idx, graph.edge_weight,
                                          graph.nbr_mask))
@@ -235,6 +273,90 @@ def main():
         jax.block_until_ready(out[0])
     dt = (time.perf_counter() - t0) / 5
     results["decode_tokens_per_s"] = round((8 + new_tokens) / dt, 1)
+
+    # 8b. speculative decoding (self-drafting early-exit draft model):
+    # token-identical to greedy; reports throughput + acceptance so the
+    # speedup claim is measured, not asserted (VERDICT r1 item 7)
+    from ruvector_tpu.transformer.decode import make_decode_step
+    from ruvector_tpu.transformer.spec_decode import (
+        SpecDecodeConfig,
+        make_speculative_generate_fn,
+    )
+
+    step_fn = make_decode_step(tcfg, dec.cache_cfg)
+    caches_sp = dec.init_caches()
+    logits_sp = None
+    for pos, t in enumerate(np.asarray(prompt)):
+        logits_sp, caches_sp = step_fn(
+            model.weights, caches_sp, jnp.int32(int(t)), jnp.int32(pos),
+            jnp.bool_(True))
+    first_sp = jnp.argmax(logits_sp).astype(jnp.int32)
+    sgen = make_speculative_generate_fn(
+        tcfg, dec.cache_cfg, SpecDecodeConfig(gamma=4, draft_layers=1),
+        new_tokens)
+    out_sp = sgen(model.weights, caches_sp, first_sp)
+    jax.block_until_ready(out_sp[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out_sp = sgen(model.weights, caches_sp, first_sp)
+        jax.block_until_ready(out_sp[0])
+    dt_sp = (time.perf_counter() - t0) / 5
+    commits = np.asarray(out_sp[4])
+    # the fixed-length scan keeps running after all tokens commit; count
+    # only the macro steps needed to reach the token budget
+    done_at = np.searchsorted(np.cumsum(commits), float(out_sp[1]))
+    n_macros = int(done_at) + 1
+    results["decode_speculative_tokens_per_s"] = round(new_tokens / dt_sp, 1)
+    results["spec_tokens_per_macro_step"] = round(
+        float(out_sp[1]) / max(n_macros, 1), 2)
+    results["spec_draft_acceptance"] = round(
+        float(out_sp[3]) / max(3 * n_macros, 1), 3)   # gamma-1 drafts/step
+
+    # 8c. speculative CEILING — converged-model proxy: post-draft layers
+    # contribute ~0 (zeroed residual branches), so the 1-layer draft
+    # equals the full model and acceptance is total. Random-weight
+    # acceptance above is the floor; real models sit between. This row
+    # is the measured speedup the machinery delivers when drafts land.
+    layers_cv = []
+    for li, lp in enumerate(model.weights["layers"]):
+        lp2 = dict(lp)
+        if li >= 1:
+            lp2["out"] = {kk: vv * 0 for kk, vv in lp["out"].items()}
+            lp2["ffn_out"] = {kk: vv * 0 for kk, vv in lp["ffn_out"].items()}
+        layers_cv.append(lp2)
+    w_cv = dict(model.weights)
+    w_cv["layers"] = layers_cv
+    caches_cv = dec.init_caches()
+    logits_cv = None
+    for pos, t in enumerate(np.asarray(prompt)):
+        logits_cv, caches_cv = step_fn(
+            w_cv, caches_cv, jnp.int32(int(t)), jnp.int32(pos),
+            jnp.bool_(True))
+    first_cv = jnp.argmax(logits_cv).astype(jnp.int32)
+    out_cv = sgen(w_cv, caches_cv, first_cv)
+    jax.block_until_ready(out_cv[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out_cv = sgen(w_cv, caches_cv, first_cv)
+        jax.block_until_ready(out_cv[0])
+    dt_cv = (time.perf_counter() - t0) / 5
+    # greedy under the same weights for the apples-to-apples ratio
+    out_g = gen(w_cv, dec.init_caches(), prompt)
+    jax.block_until_ready(out_g[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out_g = gen(w_cv, dec.init_caches(), prompt)
+        jax.block_until_ready(out_g[0])
+    dt_gcv = (time.perf_counter() - t0) / 5
+    n_macros_cv = int(np.searchsorted(
+        np.cumsum(np.asarray(out_cv[4])), float(out_cv[1]))) + 1
+    results["decode_speculative_ceiling_tokens_per_s"] = round(
+        new_tokens / dt_cv, 1)
+    results["spec_ceiling_tokens_per_macro_step"] = round(
+        float(out_cv[1]) / max(n_macros_cv, 1), 2)
+    # per-token ratio (greedy decodes prompt_len + new_tokens steps)
+    results["spec_ceiling_speedup_vs_greedy"] = round(
+        (dt_gcv / (8 + new_tokens)) / (dt_cv / new_tokens), 2)
 
     # 9. batched serving decode (vmap over sequences: GEMVs become GEMMs)
     from ruvector_tpu.transformer.decode import make_batched_generate_fn

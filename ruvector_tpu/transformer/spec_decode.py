@@ -153,24 +153,54 @@ def make_speculative_generate_fn(
                 0, gamma, draft_body, (dk, dv, toks0, b))
             # chunk_toks = [b, d1, ..., d_{gamma-1}]
 
-            # ---- 2. verify: full model over the chunk ----
+            # ---- 2. verify: full model over the WHOLE chunk in one
+            # batched pass. This is where speculation pays on TPU: the
+            # per-token decode GEMVs become [gamma, hidden] GEMMs, so the
+            # weight stream from HBM is amortized over gamma tokens
+            # (speculative.rs's tree verification role, flattened to the
+            # accepted chain). Same math as the sequential token loop —
+            # token i attends cache + chunk positions j <= i.
             all_ids = list(range(n_layers))
-            vk = zero_chunk
-            vv = zero_chunk
-
-            def verify_body(i, state):
-                vk, vv, lg = state
-                cmask = (jnp.arange(gamma) < i).astype(jnp.float32)
-                logits, ks, vs = forward_chunk_token(
-                    weights, caches, all_ids, chunk_toks[i], base_pos + i,
-                    vk, vv, cmask)
-                vk = vk.at[:, i].set(ks)
-                vv = vv.at[:, i].set(vs)
-                return vk, vv, lg.at[i].set(logits)
-
-            lg0 = jnp.zeros((gamma, config.logits), jnp.float32)
-            vk, vv, chunk_logits = jax.lax.fori_loop(
-                0, gamma, verify_body, (vk, vv, lg0))
+            X = weights["embedding"][chunk_toks]            # [G, hidden]
+            causal = (jnp.arange(gamma)[None, :]
+                      <= jnp.arange(gamma)[:, None])        # [G, G]
+            vks, vvs = [], []
+            for li in all_ids:
+                layer = weights["layers"][li]
+                ck_l, cv_l, cm_l = kv_cache_read(cache_cfg, caches[li])
+                h = _ln(layer["ln1"], X)
+                qkv = _apply_dense(layer["qkv"], h)         # [G, 3*H*hd]
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                poss = base_pos + jnp.arange(gamma, dtype=jnp.int32)
+                rot = jax.vmap(
+                    lambda x, p: rope_rotate(
+                        x.reshape(heads, hd),
+                        jnp.full((heads,), p, jnp.int32), cos_t, sin_t))
+                q = rot(q, poss)                            # [G, H, hd]
+                k = rot(k, poss)
+                v = v.reshape(gamma, heads, hd)
+                scale = 1.0 / (hd ** 0.5)
+                s_cache = jnp.einsum("ghd,thd->ght", q, ck_l) * scale
+                s_cache = jnp.where(cm_l[None, None, :] > 0, s_cache, -1e30)
+                s_chunk = jnp.einsum("ghd,jhd->ghj", q, k) * scale
+                s_chunk = jnp.where(causal[:, None, :], s_chunk, -1e30)
+                s_all = jnp.concatenate([s_cache, s_chunk], axis=-1)
+                attn = jax.nn.softmax(s_all, axis=-1)
+                tc = ck_l.shape[0]
+                ctx = (jnp.einsum("ght,thd->ghd", attn[..., :tc], cv_l)
+                       + jnp.einsum("ghj,jhd->ghd", attn[..., tc:], v))
+                X = X + _apply_dense(layer["out"],
+                                     ctx.reshape(gamma, heads * hd))
+                h2 = _ln(layer["ln2"], X)
+                X = X + _apply_dense(
+                    layer["ffn_out"],
+                    jax.nn.gelu(_apply_dense(layer["ffn_in"], h2)))
+                vks.append(k)
+                vvs.append(v)
+            Xf = _ln(weights["final_ln"], X)
+            chunk_logits = _apply_dense(weights["head"], Xf)  # [G, logits]
+            vk = jnp.stack(vks)                             # [L, G, H, hd]
+            vv = jnp.stack(vvs)
             targets = jnp.argmax(chunk_logits, axis=-1).astype(jnp.int32)
 
             # ---- 3. accept longest agreeing prefix of the drafts ----
@@ -202,10 +232,27 @@ def make_speculative_generate_fn(
                     n_commit)
 
         out0 = jnp.zeros((max_new_tokens + 1,), jnp.int32)
-        (caches, b, cursor, out, acc_total), commits = jax.lax.scan(
-            macro, (caches, first_token, jnp.zeros((), jnp.int32), out0,
-                    jnp.zeros((), jnp.int32)),
-            None, length=macro_steps)
+        commits0 = jnp.zeros((macro_steps,), jnp.int32)
+
+        # while_loop, not a fixed-length scan: at high acceptance only
+        # ~max_new/gamma macro steps are needed — running the rest would
+        # forfeit the speculative speedup the chunking just bought
+        def cond(state):
+            carry, commits, step = state
+            _, _, cursor, _, _ = carry
+            return (cursor < max_new_tokens) & (step < macro_steps)
+
+        def body(state):
+            carry, commits, step = state
+            carry, n_commit = macro(carry, None)
+            return carry, commits.at[step].set(n_commit), step + 1
+
+        (carry, commits, _) = jax.lax.while_loop(
+            cond, body,
+            ((caches, first_token, jnp.zeros((), jnp.int32), out0,
+              jnp.zeros((), jnp.int32)), commits0,
+             jnp.zeros((), jnp.int32)))
+        caches, b, cursor, out, acc_total = carry
         count = jnp.minimum(cursor, max_new_tokens)
         return out[:max_new_tokens], count, caches, acc_total, commits
 

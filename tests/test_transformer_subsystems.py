@@ -516,5 +516,8 @@ def test_speculative_generate_matches_greedy():
     out, count, _, acc_total, commits = gen(weights, caches, b)
     assert int(count) == max_new
     assert [int(t) for t in out] == greedy
-    # every macro step commits at least the bonus token
-    assert int(jnp.min(commits)) >= 1
+    # every EXECUTED macro step commits at least the bonus token (the
+    # while_loop exits once the budget is met, leaving trailing zeros)
+    c = np.asarray(commits)
+    executed = c[: int(np.searchsorted(np.cumsum(c), max_new)) + 1]
+    assert executed.min() >= 1
