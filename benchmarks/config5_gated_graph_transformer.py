@@ -83,26 +83,33 @@ def main():
     gate_frac = float(applied.mean())
     mean_cost = float(costs[applied].mean()) if applied.any() else 0.0
 
-    # --- forward latency: scan difference ------------------------------
-    def make_loop(iters):
-        @jax.jit
-        def loop(p, f, g):
-            def body(x, _):
-                return gated_graph_transformer_apply(p, cfg, x, g), None
-            o, _ = jax.lax.scan(body, f, None, length=iters)
-            return jnp.sum(o)
-        return loop
-
+    # --- forward latency: separate dispatches. The forward at 1M runs
+    # for seconds (31 gate chunks of device push-relabel), so dispatch
+    # overhead is <0.1%; a multi-iteration scan at this size trips the
+    # TPU watchdog ("worker crashed") on the dev tunnel.
+    fwd = jax.jit(lambda p, f, g: gated_graph_transformer_apply(
+        p, cfg, f, g))
+    x = fwd(params, fpad, bdg)
+    jax.block_until_ready(x)              # compile + warm
     k = args.iters
-    loop1, loop2 = make_loop(1), make_loop(1 + k)
-    float(loop1(params, fpad, bdg)); float(loop2(params, fpad, bdg))
-    t0 = time.perf_counter(); float(loop1(params, fpad, bdg))
-    t1 = time.perf_counter(); float(loop2(params, fpad, bdg))
-    t2 = time.perf_counter()
-    fwd_s = ((t2 - t1) - (t1 - t0)) / k
+    t0 = time.perf_counter()
+    for _ in range(k):
+        x = fwd(params, x, bdg)
+    jax.block_until_ready(x)
+    fwd_s = (time.perf_counter() - t0) / k
 
-    # --- one training step (tgt built inside jit: a closed-over 2.5GB
-    # zeros array would be serialized as a program constant) -------------
+    # --- one training step. Measured on a 100k-node slice: the
+    # BACKWARD program of the full 1M gated model (31 chunk maps of
+    # push-relabel while_loops + saved attention residuals) crashes the
+    # remote TPU compiler helper; 100k (13 chunks) compiles fine and the
+    # cost model is linear in partitions. (tgt built inside jit: a
+    # closed-over zeros array would be serialized as a constant.)
+    n_t = min(n, 99_840)
+    feats_t, idx_t, mask_t, ew_t = gen_cluster_graph(n_t, d, DEGREE, seed=1)
+    bdg_t = build_block_dense(idx_t, mask_t, ew_t, block=BLOCK,
+                              dtype=np.float32)
+    fpad_t = bdg_t.pad_features(jnp.asarray(feats_t))
+
     @jax.jit
     def train_step(p, f, g):
         loss, gr = jax.value_and_grad(gated_graph_transformer_loss)(
@@ -110,10 +117,10 @@ def main():
         return jax.tree_util.tree_map(
             lambda w, gw: w - 1e-3 * gw, p, gr), loss
 
-    p2, loss = train_step(params, fpad, bdg)
+    p2, loss = train_step(params, fpad_t, bdg_t)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    p2, loss = train_step(params, fpad, bdg)
+    p2, loss = train_step(params, fpad_t, bdg_t)
     jax.block_until_ready(loss)
     step_s = time.perf_counter() - t0
 
@@ -127,6 +134,7 @@ def main():
         "gen_s": round(t_gen, 1), "build_s": round(t_build, 1),
         "compile_s": round(t_compile, 1),
         "forward_ms": round(fwd_s * 1e3, 2),
+        "train_step_nodes": n_t,
         "train_step_ms": round(step_s * 1e3, 2),
         "gnn_edges_per_s": round(edges / fwd_s),
         "gates_evaluated": int(applied.size),
