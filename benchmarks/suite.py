@@ -237,24 +237,30 @@ def main():
         @jax.jit
         def loop(w, ids):
             def body(acc, _):
-                lp = jnp.int32(31) + (acc > jnp.float32(3.4e38)).astype(
-                    jnp.int32)
-                logits, _ = run_prog(w, ids, lp, extra_m, mod_m,
-                                     from_tokens=True)
+                # the TOKENS must depend on the carry — a carry-dependent
+                # slice position alone lets XLA hoist the whole
+                # transformer body out of the scan (measured 0.03ms,
+                # i.e. just the head GEMV)
+                ids2 = ids + (acc > jnp.float32(3.4e38)).astype(jnp.int32)
+                logits, _ = run_prog(w, ids2, jnp.int32(31), extra_m,
+                                     mod_m, from_tokens=True)
                 return jnp.sum(logits), None
             out, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
             return out
         return loop
 
-    f_short, f_long = make_tier_loop(2), make_tier_loop(12)
+    # seq-64/hidden-256 is ~10us/call on TPU — the iteration counts must
+    # be large enough that the difference clears tunnel timing noise
+    n_short, n_long = 20, 2020
+    f_short, f_long = make_tier_loop(n_short), make_tier_loop(n_long)
     float(f_short(model.weights, ids_dev))
     float(f_long(model.weights, ids_dev))
     t0 = time.perf_counter(); float(f_short(model.weights, ids_dev))
     t_s = time.perf_counter() - t0
     t0 = time.perf_counter(); float(f_long(model.weights, ids_dev))
     t_l = time.perf_counter() - t0
-    results["transformer_infer_device_ms"] = round(
-        max(t_l - t_s, 1e-9) / 10 * 1e3, 3)
+    results["transformer_infer_device_us"] = round(
+        max(t_l - t_s, 1e-9) / (n_long - n_short) * 1e6, 1)
 
     # 8. autoregressive decode throughput (whole-generation jitted scan —
     # one dispatch for the full sequence, so tunnel latency is amortized)
