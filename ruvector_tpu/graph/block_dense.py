@@ -162,10 +162,14 @@ def build_block_dense(
     for k in range(nb):
         own = np.arange(starts[k], starts[k] + lens[k], dtype=np.int64)
         h = halos[k]
-        ids = np.concatenate([own, h])
-        # local table columns hold PADDED positions of the named nodes
-        local_ids[k, : len(ids)] = node_pos[ids]
-        pos[ids] = np.arange(len(ids))
+        # FIXED LAYOUT: own rows at columns [0, lens), halo ALWAYS at
+        # [bsz, bsz+len(h)) even for a short (padded) tail block — the
+        # fused kernel builds its local table as concat(own_block, halo)
+        # and needs halo to start at the block width, not at lens[k]
+        local_ids[k, : lens[k]] = node_pos[own]
+        local_ids[k, bsz: bsz + len(h)] = node_pos[h]
+        pos[own] = np.arange(lens[k])
+        pos[h] = bsz + np.arange(len(h))
         rows = slice(starts[k], starts[k] + lens[k])
         mk = mask[rows] > 0
         r, s = np.nonzero(mk)
@@ -173,7 +177,8 @@ def build_block_dense(
         # duplicate neighbor slots accumulate (kNN graphs have none)
         np.add.at(wdense[k], (r, cols), wnorm[rows][r, s])
         np.add.at(counts[k], (r, cols), 1.0)
-        pos[ids] = -1
+        pos[own] = -1
+        pos[h] = -1
 
     degrees = np.zeros((nb, bsz), np.float32)
     node_pad = np.zeros((nb, bsz), np.float32)

@@ -169,6 +169,10 @@ def _make_fused_kernel(heads: int, scale: float, dropout: float, eps: float,
 
         f32 = jnp.float32
         attn_out = bout_ref[0]                        # [1, D] broadcasts
+        # one explicit VMEM transpose instead of a (1),(1)-contracting
+        # dot: current Mosaic rejects bf16 lhs matmuls that need an
+        # implicit rhs transpose ("Bad lhs type")
+        LT = L.T                                      # [D, T] cdt
         for h in range(heads):
             # A/c arrive PRE-SCALED by 1/sqrt(hd) (fold_layer_params), so
             # no per-score scale pass. The reference's <q_h(i), b_k_h> score
@@ -177,7 +181,7 @@ def _make_fused_kernel(heads: int, scale: float, dropout: float, eps: float,
                 M, A_ref[h], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32) + c_ref[h]
             s = jax.lax.dot_general(
-                u.astype(cdt), L, (((1,), (1,)), ((), ())),
+                u.astype(cdt), LT, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)           # [Bt, T]
             if lm is not None:
                 s = s + lm

@@ -128,3 +128,25 @@ def test_fused_bf16_io_parity():
     # bf16 has ~3 decimal digits; LN-normalized outputs are O(1)
     np.testing.assert_allclose(got32[: len(ref)], ref, atol=4e-2)
     assert np.mean(np.abs(got32[: len(ref)] - ref)) < 8e-3
+
+
+def test_fused_short_tail_block_with_halo():
+    """Regression: when n % block != 0, the tail block is padded and its
+    halo must land at column `block` in the local-ids layout — the fused
+    kernel builds its table as concat(own_block, halo). Before the fix
+    the halo slice picked the wrong rows (max err ~2.0)."""
+    n, d, m = 600, 64, 12          # 600 % 256 != 0 -> padded tail block
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, n, (n, m)).astype(np.int32)
+    mask = np.ones((n, m), np.float32)
+    ew = rng.uniform(0.1, 1.0, (n, m)).astype(np.float32)
+    bdg = build_block_dense(idx, mask, ew, block=256)
+    assert bdg.table > bdg.block            # real halo
+    cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
+    params = ruvector_layer_init(jax.random.key(0), cfg)
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    fpad = bdg.pad_features(feats)
+    ref = np.asarray(ruvector_layer_apply_block_dense(params, cfg, fpad, bdg))
+    got = np.asarray(
+        ruvector_layer_apply_block_dense_fused(params, cfg, fpad, bdg))
+    np.testing.assert_allclose(got[: len(ref)], ref, atol=2e-5)
