@@ -54,6 +54,11 @@ class GatedGraphTransformerConfig:
     lam: float = 0.5            # gate threshold multiplier (mincut.rs:163)
     eps: float = 0.01           # positive-logit clamp
     gate_chunk: int = 256       # partitions per lax.map step (memory bound)
+    # 'pooled' (default): ONE gate per partition over the head-mean
+    # logits, mask shared across heads — gating.rs:70-102 operates on a
+    # single [S, S] logit matrix, so this is the faithful granularity
+    # (and 1/H the gate cost). 'per_head': independent gate per head.
+    gate_mode: str = "pooled"
     compute_dtype: str = "float32"
 
     @property
@@ -109,9 +114,20 @@ def _gated_attention_block(h, node_pad, wq, wk, wv, wo, cfg):
             preferred_element_type=jnp.float32) * scale
         # padding rows/cols carry no positive weight -> invisible to gate
         logits = jnp.where(vmc > 0, logits, -1.0)
-        keep, cost = jax.vmap(jax.vmap(
-            lambda lg: mincut_gate_device(lg, cfg.lam, cfg.eps)
-        ))(logits)
+        if cfg.gate_mode == "pooled":
+            # one gate per partition over head-mean logits (the
+            # reference's single-matrix granularity); keep broadcast
+            pooled = jnp.mean(logits, axis=1)       # [C, B, B]
+            keep1, cost1 = jax.vmap(
+                lambda lg: mincut_gate_device(lg, cfg.lam, cfg.eps)
+            )(pooled)
+            keep = jnp.broadcast_to(keep1[:, None], logits.shape)
+            cost = jnp.broadcast_to(cost1[:, None],
+                                    logits.shape[:2])
+        else:
+            keep, cost = jax.vmap(jax.vmap(
+                lambda lg: mincut_gate_device(lg, cfg.lam, cfg.eps)
+            ))(logits)
         keep = jax.lax.stop_gradient(keep)
         attn = masked_softmax(logits, keep.astype(jnp.float32) * vmc)
         out = jnp.einsum(

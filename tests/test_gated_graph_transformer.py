@@ -103,7 +103,8 @@ def test_gate_matches_device_oracle_per_partition():
     pad = jnp.ones((nb, b), jnp.float32)
     w = [jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.3)
          for _ in range(4)]
-    cfg = GatedGraphTransformerConfig(dim=d, num_heads=h)
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=h,
+                                      gate_mode="per_head")
     _, (applied, cost) = _gated_attention_block(x, pad, *w, cfg)
     dh = d // h
     q = (x @ w[0]).reshape(nb, b, h, dh).transpose(0, 2, 1, 3)
@@ -131,3 +132,30 @@ def test_loss_differentiable_end_to_end():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+
+
+def test_pooled_gate_matches_head_mean_oracle():
+    """Default 'pooled' mode: one gate per partition over the head-mean
+    logits (gating.rs single-matrix granularity); cost identical across
+    heads and equal to the standalone oracle on the pooled logits."""
+    nb, b, d, h = 2, 16, 16, 2
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(nb, b, d)).astype(np.float32))
+    pad = jnp.ones((nb, b), jnp.float32)
+    w = [jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.3)
+         for _ in range(4)]
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=h)   # pooled default
+    _, (applied, cost) = _gated_attention_block(x, pad, *w, cfg)
+    cost = np.asarray(cost)
+    np.testing.assert_array_equal(cost[:, 0], cost[:, 1])   # shared gate
+    dh = d // h
+    q = (x @ w[0]).reshape(nb, b, h, dh).transpose(0, 2, 1, 3)
+    k = (x @ w[1]).reshape(nb, b, h, dh).transpose(0, 2, 1, 3)
+    for i in range(nb):
+        pooled = np.mean(
+            [np.asarray(q[i, j] @ k[i, j].T) / (dh ** 0.5)
+             for j in range(h)], axis=0)
+        _, ref_cost = mincut_gate_device(jnp.asarray(pooled),
+                                         cfg.lam, cfg.eps)
+        np.testing.assert_allclose(float(ref_cost), float(cost[i, 0]),
+                                   atol=1e-5)
