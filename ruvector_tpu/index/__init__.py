@@ -10,3 +10,9 @@ __all__ = [
     "SearchResult",
     "HyperbolicIndex",
 ]
+from ruvector_tpu.index.filter import (
+    FilterExpression,
+    PayloadIndex,
+    matches as filter_matches,
+    parse_qdrant_filter,
+)

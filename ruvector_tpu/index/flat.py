@@ -29,7 +29,7 @@ class FlatIndex:
         return len(self._rows)
 
     def add_batch(self, vectors: np.ndarray, num_threads: int = 0):
-        v = np.asarray(vectors, np.float32)
+        v = np.atleast_2d(np.asarray(vectors, np.float32))
         assert v.shape[1] == self.dim
         self._rows.extend(v)
         self._matrix = None                          # invalidate cache

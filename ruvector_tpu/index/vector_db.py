@@ -86,22 +86,48 @@ class VectorDB:
         return out_ids
 
     def search(self, query, k: int = 10, ef: int | None = None,
-               with_vectors: bool = False) -> list[SearchResult]:
-        ids, dists = self.index.search(np.asarray(query, np.float32), k, ef)
-        results = []
-        for i, d in zip(ids, dists):
-            if i < 0:
-                continue
-            if self.options.metric == "cosine":
-                score = 1.0 - d / 2.0   # normalized vectors: d = 2 - 2 cos
-            else:
-                score = -float(d)
-            results.append(SearchResult(
-                id=self._ids[int(i)], score=float(score),
-                vector=self._vectors[int(i)] if with_vectors else None,
-                payload=self._payloads.get(int(i)),
-            ))
-        return results
+               with_vectors: bool = False,
+               filter: "object | dict | None" = None) -> list[SearchResult]:
+        """filter: FilterExpression or Qdrant-style dict (ruvector-filter
+        role). Filtered search over-fetches from the index and
+        post-filters payloads, widening until k survivors or the whole
+        collection is scanned."""
+        flt = None
+        if filter is not None:
+            from ruvector_tpu.index.filter import (
+                FilterExpression,
+                matches,
+                parse_qdrant_filter,
+            )
+
+            flt = (filter if isinstance(filter, FilterExpression)
+                   else parse_qdrant_filter(filter))
+
+        fetch = k if flt is None else max(4 * k, 32)
+        while True:
+            ids, dists = self.index.search(
+                np.asarray(query, np.float32), min(fetch, len(self)), ef)
+            results = []
+            for i, d in zip(ids, dists):
+                if i < 0:
+                    continue
+                if flt is not None and not matches(
+                        self._payloads.get(int(i)), flt):
+                    continue
+                if self.options.metric == "cosine":
+                    score = 1.0 - d / 2.0   # normalized: d = 2 - 2 cos
+                else:
+                    score = -float(d)
+                results.append(SearchResult(
+                    id=self._ids[int(i)], score=float(score),
+                    vector=self._vectors[int(i)] if with_vectors else None,
+                    payload=self._payloads.get(int(i)),
+                ))
+                if len(results) >= k:
+                    return results
+            if flt is None or fetch >= len(self):
+                return results
+            fetch = min(fetch * 4, len(self))
 
     def get(self, vid) -> np.ndarray | None:
         idx = self._id_to_idx.get(vid)

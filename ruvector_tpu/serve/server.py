@@ -78,6 +78,34 @@ def make_handler(state: ServerState):
                         "size": db.options.dimensions,
                         "distance": db.options.metric}}},
                 }})
+            # GET /collections/:name/points/:id (routes/points.rs:59)
+            if len(parts) == 4 and parts[0] == "collections" \
+                    and parts[2] == "points":
+                db = state.collections.get(parts[1])
+                if db is None:
+                    return self._json(404, {"status": "not found"})
+                pid = parts[3]
+                vid = int(pid) if pid.lstrip("-").isdigit() else pid
+                vec = db.get(vid)
+                if vec is None:
+                    return self._json(404, {"status": "not found"})
+                idx = db._id_to_idx[vid]
+                return self._json(200, {"result": {
+                    "id": vid, "vector": vec.tolist(),
+                    **({"payload": db._payloads[idx]}
+                       if idx in db._payloads else {}),
+                }})
+            self._json(404, {"status": "not found"})
+
+        def do_DELETE(self):
+            # DELETE /collections/:name (routes/collections.rs:48)
+            parts = self.path.strip("/").split("/")
+            if len(parts) == 2 and parts[0] == "collections":
+                with state.lock:
+                    gone = state.collections.pop(parts[1], None)
+                if gone is None:
+                    return self._json(404, {"status": "not found"})
+                return self._json(200, {"result": True, "status": "ok"})
             self._json(404, {"status": "not found"})
 
         def do_PUT(self):
@@ -118,6 +146,7 @@ def make_handler(state: ServerState):
                         np.asarray(body["vector"], np.float32),
                         k=int(body.get("limit", 10)),
                         with_vectors=bool(body.get("with_vector", False)),
+                        filter=body.get("filter"),
                     )
                 return self._json(200, {"result": [
                     {"id": r.id, "score": r.score,

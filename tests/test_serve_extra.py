@@ -170,3 +170,45 @@ def test_http_server_concurrent_load():
         assert len(res["result"]) == 5
     finally:
         server.stop()
+
+
+def test_http_server_point_get_and_collection_delete():
+    """Qdrant-surface depth: GET a point by id, DELETE a collection
+    (ruvector-server routes/points.rs:59, collections.rs:48)."""
+    from ruvector_tpu.serve.server import RuvectorServer
+
+    server = RuvectorServer(port=0).start()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def req(method, path, payload=None, expect_error=False):
+        data = json.dumps(payload).encode() if payload is not None else None
+        r = urllib.request.Request(base + path, data=data, method=method,
+                                   headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read() or b"{}")
+
+    try:
+        req("PUT", "/collections/pts",
+            {"vectors": {"size": 4, "distance": "Cosine"}})
+        req("PUT", "/collections/pts/points", {"points": [
+            {"id": 7, "vector": [1, 0, 0, 0], "payload": {"tag": "a"}},
+            {"id": 9, "vector": [0, 1, 0, 0]}]})
+        code, out = req("GET", "/collections/pts/points/7")
+        assert code == 200
+        assert out["result"]["vector"] == [1.0, 0.0, 0.0, 0.0]
+        assert out["result"]["payload"] == {"tag": "a"}
+        code, out = req("GET", "/collections/pts/points/9")
+        assert code == 200 and "payload" not in out["result"]
+        code, _ = req("GET", "/collections/pts/points/999")
+        assert code == 404
+        code, _ = req("DELETE", "/collections/pts")
+        assert code == 200
+        code, _ = req("GET", "/collections/pts")
+        assert code == 404
+        code, _ = req("DELETE", "/collections/pts")
+        assert code == 404
+    finally:
+        server.stop()
