@@ -127,18 +127,30 @@ def _fused_layer_time(jax, jnp, idx, mask, ew, feats_np, d, iters):
     fpad = bdg.pad_features(jnp.asarray(feats_np[perm]))
     tile = 512 if bdg.block % 512 == 0 else 256
 
-    @jax.jit
-    def loop(p, f, g):
-        def body(x, _):
-            return ruvector_layer_apply_block_dense_fused(
-                p, cfg, x, g, tile=tile), None
-        out, _ = jax.lax.scan(body, f, None, length=iters)
-        return jnp.sum(out)
+    def make_loop(n_iters):
+        @jax.jit
+        def loop(p, f, g):
+            def body(x, _):
+                return ruvector_layer_apply_block_dense_fused(
+                    p, cfg, x, g, tile=tile), None
+            out, _ = jax.lax.scan(body, f, None, length=n_iters)
+            return jnp.sum(out)
+        return loop
 
-    float(loop(params, fpad, bdg))        # compile + warmup (value sync)
+    # difference timing: T(long) - T(short) cancels the fixed
+    # dispatch + value-fetch overhead of the dev tunnel, reporting the
+    # device-bound per-iteration time (same protocol as the suite)
+    short = max(2, iters // 10)
+    f_s, f_l = make_loop(short), make_loop(short + iters)
+    float(f_s(params, fpad, bdg))         # compile + warmup (value sync)
+    float(f_l(params, fpad, bdg))
     t0 = _t.perf_counter()
-    float(loop(params, fpad, bdg))
-    return (_t.perf_counter() - t0) / iters
+    float(f_s(params, fpad, bdg))
+    t_s = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    float(f_l(params, fpad, bdg))
+    t_l = _t.perf_counter() - t0
+    return max(t_l - t_s, 1e-9) / iters
 
 
 def _slot_layer_time(jax, jnp, NeighborGraph, idx, mask, ew, feats, d, iters):
