@@ -136,6 +136,48 @@ def make_handler(state: ServerState):
 
         def do_POST(self):
             parts = self.path.strip("/").split("/")
+            # POST /collections/:name/points/scroll — paginated listing
+            # with optional payload filter (Qdrant scroll surface)
+            if len(parts) == 4 and parts[2] == "points" \
+                    and parts[3] == "scroll":
+                db = state.collections.get(parts[1])
+                if db is None:
+                    return self._json(404, {"status": "not found"})
+                body = self._read_body()
+                limit = int(body.get("limit", 10))
+                offset = body.get("offset")
+                flt = None
+                if body.get("filter"):
+                    from ruvector_tpu.index.filter import (
+                        matches as _fm,
+                        parse_qdrant_filter as _pf,
+                    )
+
+                    spec = _pf(body["filter"])
+                    flt = lambda p: _fm(p, spec)
+                points = []
+                next_offset = None
+                started = offset is None
+                for idx_i, vid in enumerate(db._ids):
+                    if not started:
+                        if vid == offset:
+                            started = True
+                        else:
+                            continue
+                    payload = db._payloads.get(idx_i)
+                    if flt is not None and not flt(payload):
+                        continue
+                    if len(points) == limit:
+                        next_offset = vid
+                        break
+                    points.append({
+                        "id": vid,
+                        **({"payload": payload} if payload else {}),
+                        **({"vector": db._vectors[idx_i].tolist()}
+                           if body.get("with_vector") else {}),
+                    })
+                return self._json(200, {"result": {
+                    "points": points, "next_page_offset": next_offset}})
             if len(parts) == 4 and parts[2] == "points" and parts[3] == "search":
                 db = state.collections.get(parts[1])
                 if db is None:

@@ -212,3 +212,41 @@ def test_http_server_point_get_and_collection_delete():
         assert code == 404
     finally:
         server.stop()
+
+
+def test_http_scroll_with_filter_and_pagination():
+    """Qdrant scroll: paginated listing with payload filter."""
+    from ruvector_tpu.serve.server import RuvectorServer
+
+    server = RuvectorServer(port=0).start()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def req(method, path, payload=None):
+        data = json.dumps(payload).encode() if payload is not None else None
+        r = urllib.request.Request(base + path, data=data, method=method)
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return json.loads(resp.read())
+
+    try:
+        req("PUT", "/collections/s",
+            {"vectors": {"size": 4, "distance": "Cosine"}})
+        req("PUT", "/collections/s/points", {"points": [
+            {"id": i, "vector": [1, 0, 0, i * 0.01],
+             "payload": {"even": i % 2 == 0}} for i in range(10)]})
+        out = req("POST", "/collections/s/points/scroll",
+                  {"limit": 3, "filter": {"must": [
+                      {"key": "even", "match": {"value": True}}]}})
+        pts = out["result"]["points"]
+        assert [p["id"] for p in pts] == [0, 2, 4]
+        nxt = out["result"]["next_page_offset"]
+        assert nxt == 6
+        out2 = req("POST", "/collections/s/points/scroll",
+                   {"limit": 3, "offset": nxt, "filter": {"must": [
+                       {"key": "even", "match": {"value": True}}]},
+                    "with_vector": True})
+        pts2 = out2["result"]["points"]
+        assert [p["id"] for p in pts2] == [6, 8]
+        assert out2["result"]["next_page_offset"] is None
+        assert pts2[0]["vector"][0] == 1.0
+    finally:
+        server.stop()
