@@ -106,6 +106,9 @@ TOOLS = [
                 "collection": {"type": "string"},
                 "vector": {"type": "array"},
                 "k": {"type": "integer"},
+                "filter": {"type": "object",
+                           "description": "Qdrant-style payload filter "
+                                          "(must/should/must_not)"},
             },
             "required": ["collection", "vector"],
         },
@@ -194,8 +197,11 @@ class McpServer:
     def _search(self, args: dict) -> dict:
         db = self._db(args["collection"])
         res = db.search(np.asarray(args["vector"], np.float32),
-                        k=int(args.get("k", 10)))
-        return {"results": [{"id": r.id, "score": r.score} for r in res]}
+                        k=int(args.get("k", 10)),
+                        filter=args.get("filter"))
+        return {"results": [{"id": r.id, "score": r.score,
+                             **({"payload": r.payload} if r.payload
+                                else {})} for r in res]}
 
     def _engine(self, name: str, depth: int):
         from ruvector_tpu.serve.query import QueryEngine
