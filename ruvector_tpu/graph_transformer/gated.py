@@ -59,6 +59,10 @@ class GatedGraphTransformerConfig:
     # single [S, S] logit matrix, so this is the faithful granularity
     # (and 1/H the gate cost). 'per_head': independent gate per head.
     gate_mode: str = "pooled"
+    # rematerialize each layer in the backward pass: shrinks the saved-
+    # residual plumbing that overruns the remote TPU compiler on
+    # 1M-node backward programs (and cuts activation memory ~L-fold)
+    remat: bool = False
     compute_dtype: str = "float32"
 
     @property
@@ -179,11 +183,11 @@ def gated_graph_transformer_apply(
     x = fpad.reshape(nb, b, -1)
     pad = bdg.node_pad
     stats = []
-    for p in params:
+
+    def layer(p, x):
         h = layer_norm_apply(p["ln1"], x)
         a, st = _gated_attention_block(
             h, pad, p["wq"], p["wk"], p["wv"], p["wo"], cfg)
-        stats.append(st)
         x = x + a
         g = layer_norm_apply(p["ln_g"], x)
         x = x + _neighbor_mix(g, bdg, p["w_gnn"]) * pad[..., None]
@@ -191,6 +195,13 @@ def gated_graph_transformer_apply(
         x = x + linear_apply(
             p["ffn_out"], jax.nn.gelu(linear_apply(p["ffn_in"], h2))
         ) * pad[..., None]
+        return x, st
+
+    if cfg.remat:
+        layer = jax.checkpoint(layer)
+    for p in params:
+        x, st = layer(p, x)
+        stats.append(st)
     out = x.reshape(nb * b, -1)
     return (out, stats) if with_stats else out
 
