@@ -9,6 +9,10 @@ __all__ = [
     "DbOptions",
     "SearchResult",
     "HyperbolicIndex",
+    "FilterExpression",
+    "PayloadIndex",
+    "filter_matches",
+    "parse_qdrant_filter",
 ]
 from ruvector_tpu.index.filter import (
     FilterExpression,
