@@ -280,3 +280,45 @@ class PayloadIndex:
         if lt is not None:
             hi = min(hi, bisect.bisect_left(keys, lt))
         return {pid for _, pid in arr[lo:hi]}
+
+
+def candidate_ids(index: PayloadIndex, f: FilterExpression) -> set | None:
+    """Index-accelerated candidate set (evaluator.rs:20-50): the ids
+    that COULD satisfy the filter, or None when the index cannot bound
+    it (the caller falls back to over-fetch + post-filter).
+
+    Sound over-approximation rules:
+      and  -> intersection of bounded children (None children ignored;
+              all-None -> None)
+      or   -> union; any None child -> None (unbounded branch)
+      eq/in/range -> exact sets from the index
+      everything else (not/ne/match_text/geo/exists/is_null) -> None
+    """
+    if f.op == "and":
+        sets = [s for s in (candidate_ids(index, c) for c in f.children)
+                if s is not None]
+        if not sets:
+            return None
+        out = sets[0]
+        for s in sets[1:]:
+            out = out & s
+        return out
+    if f.op == "or":
+        out = set()
+        for c in f.children:
+            s = candidate_ids(index, c)
+            if s is None:
+                return None
+            out |= s
+        return out
+    if f.op == "eq":
+        return index.ids_eq(f.field, f.value)
+    if f.op == "in":
+        return index.ids_in(f.field, f.value)
+    if f.op == "range":
+        r = f.value
+        return index.ids_range(f.field, gte=r["gte"], lte=r["lte"],
+                               gt=r["gt"], lt=r["lt"])
+    if f.op in ("gt", "gte", "lt", "lte"):
+        return index.ids_range(f.field, **{f.op: f.value})
+    return None

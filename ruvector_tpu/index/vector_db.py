@@ -54,6 +54,9 @@ class VectorDB:
         self._payloads: dict[int, dict] = {}
         self._ids: list[int | str] = []
         self._id_to_idx: dict = {}
+        from ruvector_tpu.index.filter import PayloadIndex
+
+        self._payload_index = PayloadIndex()
 
     def __len__(self) -> int:
         return len(self._vectors)
@@ -67,6 +70,7 @@ class VectorDB:
         self._id_to_idx[vid] = idx
         if payload:
             self._payloads[idx] = payload
+            self._payload_index.add(idx, payload)
         self.index.add(v)
         return vid
 
@@ -81,6 +85,7 @@ class VectorDB:
             self._id_to_idx[vid] = start + i
             if payloads is not None and payloads[i]:
                 self._payloads[start + i] = payloads[i]
+                self._payload_index.add(start + i, payloads[i])
             out_ids.append(vid)
         self.index.add_batch(vecs)
         return out_ids
@@ -102,6 +107,18 @@ class VectorDB:
 
             flt = (filter if isinstance(filter, FilterExpression)
                    else parse_qdrant_filter(filter))
+
+        if flt is not None:
+            # index-accelerated path (evaluator.rs candidate sets): when
+            # the payload index bounds the matching ids tightly, score
+            # exactly those candidates instead of over-fetching the ANN
+            from ruvector_tpu.index.filter import candidate_ids
+
+            cand = candidate_ids(self._payload_index, flt)
+            if cand is not None and len(cand) <= max(4 * k, len(self) // 4):
+                return self._search_candidates(
+                    np.asarray(query, np.float32), k, cand, flt,
+                    with_vectors)
 
         fetch = k if flt is None else max(4 * k, 32)
         while True:
@@ -128,6 +145,29 @@ class VectorDB:
             if flt is None or fetch >= len(self):
                 return results
             fetch = min(fetch * 4, len(self))
+
+    def _search_candidates(self, query, k, cand, flt, with_vectors):
+        """Exact scoring over an index-bounded candidate id set."""
+        from ruvector_tpu.index.filter import matches
+
+        idxs = [i for i in sorted(cand)
+                if matches(self._payloads.get(i), flt)]
+        if not idxs:
+            return []
+        mat = np.stack([self._vectors[i] for i in idxs])
+        if self.options.metric == "cosine":
+            qn = query / max(np.linalg.norm(query), 1e-12)
+            mn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            scores = mn @ qn                      # == cos similarity
+        else:
+            scores = -np.sum((mat - query) ** 2, axis=1)  # -squared L2
+        order = np.argsort(-scores)[:k]
+        return [SearchResult(
+            id=self._ids[idxs[j]], score=float(scores[j]),
+            vector=self._vectors[idxs[j]] if with_vectors else None,
+            payload=self._payloads.get(idxs[j]),
+        ) for j in order]
 
     def get(self, vid) -> np.ndarray | None:
         idx = self._id_to_idx.get(vid)

@@ -124,3 +124,45 @@ def test_http_search_with_filter():
         assert ids == [1, 3]
     finally:
         server.stop()
+
+
+def test_candidate_ids_soundness():
+    from ruvector_tpu.index.filter import candidate_ids
+
+    idx = PayloadIndex()
+    for i in range(50):
+        idx.add(i, {"g": i % 5, "v": i, "name": f"n{i}"})
+    # and: intersection of bounded children
+    f = F.and_([F.eq("g", 2), F.range("v", gte=10, lte=20)])
+    assert candidate_ids(idx, f) == {12, 17}
+    # or with unbounded branch -> None
+    assert candidate_ids(idx, F.or_([F.eq("g", 1),
+                                     F.match_text("name", "n4")])) is None
+    # and with one unbounded child still bounded by the other
+    f2 = F.and_([F.eq("g", 0), F.match_text("name", "n")])
+    assert candidate_ids(idx, f2) == {0, 5, 10, 15, 20, 25, 30, 35, 40, 45}
+    # comparisons map onto the numeric index
+    assert candidate_ids(idx, F.gt("v", 47)) == {48, 49}
+    # fully unbounded
+    assert candidate_ids(idx, F.not_(F.eq("g", 1))) is None
+
+
+def test_accelerated_path_matches_overfetch_path():
+    """The index-accelerated candidate path must rank exactly like the
+    over-fetch + post-filter path."""
+    rng = np.random.default_rng(3)
+    db = VectorDB(DbOptions(dimensions=8, index_type="flat"))
+    for i in range(300):
+        db.insert(rng.normal(size=8).astype(np.float32), id=i,
+                  payload={"g": i % 10})
+    q = rng.normal(size=8).astype(np.float32)
+    # g==7: 30 candidates of 300 -> accelerated path fires
+    fast = db.search(q, k=8, filter={"must": [
+        {"key": "g", "match": {"value": 7}}]})
+    # force the over-fetch path by passing an expression the index
+    # can't bound (not(not(eq))) — logically identical filter
+    from ruvector_tpu.index.filter import FilterExpression as FE
+    slow = db.search(q, k=8, filter=FE.not_(FE.not_(FE.eq("g", 7))))
+    assert [r.id for r in fast] == [r.id for r in slow]
+    np.testing.assert_allclose([r.score for r in fast],
+                               [r.score for r in slow], atol=1e-5)
