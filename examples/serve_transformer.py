@@ -78,6 +78,14 @@ def main():
     assert np.array_equal(np.asarray(tokens), np.asarray(tokens2))
     print("determinism check: identical batch on re-serve")
 
+    # 4. speculative decoding: token-identical to greedy, batched chunk
+    # verification (2.55x greedy at full acceptance on TPU — BENCH_SUITE)
+    g = dec.generate(prompts[0], max_new_tokens=16)
+    s = dec.generate_speculative(prompts[0], max_new_tokens=16)
+    assert list(g.tokens) == list(s.tokens)
+    print(f"speculative == greedy over {len(s.tokens)} tokens "
+          f"(gamma=4 self-drafting)")
+
 
 if __name__ == "__main__":
     main()
