@@ -134,7 +134,14 @@ def _push_relabel_maxflow(cap: jax.Array, s: int, t: int,
 
     r, e, h, _ = jax.lax.while_loop(
         cond, body, (r, e, h, jnp.zeros((), jnp.int32)))
-    return r, e[t]
+    # capped: the loop stopped with active nodes remaining (max_rounds hit
+    # rather than convergence or an exact stop_above early exit) — the
+    # residual is then NOT a max-flow residual and callers must not derive
+    # a cut from it.
+    capped = jnp.any(active(e, h))
+    if stop_above is not None:
+        capped = capped & (e[t] <= stop_above)
+    return r, e[t], capped
 
 
 def _reachable_from(r: jax.Array, s: int) -> jax.Array:
@@ -183,14 +190,17 @@ def mincut_gate_device(
     # threshold the cut is provably not applied (max-flow >= e[t]), so
     # the loop exits with an exact decision — the common no-cut case
     # costs only a few rounds instead of full convergence.
-    resid, flow = _push_relabel_maxflow(
+    resid, flow, capped = _push_relabel_maxflow(
         clamped, 0, sq - 1, rounds,
         stop_above=jnp.asarray(threshold, jnp.float32))
     reach = _reachable_from(resid, 0)
     crossing = reach[:, None] & ~reach[None, :] & pos
     cut_cost = jnp.sum(jnp.where(crossing, clamped, 0.0))
 
-    apply_cut = (flow <= threshold) & (npos > 0) & (sq >= 2)
+    # If the round cap was hit before convergence the residual-derived
+    # cut is unreliable — fall back to keep=pos (no gating) rather than
+    # silently applying a possibly non-minimal cut.
+    apply_cut = (flow <= threshold) & (npos > 0) & (sq >= 2) & ~capped
     keep = jnp.where(apply_cut, pos & ~crossing, pos)
     keep = jnp.where(npos > 0, keep, jnp.zeros_like(pos))
     total_cut = jnp.where(apply_cut, cut_cost, 0.0)

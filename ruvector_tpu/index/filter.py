@@ -136,28 +136,38 @@ def matches(payload: dict | None, f: FilterExpression) -> bool:
     if f.op == "is_null":
         return v is None
     if f.op == "eq":
+        if isinstance(v, list):
+            return f.value in v     # Qdrant array semantics: match any
         return v == f.value
     if f.op == "ne":
+        if isinstance(v, list):
+            return f.value not in v
         return v != f.value
     if f.op in ("gt", "gte", "lt", "lte"):
-        if v is None or not _cmp_ok(v, f.value):
-            return False
-        return {"gt": v > f.value, "gte": v >= f.value,
-                "lt": v < f.value, "lte": v <= f.value}[f.op]
+        vals = v if isinstance(v, list) else [v]
+        return any(
+            _cmp_ok(x, f.value)
+            and {"gt": x > f.value, "gte": x >= f.value,
+                 "lt": x < f.value, "lte": x <= f.value}[f.op]
+            for x in vals if x is not None)
     if f.op == "range":
-        if v is None or not isinstance(v, (int, float)) \
-                or isinstance(v, bool):
-            return False
         r = f.value
-        if r["gte"] is not None and not v >= r["gte"]:
-            return False
-        if r["lte"] is not None and not v <= r["lte"]:
-            return False
-        if r["gt"] is not None and not v > r["gt"]:
-            return False
-        if r["lt"] is not None and not v < r["lt"]:
-            return False
-        return True
+
+        def in_range(x):
+            if not isinstance(x, (int, float)) or isinstance(x, bool):
+                return False
+            if r["gte"] is not None and not x >= r["gte"]:
+                return False
+            if r["lte"] is not None and not x <= r["lte"]:
+                return False
+            if r["gt"] is not None and not x > r["gt"]:
+                return False
+            if r["lt"] is not None and not x < r["lt"]:
+                return False
+            return True
+
+        vals = v if isinstance(v, list) else [v]
+        return any(in_range(x) for x in vals if x is not None)
     if f.op == "in":
         if isinstance(v, list):
             return any(x in f.value for x in v)
@@ -242,13 +252,18 @@ class PayloadIndex:
 
     def add(self, point_id, payload: dict | None):
         for k, v in (payload or {}).items():
-            if isinstance(v, (str, bool)) or (
-                    isinstance(v, (int, float)) and not isinstance(v, bool)):
-                self._by_value.setdefault(k, {}).setdefault(v, set()).add(
-                    point_id)
-            if isinstance(v, (int, float)) and not isinstance(v, bool):
-                self._numeric.setdefault(k, []).append((v, point_id))
-                self._dirty_numeric.add(k)
+            # Qdrant array semantics: a list-valued field matches a
+            # condition if ANY element does, so index every element.
+            elems = v if isinstance(v, list) else [v]
+            for e in elems:
+                if isinstance(e, (str, bool)) or (
+                        isinstance(e, (int, float))
+                        and not isinstance(e, bool)):
+                    self._by_value.setdefault(k, {}).setdefault(
+                        e, set()).add(point_id)
+                if isinstance(e, (int, float)) and not isinstance(e, bool):
+                    self._numeric.setdefault(k, []).append((e, point_id))
+                    self._dirty_numeric.add(k)
 
     def ids_eq(self, field, value) -> set:
         return set(self._by_value.get(field, {}).get(value, ()))

@@ -120,6 +120,9 @@ struct Hnsw {
         }
         const uint32_t epoch = vs.epoch;
         uint32_t* stamp = vs.stamp.data();
+        // Nodes inserted concurrently after the scratch was sized would
+        // index past the stamp array; skip them (snapshot semantics).
+        const int64_t stamp_cap = (int64_t)vs.stamp.size();
 
         float d0 = dist(q, vec(ep));
         best.emplace(d0, ep);
@@ -136,6 +139,7 @@ struct Hnsw {
                 int32_t nb = nbrs[ii];
                 if (ii + 1 < nbrs.size())
                     __builtin_prefetch(vec(nbrs[ii + 1]));
+                if ((int64_t)nb >= stamp_cap) continue;
                 if (stamp[nb] == epoch) continue;
                 stamp[nb] = epoch;
                 float d = dist(q, vec(nb));

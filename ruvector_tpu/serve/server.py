@@ -86,14 +86,15 @@ def make_handler(state: ServerState):
                     return self._json(404, {"status": "not found"})
                 pid = parts[3]
                 vid = int(pid) if pid.lstrip("-").isdigit() else pid
-                vec = db.get(vid)
-                if vec is None:
-                    return self._json(404, {"status": "not found"})
-                idx = db._id_to_idx[vid]
+                with state.lock:   # concurrent upsert mutates _id_to_idx
+                    vec = db.get(vid)
+                    if vec is None:
+                        return self._json(404, {"status": "not found"})
+                    idx = db._id_to_idx[vid]
+                    payload = db._payloads.get(idx)
                 return self._json(200, {"result": {
                     "id": vid, "vector": vec.tolist(),
-                    **({"payload": db._payloads[idx]}
-                       if idx in db._payloads else {}),
+                    **({"payload": payload} if payload is not None else {}),
                 }})
             self._json(404, {"status": "not found"})
 
@@ -158,24 +159,25 @@ def make_handler(state: ServerState):
                 points = []
                 next_offset = None
                 started = offset is None
-                for idx_i, vid in enumerate(db._ids):
-                    if not started:
-                        if vid == offset:
-                            started = True
-                        else:
+                with state.lock:   # snapshot vs concurrent upsert
+                    for idx_i, vid in enumerate(db._ids):
+                        if not started:
+                            if vid == offset:
+                                started = True
+                            else:
+                                continue
+                        payload = db._payloads.get(idx_i)
+                        if flt is not None and not flt(payload):
                             continue
-                    payload = db._payloads.get(idx_i)
-                    if flt is not None and not flt(payload):
-                        continue
-                    if len(points) == limit:
-                        next_offset = vid
-                        break
-                    points.append({
-                        "id": vid,
-                        **({"payload": payload} if payload else {}),
-                        **({"vector": db._vectors[idx_i].tolist()}
-                           if body.get("with_vector") else {}),
-                    })
+                        if len(points) == limit:
+                            next_offset = vid
+                            break
+                        points.append({
+                            "id": vid,
+                            **({"payload": payload} if payload else {}),
+                            **({"vector": db._vectors[idx_i].tolist()}
+                               if body.get("with_vector") else {}),
+                        })
                 return self._json(200, {"result": {
                     "points": points, "next_page_offset": next_offset}})
             if len(parts) == 4 and parts[2] == "points" and parts[3] == "search":

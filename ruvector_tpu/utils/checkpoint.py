@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from pathlib import Path
 from typing import Any
 
@@ -227,12 +228,34 @@ def _index_to_meta(index) -> list:
     return out
 
 
+_SLICE_RE = re.compile(r"slice\(([^)]*)\)")
+
+
 def _meta_to_index(idx_str_or_list):
-    """Parse either the '(...)' repr key suffix or a meta list into slices."""
+    """Parse either the '(...)' repr key suffix or a meta list into slices.
+
+    The string form is parsed structurally (regex over ``slice(a, b, c)``
+    terms with int/None fields only) — archive-derived strings are never
+    evaluated as Python, so a corrupted or untrusted checkpoint cannot
+    inject code.
+    """
     if isinstance(idx_str_or_list, str):
         s = idx_str_or_list.strip()
         if s in ("()", ""):
             return tuple()
-        # repr like "(slice(0, 4, None), slice(None, None, None))"
-        return eval(s, {"slice": slice})  # noqa: S307 - trusted local file
+        out = []
+        for m in _SLICE_RE.finditer(s):
+            parts = [p.strip() for p in m.group(1).split(",")]
+            if len(parts) != 3:
+                raise ValueError(f"malformed slice in shard index: {s!r}")
+            vals = []
+            for p in parts:
+                if p == "None":
+                    vals.append(None)
+                else:
+                    vals.append(int(p))  # raises on anything non-numeric
+            out.append(slice(*vals))
+        if not out:
+            raise ValueError(f"unparseable shard index: {s!r}")
+        return tuple(out)
     return tuple(slice(a, b, c) for a, b, c in idx_str_or_list)

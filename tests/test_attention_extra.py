@@ -469,3 +469,23 @@ def test_mincut_device_early_exit_no_cut():
     assert host.cut_cost == 0.0       # gate declined the cut
     assert np.array_equal(np.asarray(keep_d).reshape(-1), host.keep_mask)
     assert float(cost_d) == 0.0
+
+
+def test_mincut_device_round_cap_falls_back_to_no_cut():
+    """ADVICE r2: when the push-relabel round cap is hit before
+    convergence, the residual-derived cut is unreliable — the gate must
+    fall back to keep=pos (no gating) instead of applying a wrong cut."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ruvector_tpu.attention.mincut_device import mincut_gate_device
+
+    rng = np.random.default_rng(7)
+    s = 24
+    logits = np.abs(rng.normal(size=(s, s))).astype(np.float32) + 0.5
+    # max_rounds=1 cannot converge on a dense positive graph
+    keep, cost = mincut_gate_device(jnp.asarray(logits), 0.9, 0.01,
+                                    max_rounds=1)
+    pos = logits > 0.01
+    assert np.array_equal(np.asarray(keep), pos)
+    assert float(cost) == 0.0

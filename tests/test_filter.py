@@ -166,3 +166,42 @@ def test_accelerated_path_matches_overfetch_path():
     assert [r.id for r in fast] == [r.id for r in slow]
     np.testing.assert_allclose([r.score for r in fast],
                                [r.score for r in slow], atol=1e-5)
+
+
+def test_list_valued_payloads_indexed():
+    """ADVICE r2: list-valued fields must be element-indexed (Qdrant array
+    semantics) so the index-accelerated path never drops matching points."""
+    idx = PayloadIndex()
+    idx.add(1, {"tags": ["red", "blue"], "nums": [3, 7]})
+    idx.add(2, {"tags": "red", "nums": 5})
+    idx.add(3, {"tags": ["green"]})
+    assert idx.ids_eq("tags", "red") == {1, 2}
+    assert idx.ids_in("tags", ["blue", "green"]) == {1, 3}
+    assert idx.ids_range("nums", gte=4, lte=7) == {1, 2}
+    # matches() agrees: eq/in/range treat arrays as match-any
+    assert matches({"tags": ["red", "blue"]}, F.eq("tags", "red"))
+    assert not matches({"tags": ["red"]}, F.ne("tags", "red"))
+    assert matches({"nums": [3, 7]}, F.range("nums", gte=6))
+    assert matches({"nums": [3, 7]}, F.gt("nums", 5))
+    assert not matches({"nums": [3, 7]}, F.gt("nums", 7))
+
+
+def test_index_accelerated_search_with_array_payloads():
+    from ruvector_tpu.index.filter import candidate_ids
+
+    rng = np.random.default_rng(1)
+    db = VectorDB(DbOptions(dimensions=8, index_type="flat"))
+    for i in range(60):
+        tags = ["even" if i % 2 == 0 else "odd"]
+        if i % 3 == 0:
+            tags.append("tri")
+        db.insert(rng.normal(size=8).astype(np.float32), id=i,
+                  payload={"tags": tags})
+    q = rng.normal(size=8).astype(np.float32)
+    res = db.search(q, k=10, filter={"must": [
+        {"key": "tags", "match": {"any": ["tri"]}}]})
+    assert {r.id for r in res} <= set(range(0, 60, 3))
+    assert len(res) == 10
+    # candidate set is exact for the 'in' filter over array fields
+    f = F.in_values("tags", ["tri"])
+    assert candidate_ids(db._payload_index, f) == set(range(0, 60, 3))

@@ -325,3 +325,21 @@ def test_async_sharded_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # restored arrays keep the mesh sharding
     assert out["feats"].sharding.is_equivalent_to(sh, 2)
+
+
+def test_meta_to_index_never_evals():
+    """ADVICE r2: shard-index strings from an archive must be parsed
+    structurally, not eval'd — malicious strings raise instead of run."""
+    import pytest
+
+    from ruvector_tpu.utils.checkpoint import _meta_to_index
+
+    assert _meta_to_index("()") == ()
+    assert _meta_to_index(
+        "(slice(0, 4, None), slice(None, None, None))") == (
+        slice(0, 4, None), slice(None, None, None))
+    assert _meta_to_index([[0, 4, None]]) == (slice(0, 4, None),)
+    with pytest.raises(ValueError):
+        _meta_to_index("__import__('os').system('true')")
+    with pytest.raises(ValueError):
+        _meta_to_index("slice(__import__('os'), 1, None)")
