@@ -94,6 +94,74 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / baseline, 2),
     }))
+    _enforce_perf_gates(jax, edges_per_s)
+
+
+def _enforce_perf_gates(jax, edges_per_s):
+    """Always-on perf gates: on a real TPU backend, the measured headline
+    must clear the committed PERF_GATES floor — enforced on every driver
+    run, not only under RUVECTOR_PERF_GATES=tpu (tests/test_perf_gates.py
+    keeps the opt-in variants for local iteration)."""
+    import sys
+
+    backend = jax.devices()[0].platform
+    if backend == "cpu":
+        return
+    gates = json.load(open(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "PERF_GATES.json")))
+    floor = gates["tpu"]["fused_layer_100k_edges_per_s_min"]
+    failed = []
+    if edges_per_s < floor:
+        failed.append(f"fused layer {edges_per_s/1e6:.0f}M edges/s < "
+                      f"floor {floor/1e6:.0f}M")
+
+    # gate-latency ceiling: device min-cut gate at S=100 (difference-timed
+    # scan to cancel tunnel dispatch; tiny program, compile is cached)
+    try:
+        gate_us = _mincut_gate_us(jax)
+        ceil_us = gates["tpu"]["mincut_gate_s100_us_max"]
+        if gate_us > ceil_us:
+            failed.append(f"mincut gate {gate_us:.0f}us > ceiling {ceil_us}us")
+        else:
+            print(f"perf gate ok: mincut gate {gate_us:.1f}us <= "
+                  f"{ceil_us}us ceiling", file=sys.stderr)
+    except Exception as e:  # gate measurement must not mask the bench
+        print(f"perf gate: mincut measurement skipped ({e})", file=sys.stderr)
+
+    if failed:
+        for f in failed:
+            print(f"PERF GATE FAILED: {f} (PERF_GATES.json)", file=sys.stderr)
+        raise SystemExit(1)
+    print(f"perf gate ok: {edges_per_s/1e6:.0f}M edges/s >= "
+          f"{floor/1e6:.0f}M floor", file=sys.stderr)
+
+
+def _mincut_gate_us(jax):
+    import jax.numpy as jnp
+
+    from ruvector_tpu.attention.mincut_device import mincut_gate_device
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(100, 100)).astype(np.float32))
+
+    def make(iters):
+        @jax.jit
+        def loop(lg):
+            def body(x, _):
+                keep, cost = mincut_gate_device(x, 0.5, 0.01)
+                return 0.99 * x + 0.01 * keep.astype(jnp.float32) + \
+                    0.0 * cost, None
+            x, _ = jax.lax.scan(body, lg, None, length=iters)
+            return jnp.sum(x)
+        return loop
+
+    f_s, f_l = make(3), make(23)
+    float(f_s(logits)); float(f_l(logits))
+    t0 = time.perf_counter(); float(f_s(logits + 0.01))
+    t_s = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(f_l(logits + 0.01))
+    t_l = time.perf_counter() - t0
+    return max(t_l - t_s, 1e-9) / 20 * 1e6
 
 
 def _fused_layer_time(jax, jnp, idx, mask, ew, feats_np, d, iters):

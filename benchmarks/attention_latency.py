@@ -115,6 +115,48 @@ def main():
             except Exception as e:
                 results[name] = {"error": str(e)[:120]}
 
+    # CGT at serving batch shape: vmap the lane-modulated block over 32
+    # independent sequences (the shape batch decode was benched at) — the
+    # router, sparse masks and early-exit energies are all device-side,
+    # so the whole batch is one program.
+    try:
+        from ruvector_tpu.attention.cgt import (
+            CgtConfig,
+            cgt_block_apply,
+            cgt_init,
+        )
+
+        ccfg = CgtConfig(dim=64)
+        cparams = cgt_init(jax.random.key(1), ccfg)
+        xb = jnp.asarray(
+            0.3 * rng.normal(size=(32, s, 64)).astype(np.float32))
+
+        def make_cgt_chain(iters):
+            vblock = jax.vmap(lambda xx: cgt_block_apply(cparams, ccfg, xx)[0])
+
+            def chain(x):
+                def body(x, _):
+                    return 0.9 * x + 0.1 * vblock(x), None
+                x, _ = jax.lax.scan(body, x, None, length=iters)
+                return jnp.sum(x)
+            return jax.jit(chain)
+
+        short, long_ = 5, 55
+        g_short, g_long = make_cgt_chain(short), make_cgt_chain(long_)
+        float(g_short(xb)); float(g_long(xb))
+        t0 = time.perf_counter(); float(g_short(xb + 0.01))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(g_long(xb + 0.01))
+        t_l = time.perf_counter() - t0
+        us = max(t_l - t_s, 1e-9) / (long_ - short) * 1e6
+        results["cgt_batch32"] = {
+            "us_per_call": round(us, 1), "dim": 64, "batch": 32,
+            "host_loop": False,
+            "note": "vmapped lane-modulated CGT block, batch 32 x 100 tok",
+        }
+    except Exception as e:
+        results["cgt_batch32"] = {"error": str(e)[:120]}
+
     payload = {"tokens": s, "batch": b,
                "backend": jax.devices()[0].platform,
                "reference_target_us": 100,

@@ -108,24 +108,34 @@ class ComputeLane(enum.Enum):
     SKIP = 2       # coherent tokens: skip
 
 
+def route_lanes_device(
+    token_energy: jax.Array, full_quantile: float = 0.7,
+    skip_quantile: float = 0.3,
+) -> jax.Array:
+    """TokenRouter (router.rs) as one device program: [.., S] energies ->
+    [.., S] int32 lane ids (ComputeLane values). Batched over any leading
+    axes; no host transfer, so it composes with jit/vmap serving paths."""
+    e = jnp.asarray(token_energy)
+    hi = jnp.quantile(e, full_quantile, axis=-1, keepdims=True)
+    lo = jnp.quantile(e, skip_quantile, axis=-1, keepdims=True)
+    return jnp.where(
+        e >= hi, jnp.int32(ComputeLane.FULL.value),
+        jnp.where(e <= lo, jnp.int32(ComputeLane.SKIP.value),
+                  jnp.int32(ComputeLane.CHEAP.value)))
+
+
 def route_tokens_by_energy(
     token_energy: jax.Array, full_quantile: float = 0.7,
     skip_quantile: float = 0.3,
 ) -> list[ComputeLane]:
-    """TokenRouter (router.rs): lane by coherence-energy quantiles."""
-    e = jnp.asarray(token_energy)
-    hi = jnp.quantile(e, full_quantile)
-    lo = jnp.quantile(e, skip_quantile)
-    lanes = []
+    """Enum view of route_lanes_device for host-side inspection (one
+    device->host transfer, no per-token loop)."""
     import numpy as np
-    for v in np.asarray(e):
-        if v >= hi:
-            lanes.append(ComputeLane.FULL)
-        elif v <= lo:
-            lanes.append(ComputeLane.SKIP)
-        else:
-            lanes.append(ComputeLane.CHEAP)
-    return lanes
+
+    ids = np.asarray(
+        route_lanes_device(token_energy, full_quantile, skip_quantile))
+    by_val = {m.value: m for m in ComputeLane}
+    return [by_val[int(v)] for v in ids.reshape(-1)]
 
 
 def process_with_early_exit(

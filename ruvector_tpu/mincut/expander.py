@@ -43,13 +43,66 @@ def expander_decompose(graph: CSRGraph, phi_target: float = 0.1,
         cid = len(clusters)
         labels[members] = cid
         clusters.append(members)
-    # stragglers (max_clusters hit): one residual cluster
-    rest = np.nonzero(labels < 0)[0]
-    if len(rest):
-        labels[rest] = len(clusters)
-        clusters.append(rest)
 
     rows = np.asarray(graph.row_ids())
     cols = np.asarray(graph.col_idx)
+    vals = np.asarray(graph.values, np.float64)
+
+    # Stragglers (max_clusters hit before the peel covered everything):
+    # attach each uncovered node to the neighboring cluster it is most
+    # strongly connected to (iterated, so chains of uncovered nodes pull
+    # in), instead of dumping them all into one meaningless residual
+    # blob. Nodes in components with no labeled neighbor at all become
+    # per-component clusters (they genuinely are separate pieces).
+    if np.any(labels < 0):
+        nc = len(clusters)
+        for _ in range(64):                      # diameter bound in practice
+            unc = labels[rows] < 0
+            lab_nbr = unc & (labels[cols] >= 0)
+            if not np.any(lab_nbr):
+                break
+            r, c, w = rows[lab_nbr], cols[lab_nbr], vals[lab_nbr]
+            # strongest (node, cluster) attachment via dense accumulate
+            key = r * np.int64(nc) + labels[c]
+            uniq, inv = np.unique(key, return_inverse=True)
+            wsum = np.zeros(len(uniq))
+            np.add.at(wsum, inv, w)
+            nodes_u = uniq // nc
+            cl_u = uniq % nc
+            # per-node argmax attachment: sort by (node, weight) and take
+            # the last entry per node
+            o = np.lexsort((wsum, nodes_u))
+            nodes_s, cl_s = nodes_u[o], cl_u[o]
+            last = np.nonzero(np.r_[nodes_s[1:] != nodes_s[:-1], True])[0]
+            labels[nodes_s[last]] = cl_s[last]
+        # truly disconnected leftovers: union-find per component
+        rest = np.nonzero(labels < 0)[0]
+        if len(rest):
+            parent = {int(u): int(u) for u in rest}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            both = (labels[rows] < 0) & (labels[cols] < 0)
+            for r, c in zip(rows[both], cols[both]):
+                ra, rb = find(int(r)), find(int(c))
+                if ra != rb:
+                    parent[ra] = rb
+            comp_id: dict[int, int] = {}
+            for u in rest:
+                root = find(int(u))
+                if root not in comp_id:
+                    comp_id[root] = len(clusters)
+                    clusters.append(np.asarray([], np.int64))
+                labels[u] = comp_id[root]
+            for root, cid in comp_id.items():
+                clusters[cid] = np.nonzero(labels == cid)[0]
+        # refresh membership lists for clusters that gained attachments
+        for cid in range(nc):
+            clusters[cid] = np.nonzero(labels == cid)[0]
+
     boundary = int((labels[rows] != labels[cols]).sum()) // 2
     return labels, clusters, boundary

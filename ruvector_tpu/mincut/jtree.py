@@ -68,14 +68,17 @@ class JTree:
 
     def query_cut_upper_bound(self, s: int, t: int) -> float:
         """Min boundary among clusters containing exactly one of s, t —
-        every such boundary is a valid s-t separator."""
+        every such boundary is a valid s-t separator, so the result is
+        always >= the true s-t min cut. Returns inf when s and t share a
+        cluster at every level (the hierarchy has no separator to offer
+        — callers must fall back to an exact solve, not treat it as 0)."""
         ps, pt = self._path(s), self._path(t)
         best = np.inf
         for (cs, ws), (ct, wt) in zip(ps, pt):
             if cs == ct:
                 break                      # merged: higher levels merge too
             best = min(best, ws, wt)
-        return float(best) if np.isfinite(best) else 0.0
+        return float(best)
 
     def same_cluster_level(self, s: int, t: int) -> int:
         """First level at which s and t merge (depth proxy for closeness)."""

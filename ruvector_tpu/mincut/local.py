@@ -52,30 +52,33 @@ def local_cluster(graph: CSRGraph, seed: int, alpha: float = 0.15,
     n = graph.num_nodes
     rows = np.asarray(graph.row_ids())
     cols = np.asarray(graph.col_idx)
-    vals = np.asarray(graph.values)
+    vals = np.asarray(graph.values, np.float64)
     total_vol = vals.sum()
+    m = len(order)
 
-    side = np.zeros(n, bool)
-    best_phi, best_k = np.inf, 1
-    cut, vol = 0.0, 0.0
-    # incremental sweep: adding node u flips its incident edges
-    adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
-    for r, c, v in zip(rows, cols, vals):
-        adj[r].append((c, v))
-    for k, u in enumerate(order, start=1):
-        du = 0.0
-        for c, v in adj[u]:
-            du += v
-            if side[c]:
-                cut -= v          # internal edge no longer cut
-            else:
-                cut += v
-        side[u] = True
-        vol += du
-        denom = min(vol, total_vol - vol)
-        phi = cut / denom if denom > 0 else 1.0
-        if phi < best_phi and k >= 1:
-            best_phi, best_k = phi, k
+    # Vectorized sweep (replaces the per-edge Python loop, which was
+    # O(E) per call — untenable at toolkit scale): a CSR copy (r, c)
+    # is cut at prefix size k iff r is inside and c outside, i.e. for
+    # k in [rank_r+1, min(rank_c, m)]. Accumulate those ranges with a
+    # difference array; volumes are a cumsum of row sums over `order`.
+    rank = np.full(n, n, np.int64)
+    rank[order] = np.arange(m)
+    rr, rc = rank[rows], rank[cols]
+    act = (rr < m) & (rr < rc)
+    lo = rr[act] + 1
+    hi = np.minimum(rc[act], m)
+    w = vals[act]
+    delta = np.zeros(m + 2)
+    np.add.at(delta, lo, w)
+    np.add.at(delta, hi + 1, -w)
+    cut_k = np.cumsum(delta)[1:m + 1]
+
+    rowsum = np.zeros(n)
+    np.add.at(rowsum, rows, vals)
+    vol_k = np.cumsum(rowsum[order])
+    denom = np.minimum(vol_k, total_vol - vol_k)
+    phi_k = np.where(denom > 0, cut_k / np.maximum(denom, 1e-300), 1.0)
+    best_k = int(np.argmin(phi_k)) + 1
     members = order[:best_k].copy()
     # report with the same convention as conductance() (both CSR copies of
     # each undirected edge counted) so callers can compare directly

