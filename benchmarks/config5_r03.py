@@ -1,0 +1,172 @@
+"""BASELINE config 5, round 3: mincut-gated graph transformer at 1M nodes
+with temporal gate reuse (hysteresis state, budget-capped incremental
+re-solve) — the round-2 version re-solved all 31,248 gates every forward
+(1,297 ms, 52x the ungated path). Round-3 protocol:
+
+  init:    gate_state_init solves every partition once (one-time)
+  forward: gated_graph_transformer_step — signature einsum + top-k drift
+           selection + ONE batched push-relabel over <= nB/16 partitions
+           + masked attention under the state's masks
+  train:   gate refresh (non-diff) + loss_with_masks grad — the backward
+           program carries no push-relabel, so the FULL 1M graph trains
+           (round 2 had to fall back to a 100k subset).
+
+Measured rows: steady forward (zero drift: pure reuse), drift forward
+(features perturbed each iter -> budget-capped re-solves), train step on
+the full graph, plus the one-time init/gen/build costs.
+
+Run: python benchmarks/config5_r03.py [--nodes N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from scale_sweep_r02 import gen_cluster_graph  # noqa: E402  (same dir)
+
+BLOCK = 256
+DEGREE = 16
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=999_936)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from ruvector_tpu.graph import build_block_dense
+    from ruvector_tpu.graph_transformer.gated import (
+        GatedGraphTransformerConfig,
+        gate_state_init,
+        gated_graph_transformer_init,
+        gated_graph_transformer_loss_with_masks,
+        gated_graph_transformer_step,
+    )
+
+    n, d = args.nodes - args.nodes % BLOCK, args.dim
+    t0 = time.time()
+    feats, idx, mask, ew = gen_cluster_graph(n, d, DEGREE)
+    t_gen = time.time() - t0
+    t0 = time.time()
+    bdg = build_block_dense(idx, mask, ew, block=BLOCK, dtype=np.float32)
+    t_build = time.time() - t0
+    del idx, mask, ew
+
+    cfg = GatedGraphTransformerConfig(
+        dim=d, num_heads=4, num_layers=args.layers, gate_chunk=128,
+        hysteresis_band=0.05, remat=True)
+    params = gated_graph_transformer_init(jax.random.key(0), cfg)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+    del feats
+
+    # --- one-time gate state init (all gates, chunked) ---
+    init_fn = jax.jit(lambda p, f, g: gate_state_init(p, cfg, f, g))
+    t0 = time.time()
+    state = init_fn(params, fpad, bdg)
+    jax.block_until_ready(state["keep"])
+    t_init = time.time() - t0
+
+    max_resolve = max(1, bdg.n_blocks // 16)
+    step_fn = jax.jit(
+        lambda p, f, g, s: gated_graph_transformer_step(
+            p, cfg, f, g, s, max_resolve=max_resolve),
+    )
+
+    # --- steady-state forward: same input, zero drift (pure reuse) ---
+    out, state2, nres0 = step_fn(params, fpad, bdg, state)
+    jax.block_until_ready(out)            # compile + warm
+    k = args.iters
+    t0 = time.perf_counter()
+    for _ in range(k):
+        out, state2, nres = step_fn(params, fpad, bdg, state2)
+    jax.block_until_ready(out)
+    fwd_steady_s = (time.perf_counter() - t0) / k
+
+    # --- drift forward: perturb features each iter so gates re-solve
+    # up to the budget (the realistic evolving-embedding loop) ---
+    key = jax.random.key(7)
+    pert = jax.jit(lambda f, k: f + 0.1 * jax.random.normal(
+        k, f.shape, f.dtype))
+    resolved = []
+    t_drift = 0.0
+    st = state2
+    fcur = fpad
+    for i in range(k):
+        key, sub = jax.random.split(key)
+        fcur = pert(fcur, sub)
+        jax.block_until_ready(fcur)
+        t0 = time.perf_counter()
+        out, st, nres = step_fn(params, fcur, bdg, st)
+        jax.block_until_ready(out)
+        t_drift += time.perf_counter() - t0
+        resolved.append(int(nres))
+    fwd_drift_s = t_drift / k
+
+    # --- train step on the FULL graph: refresh masks (non-diff) is
+    # already timed above; here the differentiable step given masks ---
+    @jax.jit
+    def train_step(p, f, g, masks):
+        loss, gr = jax.value_and_grad(gated_graph_transformer_loss_with_masks)(
+            p, cfg, f, g, masks, jnp.zeros_like(f))
+        return jax.tree_util.tree_map(
+            lambda w, gw: w - 1e-3 * gw, p, gr), loss
+
+    p2, loss = train_step(params, fpad, bdg, state2["keep"])
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    p2, loss = train_step(params, fpad, bdg, state2["keep"])
+    jax.block_until_ready(loss)
+    grad_step_s = time.perf_counter() - t0
+
+    edges = float(n * DEGREE * args.layers)
+    payload = {
+        "config": "mincut-gated graph transformer w/ temporal gate reuse, "
+                  "1M-node partitioned graph (BASELINE config 5, r3)",
+        "backend": jax.devices()[0].platform,
+        "nodes": n, "dim": d, "layers": args.layers, "heads": 4,
+        "partition": BLOCK, "partitions": bdg.n_blocks,
+        "hysteresis_band": cfg.hysteresis_band,
+        "max_resolve_per_step": max_resolve,
+        "gen_s": round(t_gen, 1), "build_s": round(t_build, 1),
+        "gate_init_s": round(t_init, 1),
+        "forward_steady_ms": round(fwd_steady_s * 1e3, 2),
+        "forward_drift_ms": round(fwd_drift_s * 1e3, 2),
+        "resolved_per_drift_step": resolved,
+        "train_step_nodes": n,
+        "train_step_ms": round(grad_step_s * 1e3, 2),
+        "train_plus_refresh_ms": round(
+            (grad_step_s + fwd_drift_s) * 1e3, 2),
+        "gnn_edges_per_s_steady": round(edges / fwd_steady_s),
+        "gnn_edges_per_s_drift": round(edges / fwd_drift_s),
+        "loss": float(loss),
+        "r02_forward_ms": 1296.85,
+        "speedup_vs_r02": round(1296.85 / (fwd_drift_s * 1e3), 1),
+    }
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CONFIG5_BENCH_r03.json")
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

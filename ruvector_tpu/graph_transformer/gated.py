@@ -23,6 +23,20 @@ TPU-first formulation: partitions ARE the block-dense blocks
 The gate decision is a discrete mask: it is wrapped in stop_gradient, so
 the whole layer is differentiable end-to-end through the kept attention
 entries (the host Dinic gate has the same semantics by construction).
+
+Round 3 — temporal gate reuse (the reference's hysteresis semantics,
+ruvector-attn-mincut/src/gating.rs:70-102 + hysteresis module): gates are
+state, not per-forward work. `gate_state_init` solves every partition
+once; `gated_graph_transformer_step` then re-solves ONLY partitions whose
+per-partition gate signature (mean positive pooled logit — the lambda
+proxy the reference band-tests) drifted past the hysteresis band,
+batched into ONE device push-relabel program with a static re-solve
+budget. Because the pooled (head-mean) logit matrix equals the full-dim
+QK^T dot / H, the signature pass is a single einsum — no per-head logits
+are materialized for gating. Training splits the same way:
+`gated_graph_transformer_loss_with_masks` consumes the state's masks, so
+the backward program carries no push-relabel while_loops at all (that is
+what crashed the remote TPU compiler on 1M-node backward in round 2).
 """
 
 from __future__ import annotations
@@ -59,6 +73,14 @@ class GatedGraphTransformerConfig:
     # single [S, S] logit matrix, so this is the faithful granularity
     # (and 1/H the gate cost). 'per_head': independent gate per head.
     gate_mode: str = "pooled"
+    # hysteresis band for temporal gate reuse (gating.rs hysteresis
+    # semantics): a partition's gate re-solves only when its signature
+    # (mean positive pooled logit) moves more than band (relative)
+    hysteresis_band: float = 0.05
+    # static per-step re-solve budget for the incremental path, as a
+    # fraction of partitions (rounded up to >=1); drifted partitions
+    # beyond the budget keep their stale mask and queue for next step
+    max_resolve_frac: float = 1 / 16
     # rematerialize each layer in the backward pass: shrinks the saved-
     # residual plumbing that overruns the remote TPU compiler on
     # 1M-node backward programs (and cuts activation memory ~L-fold)
@@ -211,6 +233,183 @@ def gated_graph_transformer_loss(params, cfg, fpad, bdg, targets):
     """Mean-squared node-embedding loss — proves end-to-end
     differentiability through the gated layers (gate is stop-gradient)."""
     out = gated_graph_transformer_apply(params, cfg, fpad, bdg)
+    pad = bdg.node_pad.reshape(-1, 1)
+    err = (out - targets) * pad
+    return jnp.sum(err * err) / jnp.maximum(jnp.sum(pad), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Temporal gate reuse (round 3): hysteresis state + incremental re-solve
+# ---------------------------------------------------------------------------
+
+def _pooled_logits(h, node_pad, wq, wk, cfg):
+    """Head-mean logits for one layer in one einsum: since heads are
+    disjoint slices of the projected dim, sum_h q_h.k_h == (hWq).(hWk)
+    over the full dim, so the pooled [nB, B, B] matrix never needs the
+    per-head [nB, H, B, B] tensor. Padding entries are -1.0, matching
+    _gated_attention_block's pooled path exactly."""
+    scale = 1.0 / (cfg.head_dim ** 0.5)
+    q = jnp.einsum("nbd,de->nbe", h, wq, preferred_element_type=jnp.float32)
+    k = jnp.einsum("nbd,de->nbe", h, wk, preferred_element_type=jnp.float32)
+    lg = jnp.einsum("nqd,nkd->nqk", q, k,
+                    preferred_element_type=jnp.float32)
+    lg = lg * (scale / cfg.num_heads)
+    valid = node_pad[:, :, None] * node_pad[:, None, :]
+    return jnp.where(valid > 0, lg, -1.0)
+
+
+def _gate_signature(pooled, eps):
+    """Per-partition lambda proxy: mean positive clamped logit — the same
+    statistic the gate thresholds against (gating.rs:70-102)."""
+    clamped = jnp.where(pooled > eps, pooled, 0.0)
+    npos = jnp.sum(clamped > 0, axis=(-2, -1))
+    return jnp.sum(clamped, axis=(-2, -1)) / jnp.maximum(npos, 1)
+
+
+def _attention_with_keep(h, node_pad, keep, p, cfg, chunk):
+    """MHA within partitions under a FIXED per-partition keep mask
+    ([nB, B, B] bool, broadcast across heads). Differentiable; no gate
+    solves. Chunked with lax.map to bound the [c, H, B, B] transients."""
+    nb, b, d = h.shape
+    hh, dh = cfg.num_heads, cfg.head_dim
+    scale = 1.0 / (dh ** 0.5)
+
+    def proj(w):
+        return jnp.einsum(
+            "nbd,de->nbe", h, w, preferred_element_type=jnp.float32
+        ).reshape(nb, b, hh, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = proj(p["wq"]), proj(p["wk"]), proj(p["wv"])
+    valid = node_pad[:, None, :, None] * node_pad[:, None, None, :]
+
+    def one_chunk(args):
+        qc, kc, vc, vmc, keepc = args
+        logits = jnp.einsum(
+            "chqd,chkd->chqk", qc, kc,
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(vmc > 0, logits, -1.0)
+        mask = keepc[:, None].astype(jnp.float32) * vmc
+        attn = masked_softmax(logits, mask)
+        return jnp.einsum("chqk,chkd->chqd", attn, vc,
+                          preferred_element_type=jnp.float32)
+
+    c = max(cc for cc in range(1, min(chunk, nb) + 1) if nb % cc == 0)
+
+    def rc(x):
+        return x.reshape(nb // c, c, *x.shape[1:])
+
+    out = jax.lax.map(one_chunk, (rc(q), rc(k), rc(v), rc(valid), rc(keep)))
+    out = out.reshape(nb, hh, b, dh).transpose(0, 2, 1, 3).reshape(nb, b, d)
+    out = jnp.einsum("nbd,de->nbe", out, p["wo"],
+                     preferred_element_type=jnp.float32)
+    return out * node_pad[..., None]
+
+
+def _layer_with_keep(p, cfg, x, bdg, keep, attn_chunk=512):
+    pad = bdg.node_pad
+    h = layer_norm_apply(p["ln1"], x)
+    x = x + _attention_with_keep(h, pad, keep, p, cfg, attn_chunk)
+    g = layer_norm_apply(p["ln_g"], x)
+    x = x + _neighbor_mix(g, bdg, p["w_gnn"]) * pad[..., None]
+    h2 = layer_norm_apply(p["ln2"], x)
+    x = x + linear_apply(
+        p["ffn_out"], jax.nn.gelu(linear_apply(p["ffn_in"], h2))
+    ) * pad[..., None]
+    return x
+
+
+def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
+    """Solve every partition's gate once (chunked lax.map to bound the
+    [c, B, B] push-relabel buffers) and record the signatures. Returns
+    {"keep": [L, nB, B, B] bool, "sig": [L, nB] f32}."""
+    nb, b = bdg.n_blocks, bdg.block
+    x = fpad.reshape(nb, b, -1)
+    keeps, sigs = [], []
+    for p in params:
+        h = layer_norm_apply(p["ln1"], x)
+        pooled = _pooled_logits(h, bdg.node_pad, p["wq"], p["wk"], cfg)
+        c = max(cc for cc in range(1, min(cfg.gate_chunk, nb) + 1)
+                if nb % cc == 0)
+        keep = jax.lax.map(
+            lambda lg: jax.vmap(
+                lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(lg),
+            pooled.reshape(nb // c, c, b, b)).reshape(nb, b, b)
+        keeps.append(keep)
+        sigs.append(_gate_signature(pooled, cfg.eps))
+        x = _layer_with_keep(p, cfg, x, bdg, keep)
+    return {"keep": jnp.stack(keeps), "sig": jnp.stack(sigs)}
+
+
+def gated_graph_transformer_step(
+    params, cfg: GatedGraphTransformerConfig, fpad, bdg, state,
+    max_resolve: int | None = None,
+):
+    """Forward with temporal gate reuse. Returns (out, new_state, n_resolved).
+
+    Per layer: compute the pooled-logit signature (one einsum), flag
+    partitions whose signature drifted past the hysteresis band, re-solve
+    the top-`max_resolve` drifted gates as ONE batched device program
+    (gather -> vmap push-relabel -> scatter), and run the layer under the
+    refreshed masks. Un-drifted partitions reuse their stored mask —
+    the reference's hysteresis semantics (gating.rs hysteresis band).
+    """
+    nb, b = bdg.n_blocks, bdg.block
+    if max_resolve is None:
+        max_resolve = max(1, int(nb * cfg.max_resolve_frac))
+    max_resolve = min(max_resolve, nb)
+    x = fpad.reshape(nb, b, -1)
+    new_keep, new_sig, resolved = [], [], jnp.zeros((), jnp.int32)
+    for li, p in enumerate(params):
+        h = layer_norm_apply(p["ln1"], x)
+        pooled = _pooled_logits(h, bdg.node_pad, p["wq"], p["wk"], cfg)
+        sig = _gate_signature(pooled, cfg.eps)
+        prev_sig = state["sig"][li]
+        drift = jnp.abs(sig - prev_sig)
+        flagged = drift > cfg.hysteresis_band * (jnp.abs(prev_sig) + 1e-6)
+        score = jnp.where(flagged, drift, -1.0)
+        _, idx = jax.lax.top_k(score, max_resolve)
+        sel = jnp.take(flagged, idx)                       # [k] bool
+        sub = jnp.take(pooled, idx, axis=0)                # [k, B, B]
+        keep_k = jax.vmap(
+            lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(sub)
+        old_k = jnp.take(state["keep"][li], idx, axis=0)
+        keep_k = jnp.where(sel[:, None, None], keep_k, old_k)
+        keep_l = state["keep"][li].at[idx].set(keep_k)
+        sig_l = prev_sig.at[idx].set(
+            jnp.where(sel, jnp.take(sig, idx), jnp.take(prev_sig, idx)))
+        new_keep.append(keep_l)
+        new_sig.append(sig_l)
+        resolved = resolved + jnp.sum(sel)
+        x = _layer_with_keep(p, cfg, x, bdg, keep_l)
+    new_state = {"keep": jnp.stack(new_keep), "sig": jnp.stack(new_sig)}
+    return x.reshape(nb * b, -1), new_state, resolved
+
+
+def gated_graph_transformer_apply_with_masks(
+    params, cfg: GatedGraphTransformerConfig, fpad, bdg, keep_masks,
+):
+    """Differentiable forward under FIXED gate masks ([L, nB, B, B] from
+    the gate state). No push-relabel anywhere — safe to grad at 1M."""
+    nb, b = bdg.n_blocks, bdg.block
+    x = fpad.reshape(nb, b, -1)
+
+    def layer(p, x, keep):
+        return _layer_with_keep(p, cfg, x, bdg,
+                                jax.lax.stop_gradient(keep))
+
+    if cfg.remat:
+        layer = jax.checkpoint(layer)
+    for li, p in enumerate(params):
+        x = layer(p, x, keep_masks[li])
+    return x.reshape(nb * b, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def gated_graph_transformer_loss_with_masks(
+    params, cfg, fpad, bdg, keep_masks, targets,
+):
+    out = gated_graph_transformer_apply_with_masks(
+        params, cfg, fpad, bdg, keep_masks)
     pad = bdg.node_pad.reshape(-1, 1)
     err = (out - targets) * pad
     return jnp.sum(err * err) / jnp.maximum(jnp.sum(pad), 1.0)

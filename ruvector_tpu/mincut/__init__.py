@@ -18,17 +18,31 @@ design is:
              around a seed without touching the whole graph
 """
 
-from ruvector_tpu.mincut.dynamic import DynamicMinCut
+from ruvector_tpu.mincut.dynamic import DynamicMinCut, GlobalMinCutFacade
+from ruvector_tpu.mincut.global_dynamic import (
+    GlobalDynamicMinCut,
+    stoer_wagner,
+)
 from ruvector_tpu.mincut.sparsify import spectral_sparsify, cut_value
-from ruvector_tpu.mincut.local import local_cluster, conductance
+from ruvector_tpu.mincut.local import (
+    LocalCut,
+    conductance,
+    local_cluster,
+    local_k_cut,
+)
 from ruvector_tpu.mincut.expander import expander_decompose
 from ruvector_tpu.mincut.jtree import JTree
 
 __all__ = [
     "DynamicMinCut",
+    "GlobalDynamicMinCut",
+    "GlobalMinCutFacade",
+    "stoer_wagner",
     "spectral_sparsify",
     "cut_value",
     "local_cluster",
+    "local_k_cut",
+    "LocalCut",
     "conductance",
     "expander_decompose",
     "JTree",

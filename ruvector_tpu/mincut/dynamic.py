@@ -36,7 +36,15 @@ class DynamicMinCut:
     runtime is importable; 'python' forces the lazy exact-recompute path
     (always available, bit-exact oracle for the native one)."""
 
-    def __init__(self, num_nodes: int, source: int = 0,
+    def __new__(cls, num_nodes: int, source: int | None = 0,
+                sink: int | None = None, backend: str = "auto"):
+        if source is None and cls is DynamicMinCut:
+            # no (source, sink): GLOBAL min-cut semantics
+            # (ruvector-mincut/src/lib.rs:1-57 maintains the global cut)
+            return GlobalMinCutFacade(num_nodes, backend=backend)
+        return super().__new__(cls)
+
+    def __init__(self, num_nodes: int, source: int | None = 0,
                  sink: int | None = None, backend: str = "auto"):
         self.n = num_nodes
         self.source = source
@@ -187,4 +195,121 @@ class DynamicMinCut:
         if crossing != [tuple(e) for e in cert["cut_edges"]]:
             return False
         weight = sum(self.weights[e] for e in crossing)
+        return abs(weight - cert["value"]) < 1e-4
+
+
+class GlobalMinCutFacade:
+    """DynamicMinCut-shaped surface over the GLOBAL min-cut maintainer
+    (mincut/global_dynamic.py): same update verbs and monitoring, but the
+    answers are the graph's global minimum cut — no (source, sink).
+
+    backend='native' uses the C++ gmc_* solver (graph_runtime.cpp) when
+    available; 'python'/'auto' fall back to the exact Python maintainer.
+    """
+
+    def __init__(self, num_nodes: int, backend: str = "auto"):
+        self.n = num_nodes
+        self.source = None
+        self.sink = None
+        self.watcher = MetricWatcher()
+        self._g = None
+        if backend in ("auto", "native"):
+            try:
+                from ruvector_tpu.native import (
+                    GlobalIncrementalMinCut,
+                    available,
+                )
+
+                if available:
+                    self._g = GlobalIncrementalMinCut(num_nodes)
+                elif backend == "native":
+                    raise RuntimeError("native runtime unavailable")
+            except ImportError:
+                if backend == "native":
+                    raise
+        if self._g is None:
+            from ruvector_tpu.mincut.global_dynamic import (
+                GlobalDynamicMinCut,
+            )
+
+            self._g = GlobalDynamicMinCut(num_nodes)
+
+    @property
+    def update_count(self) -> int:
+        return self._g.update_count
+
+    @property
+    def weights(self):
+        return self._g.weights
+
+    def insert_edge(self, u: int, v: int, w: float):
+        self._g.insert_edge(u, v, w)
+
+    def delete_edge(self, u: int, v: int):
+        self._g.delete_edge(u, v)
+
+    def reweight_edge(self, u: int, v: int, w: float):
+        self._g.reweight_edge(u, v, w)
+
+    def cut_value(self) -> float:
+        v = self._g.cut_value()
+        self.watcher.observe("cut_value", v)
+        return v
+
+    def cut_edges(self) -> list[tuple[int, int]]:
+        return self._g.cut_edges()
+
+    def partition(self) -> np.ndarray:
+        return np.asarray(self._g.partition(), bool)
+
+    def solver_stats(self) -> dict:
+        return self._g.stats()
+
+    def watch_threshold(self, threshold: float, direction: str, callback,
+                        hysteresis: float = 0.0):
+        return self.watcher.watch("cut_value", threshold, direction,
+                                  callback, hysteresis)
+
+    def certificate(self) -> dict:
+        import hashlib
+        import json
+
+        side = self.partition()
+        edges = sorted(self.cut_edges())
+        payload = {
+            "global": True,
+            "value": round(self.cut_value(), 6),
+            "cut_edges": [list(e) for e in edges],
+            "source_side": np.nonzero(side)[0].tolist(),
+        }
+        payload["hash"] = hashlib.sha256(
+            json.dumps(payload, sort_keys=True).encode()).hexdigest()
+        return payload
+
+    def verify_certificate(self, cert: dict) -> bool:
+        """Valid iff: hash checks, both sides hold >=1 active node, the
+        listed edges are exactly the crossing edges, and their weight
+        equals the claimed value."""
+        import hashlib
+        import json
+
+        payload = {k: v for k, v in cert.items() if k != "hash"}
+        if hashlib.sha256(json.dumps(payload, sort_keys=True).encode()
+                          ).hexdigest() != cert["hash"]:
+            return False
+        side = np.zeros(self.n, bool)
+        side[cert["source_side"]] = True
+        deg = np.zeros(self.n)
+        w = dict(self.weights)
+        for (u, v), ww in w.items():
+            deg[u] += ww
+            deg[v] += ww
+        active = deg > 1e-12
+        if active.sum() >= 2 and not (
+                side[active].any() and not side[active].all()):
+            return False
+        crossing = sorted((u, v) for (u, v) in w if side[u] != side[v])
+        if crossing != [tuple(e) for e in cert["cut_edges"]]:
+            return False
+        weight = sum(w[e] for e in crossing)
         return abs(weight - cert["value"]) < 1e-4

@@ -159,3 +159,111 @@ def test_pooled_gate_matches_head_mean_oracle():
                                          cfg.lam, cfg.eps)
         np.testing.assert_allclose(float(ref_cost), float(cost[i, 0]),
                                    atol=1e-5)
+
+
+# --- temporal gate reuse (round 3: hysteresis state + incremental solve) ---
+
+def _state_setup(n=96, d=32, m=8, seed=0):
+    from ruvector_tpu.graph_transformer.gated import (
+        gate_state_init,
+    )
+
+    bdg = _graph(n, m, seed=seed, block=32)
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=4, num_layers=2,
+                                      hysteresis_band=0.05)
+    params = gated_graph_transformer_init(jax.random.key(0), cfg)
+    feats = np.random.default_rng(seed + 1).normal(
+        size=(n, d)).astype(np.float32)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+    state = gate_state_init(params, cfg, fpad, bdg)
+    return params, cfg, fpad, bdg, state
+
+
+def test_gate_state_init_matches_stateless_apply():
+    """Init-solved masks reproduce the stateless pooled-gate forward."""
+    from ruvector_tpu.graph_transformer.gated import (
+        gated_graph_transformer_apply_with_masks,
+    )
+
+    params, cfg, fpad, bdg, state = _state_setup()
+    ref = gated_graph_transformer_apply(params, cfg, fpad, bdg)
+    out = gated_graph_transformer_apply_with_masks(
+        params, cfg, fpad, bdg, state["keep"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_step_same_input_reuses_all_gates():
+    """Zero drift => zero re-solves, identical masks, identical output."""
+    from ruvector_tpu.graph_transformer.gated import (
+        gated_graph_transformer_step,
+    )
+
+    params, cfg, fpad, bdg, state = _state_setup()
+    out, new_state, n_res = gated_graph_transformer_step(
+        params, cfg, fpad, bdg, state)
+    assert int(n_res) == 0
+    np.testing.assert_array_equal(np.asarray(new_state["keep"]),
+                                  np.asarray(state["keep"]))
+    ref = gated_graph_transformer_apply(params, cfg, fpad, bdg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_step_with_full_budget_matches_fresh_solve():
+    """band=0 + budget=all => incremental step == stateless apply on the
+    NEW input (every drifted partition re-solves; undrifted ones hold a
+    still-correct mask)."""
+    import dataclasses
+
+    from ruvector_tpu.graph_transformer.gated import (
+        gated_graph_transformer_step,
+    )
+
+    params, cfg, fpad, bdg, state = _state_setup()
+    cfg0 = dataclasses.replace(cfg, hysteresis_band=0.0)
+    fpad2 = fpad + 0.25 * jnp.asarray(
+        np.random.default_rng(9).normal(size=fpad.shape).astype(np.float32))
+    fpad2 = fpad2 * bdg.node_pad.reshape(-1)[:, None]
+    out, new_state, n_res = gated_graph_transformer_step(
+        params, cfg0, fpad2, bdg, state, max_resolve=bdg.n_blocks)
+    assert int(n_res) > 0
+    ref = gated_graph_transformer_apply(params, cfg0, fpad2, bdg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_step_respects_resolve_budget():
+    from ruvector_tpu.graph_transformer.gated import (
+        gated_graph_transformer_step,
+    )
+
+    params, cfg, fpad, bdg, state = _state_setup()
+    fpad2 = fpad + 0.5 * jnp.asarray(
+        np.random.default_rng(3).normal(size=fpad.shape).astype(np.float32))
+    fpad2 = fpad2 * bdg.node_pad.reshape(-1)[:, None]
+    out, new_state, n_res = gated_graph_transformer_step(
+        params, cfg, fpad2, bdg, state, max_resolve=1)
+    assert int(n_res) <= 1
+    # un-resolved partitions keep their stored mask bit-for-bit
+    same = np.asarray(new_state["keep"]) == np.asarray(state["keep"])
+    assert same.all(axis=(-2, -1)).sum() >= same.shape[0] * same.shape[1] - 2
+
+
+def test_loss_with_masks_matches_and_grads():
+    """Same loss + same grads as the in-line gate loss when masks come
+    from the state (gates are stop-gradient in both)."""
+    from ruvector_tpu.graph_transformer.gated import (
+        gated_graph_transformer_loss_with_masks,
+    )
+
+    params, cfg, fpad, bdg, state = _state_setup()
+    tgt = jnp.zeros_like(fpad)
+    l_ref, g_ref = jax.value_and_grad(gated_graph_transformer_loss)(
+        params, cfg, fpad, bdg, tgt)
+    l_new, g_new = jax.value_and_grad(gated_graph_transformer_loss_with_masks)(
+        params, cfg, fpad, bdg, state["keep"], tgt)
+    np.testing.assert_allclose(float(l_new), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_new), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
