@@ -235,7 +235,14 @@ class GlobalDynamicMinCut:
                 self._value, self._side = w, side
                 self._pool = [[w, side]]
             else:
-                # new component next to an existing active graph
+                # new component next to an existing active graph; seat
+                # the pair together in every stored cut first (their old
+                # bits may be stale from a previous activation — split
+                # bits would silently count the new internal edge)
+                for entry in self._pool:
+                    if entry[1][u] or entry[1][v]:
+                        entry[1] = entry[1].copy()
+                        entry[1][u] = entry[1][v] = False
                 side = np.zeros(self.n, bool)
                 side[u] = side[v] = True
                 self._value, self._side = 0.0, side
@@ -251,14 +258,17 @@ class GlobalDynamicMinCut:
             self._pool = [[w, side]]
             self.o1_update_count += 1
             return
-        # pool entries hold side[x]=False; seat x on the anchor's side
-        # (value unchanged: the new edge then never crosses them)
+        # seat x on the anchor's side in every stored cut (value
+        # unchanged: the new edge then never crosses them); x's old bits
+        # may be stale from a previous activation
         for entry in self._pool:
-            if entry[1][anchor]:
+            if entry[1][x] != entry[1][anchor]:
                 entry[1] = entry[1].copy()
-                entry[1][x] = True
+                entry[1][x] = entry[1][anchor]
+        if self._side[x] != self._side[anchor]:
+            self._side = self._side.copy()
+            self._side[x] = self._side[anchor]
         lam_old = self._value
-        self._side = self._pool[0][1]
         if w < lam_old - 1e-12:
             side = np.zeros(self.n, bool)
             side[x] = True
@@ -323,8 +333,13 @@ class GlobalDynamicMinCut:
         """Exact repair after the u-v connection weakened by delta."""
         if self._dirty:
             return
-        if self.degree[u] <= 1e-12 or self.degree[v] <= 1e-12:
-            self._dirty = True          # node left the active set
+        u_off = self.degree[u] <= 1e-12
+        v_off = self.degree[v] <= 1e-12
+        if u_off and v_off:
+            self._dirty = True          # isolated pair vanished
+            return
+        if u_off or v_off:
+            self._leaf_deactivate(*((u, v) if u_off else (v, u)), delta)
             return
         self._pool_update_edge(u, v, -delta)
         if self._side[u] != self._side[v]:
@@ -336,6 +351,42 @@ class GlobalDynamicMinCut:
         # primary unaffected: only u-v-separating cuts shrank; the best
         # of those is the u-v min cut on the updated graph
         flow, side = self._st_cut(u, v)
+        self._after_st_repair(flow, side)
+
+    def _leaf_deactivate(self, x: int, anchor: int, delta: float):
+        """Node x lost its last edge (to `anchor`, weight delta). Every
+        cut of the shrunken active set is an old cut with x seated on
+        anchor's side at unchanged value, so lambda' = min over old
+        NON-(x,anchor)-separating cuts >= lambda_old. If the primary did
+        not separate x from anchor it is still optimal (O(1)); the only
+        separating primary a leaf admits is the singleton {x} (anything
+        larger would contradict lambda_old's optimality), in which case a
+        valid pool candidate at lambda_old certifies, else recompute."""
+        self._pool_update_edge(x, anchor, -delta)
+        active = self.degree > 1e-12
+        if int(active.sum()) < 2:
+            self._dirty = True
+            return
+        # drop pool entries that became trivial over the active set
+        self._pool = [e for e in self._pool
+                      if e[1][active].any() and not e[1][active].all()]
+        if self._side[x] == self._side[anchor]:
+            self.o1_update_count += 1
+            return
+        lam_old = self._value
+        cands = [e for e in self._pool if e[1][x] == e[1][anchor]]
+        if cands:
+            best = min(cands, key=lambda e: e[0])
+            if best[0] <= lam_old + 1e-12:
+                self._value = best[0]
+                self._side = best[1]
+                self._pool.remove(best)
+                self._pool.insert(0, best)
+                self.o1_update_count += 1
+                return
+        self._dirty = True
+
+    def _after_st_repair(self, flow: float, side: np.ndarray):
         self.flow_repair_count += 1
         if flow < self._value - 1e-12:
             if not side.any() or side.all():

@@ -257,3 +257,30 @@ def test_local_k_cut_whole_component_fallback():
     assert res is not None
     assert res.value == pytest.approx(0.8)
     assert set(res.members) in ({0, 1, 2}, {3, 4, 5})
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_fuzz_delete_heavy(seed):
+    """Exercises leaf deactivation/reactivation: nodes repeatedly leave
+    and rejoin the active set."""
+    rng = np.random.default_rng(seed)
+    n = 8
+    mc = GlobalDynamicMinCut(n)
+    live = {}
+    for step in range(600):
+        op = rng.random()
+        if op < 0.45 or not live:
+            u, v = rng.integers(0, n, 2)
+            while v == u:
+                v = rng.integers(0, n)
+            u, v = int(min(u, v)), int(max(u, v))
+            w = float(rng.uniform(0.1, 2.0))
+            mc.insert_edge(u, v, w)
+            live[(u, v)] = live.get((u, v), 0.0) + w
+        else:
+            u, v = list(live)[rng.integers(0, len(live))]
+            mc.delete_edge(u, v)
+            del live[(u, v)]
+        expect = brute_force_global_cut(live, n)
+        assert mc.cut_value() == pytest.approx(expect, abs=1e-6), step
+        _check_partition(mc, expect)
