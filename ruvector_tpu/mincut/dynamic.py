@@ -234,21 +234,33 @@ class GlobalMinCutFacade:
 
             self._g = GlobalDynamicMinCut(num_nodes)
 
+        # facade-side undirected weight book (certificates re-check the
+        # live graph; the native solver doesn't expose its map)
+        self.weights: dict[tuple[int, int], float] = {}
+
     @property
     def update_count(self) -> int:
         return self._g.update_count
 
-    @property
-    def weights(self):
-        return self._g.weights
+    @staticmethod
+    def _key(u: int, v: int) -> tuple[int, int]:
+        return (u, v) if u < v else (v, u)
 
     def insert_edge(self, u: int, v: int, w: float):
+        if u == v or w <= 0:
+            return
+        k = self._key(u, v)
+        self.weights[k] = self.weights.get(k, 0.0) + w
         self._g.insert_edge(u, v, w)
 
     def delete_edge(self, u: int, v: int):
+        self.weights.pop(self._key(u, v), None)
         self._g.delete_edge(u, v)
 
     def reweight_edge(self, u: int, v: int, w: float):
+        if w <= 0:
+            return self.delete_edge(u, v)
+        self.weights[self._key(u, v)] = w
         self._g.reweight_edge(u, v, w)
 
     def cut_value(self) -> float:

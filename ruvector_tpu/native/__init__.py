@@ -75,6 +75,20 @@ def _load():
     lib.incmc_cut_edges.restype = i64
     lib.incmc_stats.argtypes = [voidp, i64p]
 
+    f64 = ctypes.c_double
+    lib.gmc_create.argtypes = [i32]
+    lib.gmc_create.restype = voidp
+    lib.gmc_free.argtypes = [voidp]
+    lib.gmc_insert.argtypes = [voidp, i32, i32, f64]
+    lib.gmc_delete.argtypes = [voidp, i32, i32]
+    lib.gmc_reweight.argtypes = [voidp, i32, i32, f64]
+    lib.gmc_value.argtypes = [voidp]
+    lib.gmc_value.restype = f64
+    lib.gmc_partition.argtypes = [voidp, u8p]
+    lib.gmc_cut_edges.argtypes = [voidp, i32p, i32p, i64]
+    lib.gmc_cut_edges.restype = i64
+    lib.gmc_stats.argtypes = [voidp, i64p]
+
     _lib = lib
     available = True
 
@@ -211,3 +225,69 @@ class IncrementalMinCut:
         return {"updates": int(out[0]), "o1_skips": int(out[1]),
                 "augment_phases": int(out[2]), "cancels": int(out[3]),
                 "rebuilds": int(out[4])}
+
+
+class GlobalIncrementalMinCut:
+    """Native GLOBAL (no source/sink) dynamic min-cut (graph_runtime.cpp
+    gmc_*) — same exact incremental invariants as the Python
+    mincut/global_dynamic.GlobalDynamicMinCut (which it is fuzz-pinned
+    to): O(pool) non-crossing updates, one-Dinic decrease repairs,
+    candidate-pool certificates, Stoer-Wagner recompute backstop."""
+
+    def __init__(self, n: int):
+        if not available:
+            raise RuntimeError("native graph runtime unavailable")
+        self.n = int(n)
+        self._h = _lib.gmc_create(self.n)
+        self._updates = 0
+
+    def close(self):
+        if self._h:
+            _lib.gmc_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    @property
+    def update_count(self) -> int:
+        return self._updates
+
+    def insert_edge(self, u: int, v: int, w: float):
+        self._updates += 1
+        _lib.gmc_insert(self._h, u, v, float(w))
+
+    def delete_edge(self, u: int, v: int):
+        self._updates += 1
+        _lib.gmc_delete(self._h, u, v)
+
+    def reweight_edge(self, u: int, v: int, w: float):
+        self._updates += 1
+        _lib.gmc_reweight(self._h, u, v, float(w))
+
+    def cut_value(self) -> float:
+        return float(_lib.gmc_value(self._h))
+
+    def partition(self) -> np.ndarray:
+        out = np.zeros(self.n, np.uint8)
+        _lib.gmc_partition(self._h, out)
+        return out.astype(bool)
+
+    def cut_edges(self) -> list[tuple[int, int]]:
+        cap = 1024
+        while True:
+            us = np.zeros(cap, np.int32)
+            vs = np.zeros(cap, np.int32)
+            k = int(_lib.gmc_cut_edges(self._h, us, vs, cap))
+            if k <= cap:
+                return sorted(zip(us[:k].tolist(), vs[:k].tolist()))
+            cap = k
+
+    def stats(self) -> dict:
+        out = np.zeros(4, np.int64)
+        _lib.gmc_stats(self._h, out)
+        return {"updates": int(out[0]), "o1_updates": int(out[1]),
+                "flow_repairs": int(out[2]), "full_recomputes": int(out[3])}

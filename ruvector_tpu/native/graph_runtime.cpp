@@ -684,3 +684,523 @@ void incmc_stats(void* h, int64_t* out5) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Global (no source/sink) dynamic minimum cut — native mirror of
+// ruvector_tpu/mincut/global_dynamic.py (same exact incremental
+// invariants; fuzz-pinned to it in tests/test_global_mincut.py).
+// Reference capability: ruvector-mincut/src/lib.rs:1-57 (linkcut/euler/
+// subpolynomial subsystems maintain the global cut under updates).
+// ---------------------------------------------------------------------------
+
+namespace gmc {
+
+constexpr double EPS = 1e-12;
+
+// compact Dinic for the repair flows (built fresh per repair on the
+// active subgraph; repairs touch the u-v cut structure only)
+struct Dinic {
+    struct E { int32_t to, rev; double cap; };
+    std::vector<std::vector<E>> g;
+    explicit Dinic(int32_t n) : g(n) {}
+    void add(int32_t u, int32_t v, double c) {
+        g[u].push_back({v, (int32_t)g[v].size(), c});
+        g[v].push_back({u, (int32_t)g[u].size() - 1, c});  // undirected
+    }
+    std::vector<int32_t> level;
+    bool bfs(int32_t s, int32_t t) {
+        level.assign(g.size(), -1);
+        level[s] = 0;
+        std::queue<int32_t> q;
+        q.push(s);
+        while (!q.empty()) {
+            int32_t u = q.front(); q.pop();
+            for (auto& e : g[u])
+                if (e.cap > EPS && level[e.to] < 0) {
+                    level[e.to] = level[u] + 1;
+                    q.push(e.to);
+                }
+        }
+        return level[t] >= 0;
+    }
+    double dfs(int32_t u, int32_t t, double f, std::vector<size_t>& it) {
+        if (u == t) return f;
+        for (; it[u] < g[u].size(); ++it[u]) {
+            E& e = g[u][it[u]];
+            if (e.cap > EPS && level[e.to] == level[u] + 1) {
+                double d = dfs(e.to, t, std::min(f, e.cap), it);
+                if (d > EPS) {
+                    e.cap -= d;
+                    g[e.to][e.rev].cap += d;
+                    return d;
+                }
+            }
+        }
+        return 0.0;
+    }
+    double max_flow(int32_t s, int32_t t) {
+        double fl = 0.0;
+        while (bfs(s, t)) {
+            std::vector<size_t> it(g.size(), 0);
+            while (true) {
+                double f = dfs(s, t, 1e300, it);
+                if (f <= EPS) break;
+                fl += f;
+            }
+        }
+        return fl;
+    }
+    std::vector<uint8_t> reachable(int32_t s) {
+        std::vector<uint8_t> r(g.size(), 0);
+        std::queue<int32_t> q;
+        q.push(s);
+        r[s] = 1;
+        while (!q.empty()) {
+            int32_t u = q.front(); q.pop();
+            for (auto& e : g[u])
+                if (e.cap > EPS && !r[e.to]) { r[e.to] = 1; q.push(e.to); }
+        }
+        return r;
+    }
+};
+
+struct Cand {
+    double v;
+    std::vector<uint8_t> side;
+};
+
+struct Solver {
+    int32_t n;
+    int pool_size = 8;
+    std::unordered_map<int64_t, double> w;   // key(min,max) -> weight
+    std::vector<std::unordered_map<int32_t, double>> nbr;
+    std::vector<double> deg;
+    double value_ = 0.0;
+    std::vector<uint8_t> side_;
+    std::vector<Cand> pool;
+    bool dirty = true;
+    int64_t st_updates = 0, st_o1 = 0, st_flow = 0, st_rec = 0;
+
+    explicit Solver(int32_t n_) : n(n_), nbr(n_), deg(n_, 0.0),
+                                  side_(n_, 0) {}
+
+    static int64_t key(int32_t u, int32_t v, int32_t n) {
+        return u < v ? (int64_t)u * n + v : (int64_t)v * n + u;
+    }
+
+    void pool_update_edge(int32_t u, int32_t v, double delta) {
+        for (auto& c : pool)
+            if (c.side[u] != c.side[v]) c.v += delta;
+    }
+
+    std::vector<int32_t> active_nodes() const {
+        std::vector<int32_t> a;
+        for (int32_t i = 0; i < n; ++i)
+            if (deg[i] > EPS) a.push_back(i);
+        return a;
+    }
+
+    // --- exact Stoer-Wagner on the given connected node set -------------
+    // heap-based maximum-adjacency order; contraction by small-to-large
+    // adjacency-map merging. Returns phase cuts for the candidate pool.
+    void stoer_wagner(const std::vector<int32_t>& nodes, double& best,
+                      std::vector<uint8_t>& best_side,
+                      std::vector<Cand>& phases) {
+        int32_t m = (int32_t)nodes.size();
+        std::vector<int32_t> id(n, -1);
+        for (int32_t i = 0; i < m; ++i) id[nodes[i]] = i;
+        std::vector<std::unordered_map<int32_t, double>> g(m);
+        for (int32_t i = 0; i < m; ++i)
+            for (auto& kv : nbr[nodes[i]]) {
+                int32_t j = id[kv.first];
+                if (j >= 0) g[i][j] += kv.second;
+            }
+        std::vector<std::vector<int32_t>> merged(m);
+        for (int32_t i = 0; i < m; ++i) merged[i] = {nodes[i]};
+        std::vector<uint8_t> alive(m, 1);
+        best = 1e300;
+        int32_t alive_cnt = m;
+        while (alive_cnt > 1) {
+            // max-adjacency sweep from the first alive node
+            int32_t start = -1;
+            for (int32_t i = 0; i < m; ++i)
+                if (alive[i]) { start = i; break; }
+            std::vector<double> conn(m, 0.0);
+            std::vector<uint8_t> in_a(m, 0);
+            std::priority_queue<std::pair<double, int32_t>> pq;
+            in_a[start] = 1;
+            int32_t added = 1, s_prev = start, t_last = start;
+            for (auto& kv : g[start]) {
+                if (alive[kv.first]) {
+                    conn[kv.first] = kv.second;
+                    pq.push({conn[kv.first], kv.first});
+                }
+            }
+            while (added < alive_cnt) {
+                int32_t nxt = -1;
+                while (!pq.empty()) {
+                    auto [cw, x] = pq.top();
+                    pq.pop();
+                    if (!alive[x] || in_a[x] || cw < conn[x] - 1e-15)
+                        continue;
+                    nxt = x;
+                    break;
+                }
+                if (nxt < 0) break;            // disconnected (shouldn't)
+                in_a[nxt] = 1;
+                ++added;
+                s_prev = t_last;
+                t_last = nxt;
+                for (auto& kv : g[nxt])
+                    if (alive[kv.first] && !in_a[kv.first]) {
+                        conn[kv.first] += kv.second;
+                        pq.push({conn[kv.first], kv.first});
+                    }
+            }
+            // cut of the phase: t_last vs rest
+            double cop = 0.0;
+            for (auto& kv : g[t_last])
+                if (alive[kv.first]) cop += kv.second;
+            Cand c;
+            c.v = cop;
+            c.side.assign(n, 0);
+            for (int32_t orig : merged[t_last]) c.side[orig] = 1;
+            phases.push_back(c);
+            if (cop < best) {
+                best = cop;
+                best_side = c.side;
+            }
+            // contract t_last into s_prev (merged-vector swap is safe —
+            // it is id-independent; adjacency maps must NOT be swapped,
+            // neighbors reference them by index)
+            if (merged[t_last].size() > merged[s_prev].size())
+                std::swap(merged[t_last], merged[s_prev]);
+            for (int32_t orig : merged[t_last])
+                merged[s_prev].push_back(orig);
+            for (auto& kv : g[t_last]) {
+                if (kv.first == s_prev || !alive[kv.first]) continue;
+                g[s_prev][kv.first] += kv.second;
+                g[kv.first][s_prev] += kv.second;
+                g[kv.first].erase(t_last);
+            }
+            g[s_prev].erase(t_last);
+            g[s_prev].erase(s_prev);
+            g[t_last].clear();
+            alive[t_last] = 0;
+            --alive_cnt;
+        }
+    }
+
+    void full_recompute() {
+        ++st_rec;
+        pool.clear();
+        auto act = active_nodes();
+        dirty = false;
+        if ((int32_t)act.size() < 2) {
+            value_ = 0.0;
+            std::fill(side_.begin(), side_.end(), 0);
+            return;
+        }
+        // connected components
+        std::vector<int32_t> comp(n, -1);
+        int32_t nc = 0;
+        for (int32_t a : act) {
+            if (comp[a] >= 0) continue;
+            std::queue<int32_t> q;
+            q.push(a);
+            comp[a] = nc;
+            while (!q.empty()) {
+                int32_t u = q.front(); q.pop();
+                for (auto& kv : nbr[u])
+                    if (comp[kv.first] < 0 && kv.second > EPS) {
+                        comp[kv.first] = nc;
+                        q.push(kv.first);
+                    }
+            }
+            ++nc;
+        }
+        if (nc > 1) {
+            value_ = 0.0;
+            std::fill(side_.begin(), side_.end(), 0);
+            for (int32_t a : act)
+                if (comp[a] == 0) side_[a] = 1;
+            pool.push_back({0.0, side_});
+            return;
+        }
+        double best;
+        std::vector<uint8_t> best_side;
+        std::vector<Cand> phases;
+        stoer_wagner(act, best, best_side, phases);
+        value_ = best;
+        side_ = best_side;
+        pool.push_back({value_, side_});
+        std::sort(phases.begin(), phases.end(),
+                  [](const Cand& a, const Cand& b) { return a.v < b.v; });
+        for (auto& p : phases) {
+            if ((int)pool.size() >= pool_size) break;
+            bool dup = false;
+            for (auto& e : pool)
+                if (e.side == p.side) { dup = true; break; }
+            if (!dup) pool.push_back(p);
+        }
+    }
+
+    void st_cut(int32_t u, int32_t v, double& flow,
+                std::vector<uint8_t>& side) {
+        auto act = active_nodes();
+        std::vector<int32_t> id(n, -1);
+        for (size_t i = 0; i < act.size(); ++i) id[act[i]] = (int32_t)i;
+        Dinic d((int32_t)act.size());
+        for (auto& kv : w) {
+            int32_t a = (int32_t)(kv.first / n), b = (int32_t)(kv.first % n);
+            if (kv.second > EPS) d.add(id[a], id[b], kv.second);
+        }
+        flow = d.max_flow(id[u], id[v]);
+        ++st_flow;
+        auto r = d.reachable(id[u]);
+        side.assign(n, 0);
+        for (size_t i = 0; i < act.size(); ++i)
+            if (r[i]) side[act[i]] = 1;
+    }
+
+    void promote(int from_idx) {
+        Cand c = pool[from_idx];
+        pool.erase(pool.begin() + from_idx);
+        pool.insert(pool.begin(), c);
+        value_ = c.v;
+        side_ = c.side;
+    }
+
+    void increase_repair(int32_t u, int32_t v, double delta) {
+        pool_update_edge(u, v, delta);
+        if (side_[u] == side_[v]) { ++st_o1; return; }
+        double old_val = value_;
+        int best = 0;
+        for (size_t i = 1; i < pool.size(); ++i)
+            if (pool[i].v < pool[best].v) best = (int)i;
+        if (!pool.empty() && pool[best].v <= old_val + EPS) {
+            promote(best);
+            ++st_o1;
+            return;
+        }
+        dirty = true;
+    }
+
+    void attach_new_node(int32_t u, int32_t v, double ww,
+                         bool u_was, bool v_was) {
+        int32_t n_active = 0;
+        for (int32_t i = 0; i < n; ++i)
+            if (deg[i] > EPS) ++n_active;
+        if (!u_was && !v_was) {
+            if (n_active == 2) {
+                std::fill(side_.begin(), side_.end(), 0);
+                side_[u] = 1;
+                value_ = ww;
+                pool.assign(1, {ww, side_});
+            } else {
+                for (auto& c : pool)
+                    if (c.side[u] || c.side[v]) {
+                        c.side[u] = 0;
+                        c.side[v] = 0;
+                    }
+                std::vector<uint8_t> side(n, 0);
+                side[u] = side[v] = 1;
+                value_ = 0.0;
+                side_ = side;
+                pool.insert(pool.begin(), {0.0, side});
+                if ((int)pool.size() > pool_size) pool.resize(pool_size);
+            }
+            ++st_o1;
+            return;
+        }
+        int32_t x = !u_was ? u : v, anchor = !u_was ? v : u;
+        if (n_active == 2) {
+            std::fill(side_.begin(), side_.end(), 0);
+            side_[x] = 1;
+            value_ = ww;
+            pool.assign(1, {ww, side_});
+            ++st_o1;
+            return;
+        }
+        for (auto& c : pool)
+            if (c.side[x] != c.side[anchor]) c.side[x] = c.side[anchor];
+        if (side_[x] != side_[anchor]) side_[x] = side_[anchor];
+        if (ww < value_ - EPS) {
+            std::vector<uint8_t> side(n, 0);
+            side[x] = 1;
+            value_ = ww;
+            side_ = side;
+            pool.insert(pool.begin(), {ww, side});
+            if ((int)pool.size() > pool_size) pool.resize(pool_size);
+        }
+        ++st_o1;
+    }
+
+    void leaf_deactivate(int32_t x, int32_t anchor, double delta) {
+        pool_update_edge(x, anchor, -delta);
+        auto act = active_nodes();
+        if ((int32_t)act.size() < 2) { dirty = true; return; }
+        // drop entries that became trivial over the active set
+        std::vector<Cand> keep;
+        for (auto& c : pool) {
+            int32_t on = 0;
+            for (int32_t a : act) on += c.side[a] ? 1 : 0;
+            if (on > 0 && on < (int32_t)act.size()) keep.push_back(c);
+        }
+        pool.swap(keep);
+        if (side_[x] == side_[anchor]) { ++st_o1; return; }
+        double lam_old = value_;
+        int best = -1;
+        for (size_t i = 0; i < pool.size(); ++i)
+            if (pool[i].side[x] == pool[i].side[anchor] &&
+                (best < 0 || pool[i].v < pool[best].v))
+                best = (int)i;
+        if (best >= 0 && pool[best].v <= lam_old + EPS) {
+            promote(best);
+            ++st_o1;
+            return;
+        }
+        dirty = true;
+    }
+
+    void after_st_repair(double flow, std::vector<uint8_t>& side) {
+        if (flow < value_ - EPS) {
+            bool any = false, all = true;
+            for (int32_t i = 0; i < n; ++i) {
+                if (side[i]) any = true;
+                if (!side[i] && deg[i] > EPS) all = false;
+            }
+            if (!any || all) { dirty = true; return; }
+            value_ = flow;
+            side_ = side;
+            pool.insert(pool.begin(), {flow, side});
+            if ((int)pool.size() > pool_size) pool.resize(pool_size);
+        }
+    }
+
+    void decrease_repair(int32_t u, int32_t v, double delta) {
+        if (dirty) return;
+        bool u_off = deg[u] <= EPS, v_off = deg[v] <= EPS;
+        if (u_off && v_off) { dirty = true; return; }
+        if (u_off || v_off) {
+            leaf_deactivate(u_off ? u : v, u_off ? v : u, delta);
+            return;
+        }
+        pool_update_edge(u, v, -delta);
+        if (side_[u] != side_[v]) {
+            value_ -= delta;
+            ++st_o1;
+            return;
+        }
+        double flow;
+        std::vector<uint8_t> side;
+        st_cut(u, v, flow, side);
+        after_st_repair(flow, side);
+    }
+
+    void insert_edge(int32_t u, int32_t v, double ww) {
+        if (u == v || ww <= 0 || u < 0 || v < 0 || u >= n || v >= n)
+            return;
+        int64_t k = key(u, v, n);
+        w[k] += ww;
+        nbr[u][v] += ww;
+        nbr[v][u] += ww;
+        bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
+        deg[u] += ww;
+        deg[v] += ww;
+        ++st_updates;
+        if (dirty) return;
+        if (!(u_was && v_was)) {
+            attach_new_node(u, v, ww, u_was, v_was);
+            return;
+        }
+        increase_repair(u, v, ww);
+    }
+
+    void delete_edge(int32_t u, int32_t v) {
+        if (u == v || u < 0 || v < 0 || u >= n || v >= n) return;
+        int64_t k = key(u, v, n);
+        auto it = w.find(k);
+        if (it == w.end()) return;
+        double ww = it->second;
+        w.erase(it);
+        nbr[u].erase(v);
+        nbr[v].erase(u);
+        deg[u] -= ww;
+        deg[v] -= ww;
+        ++st_updates;
+        decrease_repair(u, v, ww);
+    }
+
+    void reweight_edge(int32_t u, int32_t v, double ww) {
+        if (ww <= 0) { delete_edge(u, v); return; }
+        if (u == v || u < 0 || v < 0 || u >= n || v >= n) return;
+        int64_t k = key(u, v, n);
+        auto it = w.find(k);
+        if (it == w.end()) { insert_edge(u, v, ww); return; }
+        double delta = ww - it->second;
+        if (std::abs(delta) < 1e-15) return;
+        it->second = ww;
+        nbr[u][v] = ww;
+        nbr[v][u] = ww;
+        deg[u] += delta;
+        deg[v] += delta;
+        ++st_updates;
+        if (dirty) return;
+        if (delta > 0)
+            increase_repair(u, v, delta);
+        else
+            decrease_repair(u, v, -delta);
+    }
+
+    double cut_value() {
+        if (dirty) full_recompute();
+        return value_;
+    }
+};
+
+}  // namespace gmc
+
+extern "C" {
+
+void* gmc_create(int32_t n) { return new gmc::Solver(n); }
+void gmc_free(void* h) { delete (gmc::Solver*)h; }
+void gmc_insert(void* h, int32_t u, int32_t v, double w) {
+    ((gmc::Solver*)h)->insert_edge(u, v, w);
+}
+void gmc_delete(void* h, int32_t u, int32_t v) {
+    ((gmc::Solver*)h)->delete_edge(u, v);
+}
+void gmc_reweight(void* h, int32_t u, int32_t v, double w) {
+    ((gmc::Solver*)h)->reweight_edge(u, v, w);
+}
+double gmc_value(void* h) { return ((gmc::Solver*)h)->cut_value(); }
+void gmc_partition(void* h, uint8_t* out) {
+    auto* sv = (gmc::Solver*)h;
+    sv->cut_value();
+    std::memcpy(out, sv->side_.data(), sv->n);
+}
+int64_t gmc_cut_edges(void* h, int32_t* u_out, int32_t* v_out,
+                      int64_t cap) {
+    auto* sv = (gmc::Solver*)h;
+    sv->cut_value();
+    int64_t cnt = 0;
+    for (auto& kv : sv->w) {
+        int32_t a = (int32_t)(kv.first / sv->n);
+        int32_t b = (int32_t)(kv.first % sv->n);
+        if (kv.second > gmc::EPS && sv->side_[a] != sv->side_[b]) {
+            if (cnt < cap) { u_out[cnt] = a; v_out[cnt] = b; }
+            ++cnt;
+        }
+    }
+    return cnt;
+}
+void gmc_stats(void* h, int64_t* out4) {
+    auto* sv = (gmc::Solver*)h;
+    out4[0] = sv->st_updates;
+    out4[1] = sv->st_o1;
+    out4[2] = sv->st_flow;
+    out4[3] = sv->st_rec;
+}
+
+}  // extern "C"

@@ -284,3 +284,57 @@ def test_fuzz_delete_heavy(seed):
         expect = brute_force_global_cut(live, n)
         assert mc.cut_value() == pytest.approx(expect, abs=1e-6), step
         _check_partition(mc, expect)
+
+
+# --- native gmc_* solver pinned to the Python maintainer + brute force -----
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_gmc_fuzz(seed):
+    native = pytest.importorskip("ruvector_tpu.native")
+    if not native.available:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(100 + seed)
+    n = 10
+    gn = native.GlobalIncrementalMinCut(n)
+    gp = GlobalDynamicMinCut(n)
+    live = {}
+    for step in range(700):
+        op = rng.random()
+        if op < 0.55 or not live:
+            u, v = rng.integers(0, n, 2)
+            while v == u:
+                v = rng.integers(0, n)
+            u, v = int(min(u, v)), int(max(u, v))
+            w = float(rng.uniform(0.1, 2.0))
+            gn.insert_edge(u, v, w)
+            gp.insert_edge(u, v, w)
+            live[(u, v)] = live.get((u, v), 0.0) + w
+        elif op < 0.78:
+            u, v = list(live)[rng.integers(0, len(live))]
+            w = float(rng.uniform(0.05, 2.0))
+            gn.reweight_edge(u, v, w)
+            gp.reweight_edge(u, v, w)
+            live[(u, v)] = w
+        else:
+            u, v = list(live)[rng.integers(0, len(live))]
+            gn.delete_edge(u, v)
+            gp.delete_edge(u, v)
+            del live[(u, v)]
+        vn, vp = gn.cut_value(), gp.cut_value()
+        expect = brute_force_global_cut(live, n)
+        assert vn == pytest.approx(expect, abs=1e-6), (step, gn.stats())
+        assert vp == pytest.approx(expect, abs=1e-6), step
+        # native partition achieves the value
+        side = gn.partition()
+        deg = np.zeros(n)
+        for (uu, vv), w in live.items():
+            deg[uu] += w
+            deg[vv] += w
+        act = deg > 1e-12
+        if act.sum() >= 2:
+            assert side[act].any() and not side[act].all()
+            sval = sum(w for (uu, vv), w in live.items()
+                       if side[uu] != side[vv])
+            assert sval == pytest.approx(expect, abs=1e-6), step
+    st = gn.stats()
+    assert st["o1_updates"] > 0
