@@ -12,7 +12,7 @@ Supported subset (the working core of the reference's README):
   ORDER BY ... [DESC] SKIP n LIMIT n
   CREATE (n:Label {..}), (a)-[:TYPE {..}]->(b)
   SET n.k = v / DELETE n / r
-Out of scope (documented): OPTIONAL MATCH, MERGE, WITH pipelines,
+Out of scope (documented): OPTIONAL MATCH, WITH pipelines,
 hyperedge patterns — niche surface of the reference's nom parser that no
 ruvector-cli example exercises.
 
@@ -37,9 +37,9 @@ from ruvector_tpu.graph.property import PEdge, PNode, PropertyGraph
 
 _TOKEN_RE = re.compile(r"""
     (?P<WS>\s+)
-  | (?P<KW>(?i:MATCH|WHERE|RETURN|CREATE|DELETE|SET|ORDER|BY|SKIP|LIMIT|
-            DISTINCT|AND|OR|NOT|AS|DESC|ASC|TRUE|FALSE|NULL|IN|CONTAINS|
-            STARTS|ENDS|WITH)\b)
+  | (?P<KW>(?i:MATCH|WHERE|RETURN|CREATE|MERGE|ON|DELETE|SET|ORDER|BY|
+            SKIP|LIMIT|DISTINCT|AND|OR|NOT|AS|DESC|ASC|TRUE|FALSE|NULL|
+            IN|CONTAINS|STARTS|ENDS|WITH)\b)
   | (?P<NUM>-?\d+\.\d+|-?\d+)
   | (?P<STR>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ID>[A-Za-z_][A-Za-z0-9_]*)
@@ -122,6 +122,9 @@ class Query:
     creates: list[PathPattern]
     deletes: list[str]
     sets: list[tuple[str, str, "Expr"]]   # (var, prop, value)
+    # MERGE clauses: (pattern, on_create_sets, on_match_sets) — the
+    # idempotent ingestion verb (parser.rs MERGE + ON CREATE/ON MATCH)
+    merges: list = dataclasses.field(default_factory=list)
 
 
 # expressions: nested tuples ('lit', v) ('var', name) ('prop', var, key)
@@ -165,6 +168,7 @@ class _Parser:
     # -- grammar ----------------------------------------------------------
     def parse(self) -> Query:
         matches, creates, deletes, sets = [], [], [], []
+        merges = []
         where = None
         returns: list[ReturnItem] = []
         distinct = False
@@ -182,6 +186,25 @@ class _Parser:
                 creates.append(self.path_pattern())
                 while self.accept(","):
                     creates.append(self.path_pattern())
+            elif t.text == "MERGE":
+                pat = self.path_pattern()
+                on_create, on_match = [], []
+                while self.peek() is not None \
+                        and self.peek().text == "ON":
+                    self.next()
+                    which = self.next().text
+                    self.expect("SET")
+                    items = [self.set_item()]
+                    while self.accept(","):
+                        items.append(self.set_item())
+                    if which == "CREATE":
+                        on_create.extend(items)
+                    elif which == "MATCH":
+                        on_match.extend(items)
+                    else:
+                        raise CypherSyntaxError(
+                            f"expected CREATE or MATCH after ON, got {which!r}")
+                merges.append((pat, on_create, on_match))
             elif t.text == "DELETE":
                 deletes.append(self.next().text)
                 while self.accept(","):
@@ -212,7 +235,7 @@ class _Parser:
             else:
                 raise CypherSyntaxError(f"unexpected {t.text!r}")
         return Query(matches, where, returns, distinct, order_by,
-                     skip, limit, creates, deletes, sets)
+                     skip, limit, creates, deletes, sets, merges)
 
     def set_item(self) -> tuple[str, str, Expr]:
         var = self.next().text
@@ -565,6 +588,13 @@ class CypherEngine:
         for pat in q.creates:
             for r in rows or [{}]:
                 self._create_path(pat, r)
+        if q.merges:
+            new_rows = []
+            for r in rows or [{}]:
+                for pat, on_create, on_match in q.merges:
+                    r = self._merge_path(pat, r, on_create, on_match)
+                new_rows.append(r)
+            rows = new_rows
         if q.sets:
             for r in rows:
                 for var, prop, e in q.sets:
@@ -656,6 +686,26 @@ class CypherEngine:
                                 rel.types[0] if rel.types else "RELATED",
                                 **dict(rel.props))
             prev = node
+
+    def _merge_path(self, pat: PathPattern, row: dict,
+                    on_create, on_match) -> dict:
+        """MERGE semantics: match the WHOLE pattern (under the row's
+        bindings) or create it atomically; then apply ON MATCH / ON
+        CREATE SET items. Idempotent ingestion (parser.rs MERGE)."""
+        found = next(iter(self._match_path(pat, row)), None)
+        if found is not None:
+            for var, prop, e in on_match:
+                ent = found.get(var)
+                if ent is not None:
+                    ent.properties[prop] = _eval(e, found)
+            return found
+        r2 = dict(row)
+        self._create_path(pat, r2)
+        for var, prop, e in on_create:
+            ent = r2.get(var)
+            if ent is not None:
+                ent.properties[prop] = _eval(e, r2)
+        return r2
 
     @staticmethod
     def _item_name(it: ReturnItem) -> str:

@@ -44,6 +44,35 @@ class PEdge:
     properties: dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
+@dataclasses.dataclass
+class Hyperedge:
+    """N-ary relationship (hyperedge.rs:14-80): one edge connecting any
+    number of nodes, with type, confidence and properties."""
+
+    id: str
+    nodes: tuple[str, ...]
+    edge_type: str = "RELATED"
+    description: str | None = None
+    confidence: float = 1.0
+    properties: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @property
+    def order(self) -> int:
+        return len(self.nodes)
+
+    def contains_node(self, node_id: str) -> bool:
+        return str(node_id) in self.nodes
+
+    def contains_all_nodes(self, node_ids) -> bool:
+        return all(self.contains_node(i) for i in node_ids)
+
+    def contains_any_node(self, node_ids) -> bool:
+        return any(self.contains_node(i) for i in node_ids)
+
+    def unique_nodes(self) -> set[str]:
+        return set(self.nodes)
+
+
 class PropertyGraph:
     """In-memory property graph (graph.rs:17-306 surface, minus storage)."""
 
@@ -52,6 +81,10 @@ class PropertyGraph:
         self._edges: list[PEdge] = []
         self._out: dict[str, list[int]] = {}
         self._in: dict[str, list[int]] = {}
+        # hyperedge storage + node index (graph.rs:22-45)
+        self._hyperedges: dict[str, Hyperedge] = {}
+        self._hyper_by_node: dict[str, set[str]] = {}
+        self._hyper_seq = 0
 
     # --- CRUD (graph.rs:107-246) ---
 
@@ -74,6 +107,17 @@ class PropertyGraph:
         self._nodes.pop(nid)
         self._edges = keep
         self._reindex()
+        # hyperedges touching the node shrink; below order 2 they vanish
+        for hid in list(self._hyper_by_node.get(nid, ())):
+            he = self._hyperedges[hid]
+            rest = tuple(x for x in he.nodes if x != nid)
+            self.delete_hyperedge(hid)
+            if len(rest) >= 2:
+                self.add_hyperedge(rest, he.edge_type, id=hid,
+                                   description=he.description,
+                                   confidence=he.confidence,
+                                   **he.properties)
+        self._hyper_by_node.pop(nid, None)
         return True
 
     def add_edge(self, src: str, dst: str, type: str = "RELATED",
@@ -87,6 +131,56 @@ class PropertyGraph:
         self._out[src].append(len(self._edges) - 1)
         self._in[dst].append(len(self._edges) - 1)
         return e
+
+    # --- hyperedges (graph.rs:22-45 storage + node index;
+    #     hyperedge.rs CRUD surface) ---
+
+    def add_hyperedge(self, nodes: Iterable[str], edge_type: str = "RELATED",
+                      id: str | None = None, description: str | None = None,
+                      confidence: float = 1.0, **properties) -> Hyperedge:
+        node_ids = tuple(str(n) for n in nodes)
+        if len(node_ids) < 2:
+            raise ValueError("a hyperedge connects at least 2 nodes")
+        for nid in node_ids:
+            if nid not in self._nodes:
+                self.add_node(nid)
+        if id is None:
+            self._hyper_seq += 1
+            id = f"h{self._hyper_seq}"
+        he = Hyperedge(str(id), node_ids, edge_type, description,
+                       float(confidence), dict(properties))
+        self._hyperedges[he.id] = he
+        for nid in he.unique_nodes():
+            self._hyper_by_node.setdefault(nid, set()).add(he.id)
+        return he
+
+    def get_hyperedge(self, he_id: str) -> Hyperedge | None:
+        return self._hyperedges.get(str(he_id))
+
+    def delete_hyperedge(self, he_id: str) -> bool:
+        he = self._hyperedges.pop(str(he_id), None)
+        if he is None:
+            return False
+        for nid in he.unique_nodes():
+            s = self._hyper_by_node.get(nid)
+            if s:
+                s.discard(he.id)
+                if not s:
+                    del self._hyper_by_node[nid]
+        return True
+
+    def hyperedges_of_node(self, node_id: str) -> list[Hyperedge]:
+        """Node-index lookup (hyperedge_node_index role, graph.rs:33)."""
+        return [self._hyperedges[h]
+                for h in sorted(self._hyper_by_node.get(str(node_id), ()))]
+
+    def hyperedges_by_type(self, edge_type: str) -> list[Hyperedge]:
+        return [h for h in self._hyperedges.values()
+                if h.edge_type == edge_type]
+
+    @property
+    def hyperedge_count(self) -> int:
+        return len(self._hyperedges)
 
     def nodes_by_label(self, label: str) -> list[PNode]:
         return [n for n in self._nodes.values() if label in n.labels]
@@ -173,6 +267,14 @@ class PropertyGraph:
                            rec.get("end") or rec["dst"],
                            type=rec.get("label", "RELATED"), weight=w,
                            **props)
+            elif t == "hyperedge":
+                props = dict(rec.get("properties", {}))
+                g.add_hyperedge(rec["nodes"],
+                                edge_type=rec.get("label", "RELATED"),
+                                id=rec.get("id"),
+                                description=rec.get("description"),
+                                confidence=float(rec.get("confidence", 1.0)),
+                                **props)
         return g
 
     @staticmethod
@@ -234,11 +336,22 @@ class PropertyGraph:
         return list(self._nodes.keys())
 
     def to_neighbor_graph(self, max_degree: int | None = None,
-                          symmetrize: bool = False):
-        """Lower to the padded-slot NeighborGraph (+ id <-> row maps)."""
+                          symmetrize: bool = False,
+                          hyperedges: str | None = "clique"):
+        """Lower to the padded-slot NeighborGraph (+ id <-> row maps).
+
+        hyperedges: how N-ary edges reach the pairwise compute layout —
+          'clique': each order-k hyperedge becomes k*(k-1) directed pairs
+                    with weight confidence/(k-1) (mass-preserving);
+          'star':   one virtual hub row per hyperedge (id appended to the
+                    returned ids), members <-> hub at weight confidence;
+          None:     hyperedges ignored.
+        """
         from ruvector_tpu.graph.neighbors import NeighborGraph
 
         ids = self.node_ids()
+        if hyperedges == "star":
+            ids = ids + [h.id for h in self._hyperedges.values()]
         row = {nid: i for i, nid in enumerate(ids)}
         lists: list[list[int]] = [[] for _ in ids]
         weights: list[list[float]] = [[] for _ in ids]
@@ -248,6 +361,26 @@ class PropertyGraph:
             if symmetrize:
                 lists[row[e.dst]].append(row[e.src])
                 weights[row[e.dst]].append(e.weight)
+        if hyperedges == "clique":
+            for he in self._hyperedges.values():
+                members = sorted(he.unique_nodes())
+                k = len(members)
+                if k < 2:
+                    continue
+                w = he.confidence / (k - 1)
+                for a in members:
+                    for b in members:
+                        if a != b:
+                            lists[row[a]].append(row[b])
+                            weights[row[a]].append(w)
+        elif hyperedges == "star":
+            for he in self._hyperedges.values():
+                hub = row[he.id]
+                for a in sorted(he.unique_nodes()):
+                    lists[row[a]].append(hub)
+                    weights[row[a]].append(he.confidence)
+                    lists[hub].append(row[a])
+                    weights[hub].append(he.confidence)
         m = max_degree or max((len(l) for l in lists), default=1)
         for i in range(len(lists)):
             lists[i] = lists[i][:m]

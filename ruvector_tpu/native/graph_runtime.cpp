@@ -738,11 +738,14 @@ struct Dinic {
         }
         return 0.0;
     }
-    double max_flow(int32_t s, int32_t t) {
+    // stop_above: early-exit once the accumulated flow reaches it — the
+    // caller only needs to know whether the min cut is BELOW that bound
+    // (the residual is then not a max-flow residual; don't derive cuts)
+    double max_flow(int32_t s, int32_t t, double stop_above = 1e300) {
         double fl = 0.0;
-        while (bfs(s, t)) {
+        while (fl < stop_above && bfs(s, t)) {
             std::vector<size_t> it(g.size(), 0);
-            while (true) {
+            while (fl < stop_above) {
                 double f = dfs(s, t, 1e300, it);
                 if (f <= EPS) break;
                 fl += f;
@@ -778,6 +781,7 @@ struct Solver {
     double value_ = 0.0;
     std::vector<uint8_t> side_;
     std::vector<Cand> pool;
+    int32_t n_active = 0;        // |{i : deg[i] > EPS}|, kept incrementally
     bool dirty = true;
     int64_t st_updates = 0, st_o1 = 0, st_flow = 0, st_rec = 0;
 
@@ -946,7 +950,7 @@ struct Solver {
     }
 
     void st_cut(int32_t u, int32_t v, double& flow,
-                std::vector<uint8_t>& side) {
+                std::vector<uint8_t>& side, double stop_above = 1e300) {
         auto act = active_nodes();
         std::vector<int32_t> id(n, -1);
         for (size_t i = 0; i < act.size(); ++i) id[act[i]] = (int32_t)i;
@@ -955,8 +959,9 @@ struct Solver {
             int32_t a = (int32_t)(kv.first / n), b = (int32_t)(kv.first % n);
             if (kv.second > EPS) d.add(id[a], id[b], kv.second);
         }
-        flow = d.max_flow(id[u], id[v]);
+        flow = d.max_flow(id[u], id[v], stop_above);
         ++st_flow;
+        if (flow >= stop_above) { side.assign(n, 0); return; }
         auto r = d.reachable(id[u]);
         side.assign(n, 0);
         for (size_t i = 0; i < act.size(); ++i)
@@ -988,9 +993,6 @@ struct Solver {
 
     void attach_new_node(int32_t u, int32_t v, double ww,
                          bool u_was, bool v_was) {
-        int32_t n_active = 0;
-        for (int32_t i = 0; i < n; ++i)
-            if (deg[i] > EPS) ++n_active;
         if (!u_was && !v_was) {
             if (n_active == 2) {
                 std::fill(side_.begin(), side_.end(), 0);
@@ -1038,9 +1040,12 @@ struct Solver {
 
     void leaf_deactivate(int32_t x, int32_t anchor, double delta) {
         pool_update_edge(x, anchor, -delta);
+        if (n_active < 2) { dirty = true; return; }
+        // drop entries that became trivial over the active set BEFORE
+        // any O(1) return — a trivial stale entry (e.g. the singleton
+        // {x}) left in the pool would later be promoted by a
+        // certificate at a bogus near-zero value
         auto act = active_nodes();
-        if ((int32_t)act.size() < 2) { dirty = true; return; }
-        // drop entries that became trivial over the active set
         std::vector<Cand> keep;
         for (auto& c : pool) {
             int32_t on = 0;
@@ -1092,9 +1097,11 @@ struct Solver {
             ++st_o1;
             return;
         }
+        // early-exit bound: we only need to know if the u-v cut dropped
+        // below the current optimum (flow >= value_ proves no change)
         double flow;
         std::vector<uint8_t> side;
-        st_cut(u, v, flow, side);
+        st_cut(u, v, flow, side, value_ - EPS);
         after_st_repair(flow, side);
     }
 
@@ -1108,6 +1115,8 @@ struct Solver {
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
         deg[u] += ww;
         deg[v] += ww;
+        if (!u_was && deg[u] > EPS) ++n_active;
+        if (!v_was && deg[v] > EPS) ++n_active;
         ++st_updates;
         if (dirty) return;
         if (!(u_was && v_was)) {
@@ -1126,8 +1135,11 @@ struct Solver {
         w.erase(it);
         nbr[u].erase(v);
         nbr[v].erase(u);
+        bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
         deg[u] -= ww;
         deg[v] -= ww;
+        if (u_was && deg[u] <= EPS) --n_active;
+        if (v_was && deg[v] <= EPS) --n_active;
         ++st_updates;
         decrease_repair(u, v, ww);
     }
@@ -1143,8 +1155,13 @@ struct Solver {
         it->second = ww;
         nbr[u][v] = ww;
         nbr[v][u] = ww;
+        bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
         deg[u] += delta;
         deg[v] += delta;
+        if (!u_was && deg[u] > EPS) ++n_active;
+        else if (u_was && deg[u] <= EPS) --n_active;
+        if (!v_was && deg[v] > EPS) ++n_active;
+        else if (v_was && deg[v] <= EPS) --n_active;
         ++st_updates;
         if (dirty) return;
         if (delta > 0)

@@ -180,3 +180,58 @@ def test_optimizer_orders_matches_by_selectivity():
         "MATCH (p:Person), (c:Company) RETURN count(*) AS n")
     q2 = optimize_query(q, g)
     assert q2.matches[0].nodes[0].labels == ["Company"]  # 1 < 3 candidates
+
+
+# --- MERGE: the idempotent ingestion verb (round 3) -------------------------
+
+def test_merge_node_idempotent():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    execute_cypher(g, "MERGE (p:Person {name: 'Ann'})")
+    assert g.node_count == 1
+    execute_cypher(g, "MERGE (p:Person {name: 'Ann'})")
+    assert g.node_count == 1                 # matched, not re-created
+    execute_cypher(g, "MERGE (p:Person {name: 'Bob'})")
+    assert g.node_count == 2
+
+
+def test_merge_on_create_on_match():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    execute_cypher(g, "MERGE (p:Person {name: 'Ann'}) "
+                      "ON CREATE SET p.seen = 1 ON MATCH SET p.seen = 2")
+    ann = g.nodes_by_property("name", "Ann")[0]
+    assert ann.properties["seen"] == 1
+    execute_cypher(g, "MERGE (p:Person {name: 'Ann'}) "
+                      "ON CREATE SET p.seen = 1 ON MATCH SET p.seen = 2")
+    assert ann.properties["seen"] == 2
+
+
+def test_merge_relationship_between_matched_nodes():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    g.add_node("a", ["P"], name="A")
+    g.add_node("b", ["P"], name="B")
+    q = ("MATCH (x:P {name: 'A'}), (y:P {name: 'B'}) "
+         "MERGE (x)-[:KNOWS]->(y)")
+    execute_cypher(g, q)
+    assert g.edge_count == 1
+    execute_cypher(g, q)                      # idempotent
+    assert g.edge_count == 1
+    assert g.edges_by_type("KNOWS")[0].src == "a"
+
+
+def test_merge_then_return():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    rows = execute_cypher(
+        g, "MERGE (p:City {name: 'Oslo'}) RETURN p.name AS n")
+    assert rows == [{"n": "Oslo"}]

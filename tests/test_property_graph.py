@@ -68,3 +68,91 @@ def test_edge_file(tmp_path):
     assert g.edge_count == 2
     ng, _ = g.to_neighbor_graph(symmetrize=True)
     assert float(ng.nbr_mask.sum()) == 4.0
+
+
+# --- hyperedges (graph.rs:22-45, hyperedge.rs) + MERGE (round 3) -----------
+
+def test_hyperedge_crud_and_node_index():
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    he = g.add_hyperedge(["a", "b", "c"], edge_type="MEETING",
+                         description="standup", confidence=0.9,
+                         room="4a")
+    assert g.hyperedge_count == 1
+    assert he.order == 3 and he.contains_node("b")
+    assert he.contains_all_nodes(["a", "c"])
+    assert not he.contains_all_nodes(["a", "z"])
+    assert he.contains_any_node(["z", "c"])
+    assert g.get_hyperedge(he.id).properties["room"] == "4a"
+    # node index
+    assert [h.id for h in g.hyperedges_of_node("b")] == [he.id]
+    g.add_hyperedge(["b", "d"], edge_type="PAIR")
+    assert len(g.hyperedges_of_node("b")) == 2
+    assert len(g.hyperedges_by_type("MEETING")) == 1
+    # delete via id
+    assert g.delete_hyperedge(he.id)
+    assert g.get_hyperedge(he.id) is None
+    assert len(g.hyperedges_of_node("b")) == 1
+    assert not g.delete_hyperedge("nope")
+
+
+def test_hyperedge_survives_node_delete_by_shrinking():
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    he = g.add_hyperedge(["a", "b", "c"], edge_type="TEAM")
+    pair = g.add_hyperedge(["a", "b"], edge_type="PAIR")
+    g.delete_node("c")
+    assert g.get_hyperedge(he.id).nodes == ("a", "b")
+    g.delete_node("b")
+    # order < 2 vanishes; the TEAM edge and PAIR edge are both gone
+    assert g.get_hyperedge(he.id) is None
+    assert g.get_hyperedge(pair.id) is None
+
+
+def test_hyperedge_clique_expansion_feeds_gnn():
+    import numpy as np
+
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    g.add_edge("a", "b", weight=1.0)
+    g.add_hyperedge(["a", "c", "d"], confidence=0.6)
+    ng, ids = g.to_neighbor_graph(hyperedges="clique")
+    row = {nid: i for i, nid in enumerate(ids)}
+    idx = np.asarray(ng.nbr_idx)
+    msk = np.asarray(ng.nbr_mask)
+    w = np.asarray(ng.edge_weight)
+    # a's neighbors include b (pairwise) and c, d (clique, w=0.3 each)
+    a_nbrs = {int(idx[row["a"], j]): float(w[row["a"], j])
+              for j in range(idx.shape[1]) if msk[row["a"], j] > 0}
+    assert row["b"] in a_nbrs
+    assert abs(a_nbrs[row["c"]] - 0.3) < 1e-6
+    assert abs(a_nbrs[row["d"]] - 0.3) < 1e-6
+    # star expansion adds one hub row per hyperedge
+    ng2, ids2 = g.to_neighbor_graph(hyperedges="star")
+    assert len(ids2) == len(ids) + 1
+    hub = len(ids)                      # appended after nodes
+    c_nbrs = {int(idx2j) for idx2j, m in zip(
+        np.asarray(ng2.nbr_idx)[row["c"]], np.asarray(ng2.nbr_mask)[row["c"]])
+        if m > 0}
+    assert hub in c_nbrs
+
+
+def test_hyperedge_jsonl_roundtrip():
+    import json
+
+    from ruvector_tpu.graph import PropertyGraph
+
+    lines = [
+        json.dumps({"type": "node", "id": "x", "labels": ["P"]}),
+        json.dumps({"type": "hyperedge", "nodes": ["x", "y", "z"],
+                    "label": "GROUP", "confidence": 0.5,
+                    "properties": {"topic": "gnn"}}),
+    ]
+    g = PropertyGraph.from_jsonl(lines)
+    assert g.hyperedge_count == 1
+    he = g.hyperedges_by_type("GROUP")[0]
+    assert he.nodes == ("x", "y", "z")
+    assert he.properties["topic"] == "gnn"
