@@ -115,6 +115,34 @@ def build_block_dense(
     ew = np.asarray(edge_weight).astype(np.float32)
     n, m = nbr.shape
 
+    # threaded native fast path for uniform blocks (graph_runtime.cpp
+    # bdense_*): bit-identical to the Python loop below (pinned in
+    # tests/test_native.py), ~30x faster and emits bf16 directly —
+    # the 10M-node pipeline's build stage drops from 417s to seconds.
+    # Falls back when a node lists the same neighbor in several slots
+    # (needs log_mult) or when leaf_sizes blocks are requested.
+    if leaf_sizes is None:
+        try:
+            from ruvector_tpu import native
+
+            if native.available:
+                want_bf16 = jnp.dtype(dtype) == jnp.bfloat16
+                lid, wd, deg, pad, pos, dup = native.bdense_build(
+                    nbr, mask, ew, block=block, table_pad=table_pad,
+                    eps_edge=_EPS_EDGE, bf16=want_bf16)
+                if not dup:
+                    return BlockDenseGraph(
+                        local_ids=jnp.asarray(lid),
+                        wdense=jnp.asarray(wd),
+                        degrees=jnp.asarray(deg),
+                        node_pad=jnp.asarray(pad),
+                        node_pos=jnp.asarray(pos),
+                        n=n,
+                        log_mult=None,
+                    )
+        except ImportError:
+            pass
+
     if leaf_sizes is None:
         nb = -(-n // block)
         starts = [min(k * block, n) for k in range(nb)]

@@ -28,7 +28,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _LIB],
+             "-pthread", _SRC, "-o", _LIB],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -88,6 +88,15 @@ def _load():
     lib.gmc_cut_edges.argtypes = [voidp, i32p, i32p, i64]
     lib.gmc_cut_edges.restype = i64
     lib.gmc_stats.argtypes = [voidp, i64p]
+
+    lib.bdense_halo_max.argtypes = [i32p, f32p, i64, i64, i64, i64]
+    lib.bdense_halo_max.restype = i64
+    lib.bdense_fill.argtypes = [i32p, f32p, f32p, i64, i64, i64, i64,
+                                f32, i32, i64, i32p, ctypes.c_void_p,
+                                f32p, f32p, i64p]
+    lib.bdense_fill.restype = i32
+    lib.gen_cluster_knn.argtypes = [i64, i64, i64, i64, u64, i64,
+                                    f32p, i32p, f32p]
 
     _lib = lib
     available = True
@@ -291,3 +300,56 @@ class GlobalIncrementalMinCut:
         _lib.gmc_stats(self._h, out)
         return {"updates": int(out[0]), "o1_updates": int(out[1]),
                 "flow_repairs": int(out[2]), "full_recomputes": int(out[3])}
+
+
+def bdense_build(nbr: np.ndarray, mask: np.ndarray, ew: np.ndarray,
+                 block: int, table_pad: int = 128, eps_edge: float = 1e-8,
+                 bf16: bool = False, threads: int = 0):
+    """Threaded block-dense table build (graph/block_dense.py semantics,
+    uniform blocks). Returns (local_ids, wdense, degrees, node_pad,
+    node_pos, dup) — wdense is bf16 (ml_dtypes) when bf16=True."""
+    import os as _os
+
+    threads = threads or (_os.cpu_count() or 4)
+    n, m = nbr.shape
+    nbr_c = np.ascontiguousarray(nbr, np.int32)
+    mask_c = np.ascontiguousarray(mask, np.float32)
+    ew_c = np.ascontiguousarray(ew, np.float32)
+    nb = -(-n // block)
+    halo = int(_lib.bdense_halo_max(nbr_c, mask_c, n, m, block, threads))
+    table = block + halo
+    table = -(-table // table_pad) * table_pad
+    local_ids = np.zeros((nb, table), np.int32)
+    if bf16:
+        wdense = np.zeros((nb, block, table), np.uint16)
+    else:
+        wdense = np.zeros((nb, block, table), np.float32)
+    degrees = np.zeros((nb, block), np.float32)
+    node_pad = np.zeros((nb, block), np.float32)
+    node_pos = np.zeros(n, np.int64)
+    dup = int(_lib.bdense_fill(
+        nbr_c, mask_c, ew_c, n, m, block, table,
+        np.float32(eps_edge), 1 if bf16 else 0, threads,
+        local_ids, wdense.ctypes.data_as(ctypes.c_void_p),
+        degrees, node_pad, node_pos))
+    if bf16:
+        import ml_dtypes
+
+        wdense = wdense.view(ml_dtypes.bfloat16)
+    return local_ids, wdense, degrees, node_pad, node_pos, dup
+
+
+def gen_cluster_knn(n: int, d: int, k: int, cluster: int, seed: int = 0,
+                    threads: int = 0):
+    """Threaded clustered corpus + exact within-cluster kNN. Returns
+    (feats [n,d], idx [n,k], ew [n,k]); ids cluster-contiguous."""
+    import os as _os
+
+    threads = threads or (_os.cpu_count() or 4)
+    assert n % cluster == 0
+    feats = np.empty((n, d), np.float32)
+    idx = np.empty((n, k), np.int32)
+    ew = np.empty((n, k), np.float32)
+    _lib.gen_cluster_knn(n, d, k, cluster, np.uint64(seed), threads,
+                         feats, idx, ew)
+    return feats, idx, ew

@@ -1221,3 +1221,233 @@ void gmc_stats(void* h, int64_t* out4) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded host-side builders for the 10M-node pipeline (VERDICT r3 #4):
+// the round-2 pipeline spent 1,420s generating + 417s building at 10M
+// nodes in per-block Python loops; these native passes parallelize over
+// blocks/clusters. Roles mirrored: gen = the synthetic clustered corpus
+// (scale_sweep gen_cluster_graph), build = graph/block_dense.py's
+// normalize + halo + dense-table fill.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <cmath>
+#include <functional>
+
+namespace bdense {
+
+inline uint16_t f32_to_bf16(float x) {
+    uint32_t bits;
+    std::memcpy(&bits, &x, 4);
+    uint32_t rounding = 0x7FFF + ((bits >> 16) & 1);   // round-to-nearest-even
+    return (uint16_t)((bits + rounding) >> 16);
+}
+
+inline void parallel_for(int64_t n, int threads,
+                         const std::function<void(int64_t, int64_t)>& fn) {
+    if (threads <= 1 || n < 2) { fn(0, n); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + threads - 1) / threads;
+    for (int t = 0; t < threads; ++t) {
+        int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+    }
+    for (auto& t : ts) t.join();
+}
+
+}  // namespace bdense
+
+extern "C" {
+
+// Pass 1: per-block halo sizes (uniform blocks of size B, nb = ceil(n/B)).
+// Returns max halo over blocks. Parallel over blocks.
+int64_t bdense_halo_max(const int32_t* nbr, const float* mask,
+                        int64_t n, int64_t m, int64_t B, int64_t threads) {
+    int64_t nb = (n + B - 1) / B;
+    std::vector<int64_t> maxes((size_t)threads, 0);
+    int64_t chunk = (nb + threads - 1) / threads;
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < threads; ++t) {
+        int64_t lo = t * chunk, hi = std::min(nb, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([=, &maxes] {
+            std::vector<int32_t> out;
+            int64_t mx = 0;
+            for (int64_t k = lo; k < hi; ++k) {
+                int64_t s = k * B, e = std::min(n, s + B);
+                out.clear();
+                for (int64_t g = s; g < e; ++g) {
+                    const int32_t* row = nbr + g * m;
+                    const float* mr = mask + g * m;
+                    for (int64_t j = 0; j < m; ++j) {
+                        if (mr[j] <= 0) continue;
+                        int32_t v = row[j];
+                        if (v < s || v >= e) out.push_back(v);
+                    }
+                }
+                std::sort(out.begin(), out.end());
+                out.erase(std::unique(out.begin(), out.end()), out.end());
+                mx = std::max(mx, (int64_t)out.size());
+            }
+            maxes[(size_t)t] = mx;
+        });
+    }
+    for (auto& th : ts) th.join();
+    int64_t mx = 0;
+    for (auto v : maxes) mx = std::max(mx, v);
+    return mx;
+}
+
+// Pass 2: fill local_ids [nb, T], wdense [nb, B, T] (f32, or bf16-u16 when
+// bf16 != 0), degrees/node_pad [nb, B], node_pos [n]. Normalization follows
+// layer.rs:428-432 (weight-sum normalize, uniform fallback, eps floor).
+// Returns 1 if any duplicate neighbor slot was seen (caller falls back to
+// the Python path which builds log_mult), else 0.
+int32_t bdense_fill(const int32_t* nbr, const float* mask, const float* ew,
+                    int64_t n, int64_t m, int64_t B, int64_t T,
+                    float eps_edge, int32_t bf16, int64_t threads,
+                    int32_t* local_ids, void* wdense_out,
+                    float* degrees, float* node_pad, int64_t* node_pos) {
+    int64_t nb = (n + B - 1) / B;
+    for (int64_t i = 0; i < n; ++i) node_pos[i] = i;   // uniform blocks: identity
+    std::vector<int32_t> dup_flags((size_t)threads, 0);
+    int64_t chunk = (nb + threads - 1) / threads;
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < threads; ++t) {
+        int64_t lo = t * chunk, hi = std::min(nb, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([=, &dup_flags] {
+            std::vector<int32_t> halo;
+            std::unordered_map<int32_t, int32_t> pos;  // global -> column
+            float* wf = (float*)wdense_out;
+            uint16_t* wh = (uint16_t*)wdense_out;
+            std::vector<float> rowbuf((size_t)T, 0.0f);
+            for (int64_t k = lo; k < hi; ++k) {
+                int64_t s = k * B, e = std::min(n, s + B);
+                int64_t len = e - s;
+                // halo: sorted unique out-of-block neighbors
+                halo.clear();
+                for (int64_t g = s; g < e; ++g) {
+                    const int32_t* row = nbr + g * m;
+                    const float* mr = mask + g * m;
+                    for (int64_t j = 0; j < m; ++j) {
+                        if (mr[j] <= 0) continue;
+                        int32_t v = row[j];
+                        if (v < s || v >= e) halo.push_back(v);
+                    }
+                }
+                std::sort(halo.begin(), halo.end());
+                halo.erase(std::unique(halo.begin(), halo.end()), halo.end());
+                // local ids: own rows at [0, len), halo at [B, B+h)
+                int32_t* lid = local_ids + k * T;
+                for (int64_t i = 0; i < T; ++i) lid[i] = 0;
+                pos.clear();
+                for (int64_t i = 0; i < len; ++i) {
+                    lid[i] = (int32_t)(s + i);
+                    pos[(int32_t)(s + i)] = (int32_t)i;
+                }
+                for (size_t i = 0; i < halo.size(); ++i) {
+                    lid[B + i] = halo[i];
+                    pos[halo[i]] = (int32_t)(B + i);
+                }
+                // rows
+                for (int64_t r = 0; r < len; ++r) {
+                    int64_t g = s + r;
+                    const int32_t* rown = nbr + g * m;
+                    const float* mr = mask + g * m;
+                    const float* wr = ew + g * m;
+                    float wsum = 0.0f, deg = 0.0f;
+                    for (int64_t j = 0; j < m; ++j) {
+                        if (mr[j] <= 0) continue;
+                        wsum += wr[j] * mr[j];
+                        deg += 1.0f;
+                    }
+                    degrees[k * B + r] = deg;
+                    node_pad[k * B + r] = 1.0f;
+                    std::fill(rowbuf.begin(), rowbuf.end(), 0.0f);
+                    for (int64_t j = 0; j < m; ++j) {
+                        if (mr[j] <= 0) continue;
+                        float w = wsum > 0 ? (wr[j] * mr[j]) / wsum
+                                           : 1.0f / std::max(deg, 1.0f);
+                        w = std::max(w, eps_edge);
+                        int32_t c = pos[rown[j]];
+                        if (rowbuf[(size_t)c] != 0.0f)
+                            dup_flags[(size_t)t] = 1;
+                        rowbuf[(size_t)c] += w;
+                    }
+                    if (bf16) {
+                        uint16_t* dst = wh + (k * B + r) * T;
+                        for (int64_t c = 0; c < T; ++c)
+                            dst[c] = bdense::f32_to_bf16(rowbuf[(size_t)c]);
+                    } else {
+                        float* dst = wf + (k * B + r) * T;
+                        std::memcpy(dst, rowbuf.data(), sizeof(float) * T);
+                    }
+                }
+                // padded tail rows: zero already (caller zero-allocates)
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
+    int32_t dup = 0;
+    for (auto f : dup_flags) dup |= f;
+    return dup;
+}
+
+// Threaded synthetic clustered corpus + exact within-cluster kNN
+// (scale_sweep gen_cluster_graph semantics: gaussian clusters of size
+// `cluster`, contiguous ids, weights 1/(1+dist)). Deterministic per
+// cluster (seeded by seed + cluster index).
+void gen_cluster_knn(int64_t n, int64_t d, int64_t k, int64_t cluster,
+                     uint64_t seed, int64_t threads,
+                     float* feats, int32_t* idx, float* ew) {
+    int64_t nc = n / cluster;
+    bdense::parallel_for(nc, (int)threads, [=](int64_t lo, int64_t hi) {
+        std::vector<float> center((size_t)d);
+        std::vector<float> d2((size_t)cluster * cluster);
+        std::vector<std::pair<float, int32_t>> cand((size_t)cluster);
+        for (int64_t c = lo; c < hi; ++c) {
+            std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + c);
+            std::normal_distribution<float> nrm(0.0f, 1.0f);
+            for (int64_t j = 0; j < d; ++j) center[(size_t)j] = nrm(rng);
+            float* f = feats + c * cluster * d;
+            for (int64_t i = 0; i < cluster; ++i)
+                for (int64_t j = 0; j < d; ++j)
+                    f[i * d + j] = center[(size_t)j] + 0.25f * nrm(rng);
+            // pairwise squared distances (symmetric, compute upper)
+            for (int64_t i = 0; i < cluster; ++i) {
+                d2[(size_t)(i * cluster + i)] = 3.0e38f;   // exclude self
+                for (int64_t j2 = i + 1; j2 < cluster; ++j2) {
+                    float acc = 0.0f;
+                    const float* a = f + i * d;
+                    const float* b = f + j2 * d;
+                    for (int64_t x = 0; x < d; ++x) {
+                        float df = a[x] - b[x];
+                        acc += df * df;
+                    }
+                    d2[(size_t)(i * cluster + j2)] = acc;
+                    d2[(size_t)(j2 * cluster + i)] = acc;
+                }
+            }
+            for (int64_t i = 0; i < cluster; ++i) {
+                for (int64_t j2 = 0; j2 < cluster; ++j2)
+                    cand[(size_t)j2] = {d2[(size_t)(i * cluster + j2)],
+                                        (int32_t)j2};
+                std::partial_sort(cand.begin(), cand.begin() + k,
+                                  cand.end());
+                int64_t g = c * cluster + i;
+                for (int64_t j2 = 0; j2 < k; ++j2) {
+                    idx[g * k + j2] = (int32_t)(c * cluster)
+                                      + cand[(size_t)j2].second;
+                    float dist = std::sqrt(std::max(
+                        cand[(size_t)j2].first, 0.0f));
+                    ew[g * k + j2] = 1.0f / (1.0f + dist);
+                }
+            }
+        }
+    });
+}
+
+}  // extern "C"

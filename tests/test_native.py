@@ -115,3 +115,97 @@ def test_native_csr_matches_python():
     np.testing.assert_array_equal(row_ptr, np.asarray(csr.row_ptr))
     np.testing.assert_array_equal(col_idx, np.asarray(csr.col_idx))
     np.testing.assert_allclose(values, np.asarray(csr.values))
+
+
+def test_bdense_build_pins_python_builder():
+    """Threaded native block-dense build == the Python builder bit-for-
+    bit (including the fixed halo-at-column-B layout, zero-weight-edge
+    eps floor, tail block, and bf16 emission)."""
+    import ml_dtypes
+    import numpy as np
+
+    from ruvector_tpu import native
+    from ruvector_tpu.graph.block_dense import _EPS_EDGE
+
+    if not native.available:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(3)
+    n, m, B = 1300, 10, 256
+    idx = np.stack([rng.choice(n, m, replace=False)
+                    for _ in range(n)]).astype(np.int32)
+    mask = (rng.random((n, m)) > 0.15).astype(np.float32)
+    ew = rng.uniform(0.0, 1.0, (n, m)).astype(np.float32)
+    ew[0, :] = 0.0                      # uniform-fallback row
+    ew[5, 0] = 0.0                      # zero-weight edge -> eps floor
+
+    # force the python path by building via the internal loop (leaf_sizes
+    # = uniform) and compare against the native call
+    lens = [B] * (n // B) + ([n % B] if n % B else [])
+    from ruvector_tpu.graph.block_dense import build_block_dense
+
+    ref = build_block_dense(idx, mask, ew, block=B, leaf_sizes=lens)
+    lid, wd, deg, pad, pos, dup = native.bdense_build(
+        idx, mask, ew, block=B, eps_edge=_EPS_EDGE)
+    assert dup == 0
+    np.testing.assert_array_equal(np.asarray(ref.local_ids), lid)
+    np.testing.assert_allclose(np.asarray(ref.wdense), wd,
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(ref.degrees), deg)
+    np.testing.assert_array_equal(np.asarray(ref.node_pad), pad)
+    np.testing.assert_array_equal(np.asarray(ref.node_pos), pos)
+
+    lid2, wd2, *_ = native.bdense_build(idx, mask, ew, block=B,
+                                        eps_edge=_EPS_EDGE, bf16=True)
+    ref16 = np.asarray(ref.wdense).astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(ref16.view(np.uint16),
+                                  wd2.view(np.uint16))
+
+
+def test_bdense_build_duplicate_slots_fall_back():
+    import numpy as np
+
+    from ruvector_tpu import native
+    from ruvector_tpu.graph.block_dense import build_block_dense
+
+    if not native.available:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    idx = np.asarray([[1, 1], [0, 0]], np.int32)   # duplicate neighbor
+    mask = np.ones((2, 2), np.float32)
+    ew = np.ones((2, 2), np.float32)
+    *_, dup = native.bdense_build(idx, mask, ew, block=2)
+    assert dup == 1
+    bdg = build_block_dense(idx, mask, ew, block=2)   # python fallback
+    assert bdg.log_mult is not None                   # multiplicity kept
+
+
+def test_gen_cluster_knn_native():
+    import numpy as np
+
+    from ruvector_tpu import native
+
+    if not native.available:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    n, d, k, cl = 1024, 32, 8, 128
+    feats, idx, ew = native.gen_cluster_knn(n, d, k, cl, seed=7)
+    assert feats.shape == (n, d) and idx.shape == (n, k)
+    # neighbors stay within the cluster, exclude self, unique
+    rows = np.arange(n)
+    assert (idx // cl == (rows // cl)[:, None]).all()
+    assert (idx != rows[:, None]).all()
+    for r in range(0, n, 97):
+        assert len(set(idx[r].tolist())) == k
+    # weights are 1/(1+dist) of the actual feature distances
+    r = 33
+    dvec = np.linalg.norm(feats[idx[r]] - feats[r], axis=1)
+    np.testing.assert_allclose(ew[r], 1.0 / (1.0 + dvec), rtol=1e-4)
+    # determinism
+    f2, i2, w2 = native.gen_cluster_knn(n, d, k, cl, seed=7)
+    np.testing.assert_array_equal(feats, f2)
+    np.testing.assert_array_equal(idx, i2)
