@@ -80,21 +80,54 @@ def main():
     iters = 100
     edges = float(mask.sum()) * layers
 
+    table = None
     try:
-        dt = _fused_layer_time(jax, jnp, idx, mask, ew, feats_np, d, iters)
+        dt, table = _fused_layer_time(jax, jnp, idx, mask, ew, feats_np,
+                                      d, iters)
     except Exception:
         dt = _slot_layer_time(jax, jnp, NeighborGraph, idx, mask, ew,
                               feats, d, iters)
 
     edges_per_s = edges / dt
     baseline = 4.0e6  # reference GNN re-rank: 1600 edges / 0.4 ms (README:330-343)
+    roofline = _roofline(jax, edges_per_s, d=128, k=16,
+                         table=table)
     print(json.dumps({
         "metric": "gnn_layer_forward_edges_per_s",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / baseline, 2),
+        **roofline,
     }))
     _enforce_perf_gates(jax, edges_per_s)
+
+
+def _roofline(jax, edges_per_s, d, k, heads=4, table=None):
+    """Analytic FLOP model of the fused block-dense layer (VERDICT r3 #5).
+
+    Per node (block_dense_attn.py kernel + the msg projection):
+      per head: u=M@A (2D^2) + s=u@L^T (2DT) + tv=p@L (2TD) +
+                out+=tv@Wvo (2D^2)
+      weighted-mean: wd@L (2DT); aggregate: @Wagg (2D^2)
+      GRU: 12D^2 (w3 [D,3D], u2 [D,2D], uhk [D,D]); msg: 2D^2
+    -> flops/node = H*(4D^2 + 4DT) + 2DT + 16D^2; /k for per-edge.
+    Peak: bf16 MXU (inputs are bf16, f32 accumulate runs at full rate).
+    """
+    t = 512 if table is None else table   # headline: B=512 blocks, T=B
+    fpn = heads * (4 * d * d + 4 * d * t) + 2 * d * t + 16 * d * d
+    fpe = fpn / k
+    tflops = edges_per_s * fpe / 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
+             "v4": 275e12, "v5p": 459e12, "v6 lite": 918e12,
+             "v6e": 918e12}
+    peak = next((v for kk, v in peaks.items() if kk in kind), 197e12)
+    return {
+        "flops_per_edge": round(fpe),
+        "tflops": round(tflops, 1),
+        "pct_roofline_bf16": round(100 * tflops * 1e12 / peak, 1),
+        "device_kind": jax.devices()[0].device_kind,
+    }
 
 
 def _enforce_perf_gates(jax, edges_per_s):
@@ -218,7 +251,7 @@ def _fused_layer_time(jax, jnp, idx, mask, ew, feats_np, d, iters):
     t0 = _t.perf_counter()
     float(f_l(params, fpad, bdg))
     t_l = _t.perf_counter() - t0
-    return max(t_l - t_s, 1e-9) / iters
+    return max(t_l - t_s, 1e-9) / iters, bdg.table
 
 
 def _slot_layer_time(jax, jnp, NeighborGraph, idx, mask, ew, feats, d, iters):
