@@ -12,10 +12,15 @@ bench runs the actual serving loop:
   ~10ms/session GNN update tier, README:319-323) + a SONA trajectory
   (MicroLoRA accumulate + periodic background tick, sona/engine.py).
 
-Relevance = cluster identity (centers + noise, overlapping enough that
-raw-cosine top-10 is imperfect). Recall@10 of the re-ranked candidates
-is measured on a FIXED held-out eval query set at checkpoints, so the
-curve isolates what the feedback stream taught the ranker.
+Relevance = cluster identity, and the clusters live in an INFORMATIVE
+SUBSPACE (dims 0..15) while the remaining dims carry larger nuisance
+noise — the realistic embedding pathology feedback learning fixes: the
+raw metric weights all dims equally, so HNSW-only recall is diluted;
+the ranker can learn to emphasize the dims that predict relevance.
+Score = raw_cos + beta * gnn_cos with beta starting at 0 (query 0 ranks
+EXACTLY like HNSW-only; learning is upward-only in expectation).
+Recall@10 of the re-ranked candidates is measured on a FIXED held-out
+eval query set at checkpoints.
 
 Writes LEARNED_RECALL_r03.json.
 """
@@ -50,15 +55,18 @@ def main():
 
     n, d, n_clusters = 20_000, 64, 64
     ef, topk = 40, 10
-    noise = 1.3                      # cluster overlap: raw top-10 imperfect
+    d_inf = 16                       # informative subspace
+    sig_inf, sig_nui = 0.8, 2.0      # nuisance dims dilute raw cosine
     checkpoints = [0, 1_000, 10_000, 100_000]
 
     rng = np.random.default_rng(0)
-    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    centers = np.zeros((n_clusters, d), np.float32)
+    centers[:, :d_inf] = 2.0 * rng.normal(size=(n_clusters, d_inf))
     labels = rng.integers(0, n_clusters, size=n)
-    corpus = (centers[labels]
-              + noise * rng.normal(size=(n, d)).astype(np.float32))
-    corpus = corpus.astype(np.float32)
+    noise_mat = rng.normal(size=(n, d)).astype(np.float32)
+    noise_mat[:, :d_inf] *= sig_inf
+    noise_mat[:, d_inf:] *= sig_nui
+    corpus = (centers[labels] + noise_mat).astype(np.float32)
 
     # ANN index on raw vectors (candidate generator)
     idx = HnswIndex(HnswConfig(dim=d, m=16, ef_construction=100))
@@ -70,7 +78,11 @@ def main():
     nbr_w = np.asarray(graph.edge_weight)
 
     cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d, heads=4)
-    params = ruvector_layer_init(jax.random.key(0), cfg)
+    # residual ranker: score = raw_cos + beta * gnn_cos. beta starts at 0,
+    # so query 0 scores EXACTLY like HNSW-only; the feedback stream can
+    # only learn upward (the production-safe shape of learned re-ranking)
+    params = {"layer": ruvector_layer_init(jax.random.key(0), cfg),
+              "beta": jnp.zeros(())}
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
@@ -90,17 +102,14 @@ def main():
             edge_weight=jnp.concatenate(
                 [cand_nbr_w, jnp.ones((ef * m, m))], axis=0),
         )
-        return ruvector_layer_apply(p, cfg, feats_all, g)[:ef]
+        return ruvector_layer_apply(p["layer"], cfg, feats_all, g)[:ef]
 
     def feedback_loss(p, q, cand_feats, cand_nbr_feats, cand_nbr_w,
                       rewards):
         """InfoNCE with feedback labels: relevant candidates are
         positives for the query embedding (training.rs:541-590 role,
         driven by the stream's click signal)."""
-        emb = subgraph_embed(p, cand_feats, cand_nbr_feats, cand_nbr_w)
-        emb = emb / (jnp.linalg.norm(emb, axis=1, keepdims=True) + 1e-8)
-        qn = q / (jnp.linalg.norm(q) + 1e-8)
-        sims = emb @ qn / 0.2
+        sims = _blended(p, q, cand_feats, cand_nbr_feats, cand_nbr_w) / 0.2
         logz = jax.nn.logsumexp(sims)
         pos = jnp.sum(rewards * (sims - logz))
         return -pos / jnp.maximum(jnp.sum(rewards), 1.0)
@@ -113,11 +122,17 @@ def main():
         upd, st = opt.update(g, st)
         return optax.apply_updates(p, upd), st, loss
 
-    @jax.jit
-    def rerank_scores(p, q, cand_feats, cand_nbr_feats, cand_nbr_w):
+    def _blended(p, q, cand_feats, cand_nbr_feats, cand_nbr_w):
         emb = subgraph_embed(p, cand_feats, cand_nbr_feats, cand_nbr_w)
         emb = emb / (jnp.linalg.norm(emb, axis=1, keepdims=True) + 1e-8)
-        return emb @ (q / (jnp.linalg.norm(q) + 1e-8))
+        qn = q / (jnp.linalg.norm(q) + 1e-8)
+        raw = cand_feats / (jnp.linalg.norm(cand_feats, axis=1,
+                                            keepdims=True) + 1e-8)
+        return raw @ qn + p["beta"] * (emb @ qn)
+
+    @jax.jit
+    def rerank_scores(p, q, cand_feats, cand_nbr_feats, cand_nbr_w):
+        return _blended(p, q, cand_feats, cand_nbr_feats, cand_nbr_w)
 
     sona = SonaEngine(config=SonaConfig(
         hidden_dim=d, embedding_dim=d, flush_threshold=64,
@@ -126,9 +141,10 @@ def main():
     def make_queries(count, seed):
         r = np.random.default_rng(seed)
         qc = r.integers(0, n_clusters, count)
-        qs = (centers[qc] + noise * r.normal(size=(count, d))
-              ).astype(np.float32)
-        return qs, qc
+        nm = r.normal(size=(count, d)).astype(np.float32)
+        nm[:, :d_inf] *= sig_inf
+        nm[:, d_inf:] *= sig_nui
+        return (centers[qc] + nm).astype(np.float32), qc
 
     eval_q, eval_c = make_queries(400, 999)
     eval_cands, _ = idx.search_batch(eval_q, k=ef, ef=64,
