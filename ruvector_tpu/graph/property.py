@@ -213,6 +213,26 @@ class PropertyGraph:
             self._out[e.src].append(i)
             self._in[e.dst].append(i)
 
+    # --- transactions (transaction.rs role) ---
+
+    def begin(self) -> "Transaction":
+        """Start a buffered atomic transaction (transaction.rs:107)."""
+        return Transaction(self)
+
+    def _snapshot(self) -> tuple:
+        import copy
+
+        return (copy.deepcopy(self._nodes), copy.deepcopy(self._edges),
+                {k: list(v) for k, v in self._out.items()},
+                {k: list(v) for k, v in self._in.items()},
+                copy.deepcopy(self._hyperedges),
+                {k: set(v) for k, v in self._hyper_by_node.items()},
+                self._hyper_seq)
+
+    def _restore(self, snap: tuple) -> None:
+        (self._nodes, self._edges, self._out, self._in,
+         self._hyperedges, self._hyper_by_node, self._hyper_seq) = snap
+
     # --- loaders ---
 
     @staticmethod
@@ -425,3 +445,121 @@ class PropertyGraph:
         for i, v in enumerate(vecs):
             out[i, : min(len(v), d)] = v[:d]
         return out
+
+
+class TransactionAborted(RuntimeError):
+    """Raised by Transaction.rollback() paths and commit-after-abort."""
+
+
+class Transaction:
+    """Atomic multi-operation unit over a PropertyGraph
+    (transaction.rs:282-377 surface): buffered writes become visible at
+    commit() as one unit; rollback() (or an exception inside the context
+    manager) leaves the graph untouched — including all secondary
+    indexes, which round 2 mutated non-atomically during ingestion.
+
+    Reads inside the transaction see its own pending writes
+    (read-your-writes), then the committed graph.
+    """
+
+    def __init__(self, graph: "PropertyGraph"):
+        self.g = graph
+        self._ops: list[tuple] = []
+        self._pending_nodes: dict[str, PNode] = {}
+        self._deleted_nodes: set[str] = set()
+        self.state = "active"         # active | committed | rolled_back
+
+    # -- buffered writes ---------------------------------------------------
+
+    def _check(self):
+        if self.state != "active":
+            raise TransactionAborted(f"transaction is {self.state}")
+
+    def add_node(self, node_id: str, labels=(), **properties):
+        self._check()
+        node = PNode(str(node_id), tuple(labels), dict(properties))
+        self._pending_nodes[node.id] = node
+        self._deleted_nodes.discard(node.id)
+        self._ops.append(("add_node", node))
+        return node
+
+    def add_edge(self, src: str, dst: str, type: str = "RELATED",
+                 weight: float = 1.0, **properties):
+        self._check()
+        self._ops.append(("add_edge", (str(src), str(dst), type,
+                                       float(weight), dict(properties))))
+
+    def add_hyperedge(self, nodes, edge_type: str = "RELATED", **kw):
+        self._check()
+        self._ops.append(("add_hyperedge",
+                          (tuple(str(x) for x in nodes), edge_type, kw)))
+
+    def delete_node(self, node_id: str):
+        self._check()
+        nid = str(node_id)
+        self._pending_nodes.pop(nid, None)
+        self._deleted_nodes.add(nid)
+        self._ops.append(("delete_node", nid))
+
+    def set_property(self, node_id: str, key: str, value):
+        self._check()
+        self._ops.append(("set_property", (str(node_id), key, value)))
+
+    # -- transactional reads (read-your-writes) -----------------------------
+
+    def read_node(self, node_id: str) -> PNode | None:
+        nid = str(node_id)
+        if nid in self._deleted_nodes:
+            return None
+        if nid in self._pending_nodes:
+            return self._pending_nodes[nid]
+        return self.g.get_node(nid)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def commit(self):
+        """Apply all buffered operations; on ANY failure the graph (and
+        its indexes) are restored to the pre-transaction snapshot."""
+        self._check()
+        snap = self.g._snapshot()
+        try:
+            for op, payload in self._ops:
+                if op == "add_node":
+                    self.g.add_node(payload.id, payload.labels,
+                                    **payload.properties)
+                elif op == "add_edge":
+                    s, d2, t, w, props = payload
+                    self.g.add_edge(s, d2, type=t, weight=w, **props)
+                elif op == "add_hyperedge":
+                    nodes, t, kw = payload
+                    self.g.add_hyperedge(nodes, edge_type=t, **kw)
+                elif op == "delete_node":
+                    self.g.delete_node(payload)
+                elif op == "set_property":
+                    nid, k, v = payload
+                    node = self.g.get_node(nid)
+                    if node is None:
+                        raise KeyError(f"no node {nid!r}")
+                    node.properties[k] = v
+            self.state = "committed"
+        except Exception:
+            self.g._restore(snap)
+            self.state = "rolled_back"
+            raise
+
+    def rollback(self):
+        self._check()
+        self._ops.clear()
+        self.state = "rolled_back"
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            if self.state == "active":
+                self.rollback()
+            return False
+        if self.state == "active":
+            self.commit()
+        return False

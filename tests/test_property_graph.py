@@ -156,3 +156,90 @@ def test_hyperedge_jsonl_roundtrip():
     he = g.hyperedges_by_type("GROUP")[0]
     assert he.nodes == ("x", "y", "z")
     assert he.properties["topic"] == "gnn"
+
+
+# --- transactions (transaction.rs surface; VERDICT r2 missing#4) ------------
+
+def test_transaction_commit_applies_atomically():
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    g.add_node("seed")
+    with g.begin() as tx:
+        tx.add_node("a", ["P"], score=1)
+        tx.add_node("b", ["P"])
+        tx.add_edge("a", "b", type="KNOWS", weight=0.5)
+        tx.add_hyperedge(["a", "b", "seed"], edge_type="TEAM")
+        # nothing visible before commit
+        assert g.get_node("a") is None
+        # read-your-writes inside the tx
+        assert tx.read_node("a").properties["score"] == 1
+    assert g.get_node("a") is not None
+    assert g.edge_count == 1 and g.hyperedge_count == 1
+
+
+def test_transaction_rollback_on_exception_leaves_graph_untouched():
+    import pytest
+
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    g.add_node("keep", score=7)
+    g.add_edge("keep", "other")
+    with pytest.raises(RuntimeError, match="boom"):
+        with g.begin() as tx:
+            tx.add_node("ghost")
+            tx.add_edge("ghost", "keep")
+            raise RuntimeError("boom")
+    assert g.get_node("ghost") is None
+    assert g.node_count == 2 and g.edge_count == 1
+    assert tx.state == "rolled_back"
+
+
+def test_transaction_midway_failure_restores_snapshot():
+    """A failing op INSIDE commit() (set_property on a missing node)
+    rolls back everything already applied — indexes included."""
+    import pytest
+
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    g.add_node("x")
+    tx = g.begin()
+    tx.add_node("y")
+    tx.add_edge("x", "y")
+    tx.set_property("does-not-exist", "k", 1)    # will fail at commit
+    with pytest.raises(KeyError):
+        tx.commit()
+    assert tx.state == "rolled_back"
+    assert g.get_node("y") is None
+    assert g.edge_count == 0
+    assert g.outgoing("x") == []                 # indexes restored too
+
+
+def test_transaction_explicit_rollback_and_reuse_guard():
+    import pytest
+
+    from ruvector_tpu.graph import PropertyGraph, TransactionAborted
+
+    g = PropertyGraph()
+    tx = g.begin()
+    tx.add_node("n1")
+    tx.rollback()
+    assert g.get_node("n1") is None
+    with pytest.raises(TransactionAborted):
+        tx.add_node("n2")
+    with pytest.raises(TransactionAborted):
+        tx.commit()
+
+
+def test_transaction_delete_and_read_your_writes():
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    g.add_node("a", score=1)
+    with g.begin() as tx:
+        tx.delete_node("a")
+        assert tx.read_node("a") is None         # sees pending delete
+        tx.add_node("b")
+    assert g.get_node("a") is None and g.get_node("b") is not None
