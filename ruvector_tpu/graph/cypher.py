@@ -37,9 +37,9 @@ from ruvector_tpu.graph.property import PEdge, PNode, PropertyGraph
 
 _TOKEN_RE = re.compile(r"""
     (?P<WS>\s+)
-  | (?P<KW>(?i:MATCH|WHERE|RETURN|CREATE|MERGE|ON|DELETE|SET|ORDER|BY|
-            SKIP|LIMIT|DISTINCT|AND|OR|NOT|AS|DESC|ASC|TRUE|FALSE|NULL|
-            IN|CONTAINS|STARTS|ENDS|WITH)\b)
+  | (?P<KW>(?i:OPTIONAL|MATCH|WHERE|RETURN|CREATE|MERGE|ON|DELETE|SET|
+            ORDER|BY|SKIP|LIMIT|DISTINCT|AND|OR|NOT|AS|DESC|ASC|TRUE|
+            FALSE|NULL|IN|CONTAINS|STARTS|ENDS|WITH)\b)
   | (?P<NUM>-?\d+\.\d+|-?\d+)
   | (?P<STR>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ID>[A-Za-z_][A-Za-z0-9_]*)
@@ -125,6 +125,13 @@ class Query:
     # MERGE clauses: (pattern, on_create_sets, on_match_sets) — the
     # idempotent ingestion verb (parser.rs MERGE + ON CREATE/ON MATCH)
     merges: list = dataclasses.field(default_factory=list)
+    # OPTIONAL MATCH patterns: unmatched rows bind the pattern's vars to
+    # null instead of being dropped (null-tolerant WHERE applies after)
+    optional_matches: list = dataclasses.field(default_factory=list)
+    # WITH pipeline: this stage's `returns` become the projection feeding
+    # `next_stage`; with_where filters the projected rows first
+    next_stage: "Query | None" = None
+    with_where: "Expr | None" = None
 
 
 # expressions: nested tuples ('lit', v) ('var', name) ('prop', var, key)
@@ -168,7 +175,7 @@ class _Parser:
     # -- grammar ----------------------------------------------------------
     def parse(self) -> Query:
         matches, creates, deletes, sets = [], [], [], []
-        merges = []
+        merges, optionals = [], []
         where = None
         returns: list[ReturnItem] = []
         distinct = False
@@ -180,6 +187,21 @@ class _Parser:
                 matches.append(self.path_pattern())
                 while self.accept(","):
                     matches.append(self.path_pattern())
+            elif t.text == "OPTIONAL":
+                self.expect("MATCH")
+                optionals.append(self.path_pattern())
+                while self.accept(","):
+                    optionals.append(self.path_pattern())
+            elif t.text == "WITH":
+                distinct = self.accept("DISTINCT")
+                items = [self.return_item()]
+                while self.accept(","):
+                    items.append(self.return_item())
+                w_where = self.expr() if self.accept("WHERE") else None
+                rest = self.parse()
+                return Query(matches, None, items, distinct, [], None,
+                             None, creates, deletes, sets, merges,
+                             optionals, rest, w_where)
             elif t.text == "WHERE":
                 where = self.expr()
             elif t.text == "CREATE":
@@ -235,7 +257,8 @@ class _Parser:
             else:
                 raise CypherSyntaxError(f"unexpected {t.text!r}")
         return Query(matches, where, returns, distinct, order_by,
-                     skip, limit, creates, deletes, sets, merges)
+                     skip, limit, creates, deletes, sets, merges,
+                     optionals)
 
     def set_item(self) -> tuple[str, str, Expr]:
         var = self.next().text
@@ -573,14 +596,18 @@ class CypherEngine:
 
     # -- query execution --------------------------------------------------
     def execute(self, query: str | Query,
-                optimize: bool = True) -> list[dict]:
+                optimize: bool = True,
+                _rows: list[dict] | None = None) -> list[dict]:
         q = parse_cypher(query) if isinstance(query, str) else query
         if optimize and q.matches:
             q = optimize_query(q, self.g)
 
-        rows: list[dict] = [{}]
+        rows: list[dict] = [{}] if _rows is None else _rows
         for pat in q.matches:
             rows = [r2 for r in rows for r2 in self._match_path(pat, r)]
+        for pat in q.optional_matches:
+            rows = [r2 for r in rows
+                    for r2 in self._optional_match(pat, r)]
         if q.where is not None:
             rows = [r for r in rows if _eval(q.where, r)]
 
@@ -608,9 +635,56 @@ class CypherEngine:
                     if isinstance(ent, PNode):
                         self.g.delete_node(ent.id)
 
+        if q.next_stage is not None:
+            projected = self._project(q, rows)
+            if q.with_where is not None:
+                projected = [r for r in projected
+                             if _eval(q.with_where, r)]
+            return self.execute(q.next_stage, optimize=optimize,
+                                _rows=projected)
+
         if not q.returns:
             return []
 
+        results = self._project(q, rows, order=True)
+        if q.distinct:
+            seen, uniq = set(), []
+            for r in results:
+                key = repr(sorted(r.items(), key=lambda kv: str(kv[0])))
+                if key not in seen:
+                    seen.add(key)
+                    uniq.append(r)
+            results = uniq
+        if any(it.agg for it in q.returns):
+            for e, desc in reversed(q.order_by):
+                name = self._expr_name(e)
+                results.sort(
+                    key=lambda r: (r.get(name) is None, r.get(name)),
+                    reverse=desc)
+        if q.skip:
+            results = results[q.skip:]
+        if q.limit is not None:
+            results = results[: q.limit]
+        return results
+
+    def _optional_match(self, pat, row):
+        """OPTIONAL MATCH: yield extensions, or the row itself with the
+        pattern's unbound vars set to null (parser.rs OPTIONAL)."""
+        found = False
+        for r2 in self._match_path(pat, row):
+            found = True
+            yield r2
+        if not found:
+            r2 = dict(row)
+            for np_ in pat.nodes:
+                if np_.var and np_.var not in r2:
+                    r2[np_.var] = None
+            for rp in pat.rels:
+                if rp.var and rp.var not in r2:
+                    r2[rp.var] = None
+            yield r2
+
+    def _project(self, q, rows, order=False):
         # projection / aggregation
         aggs = [it for it in q.returns if it.agg]
         if aggs:
@@ -633,39 +707,27 @@ class CypherEngine:
                     out_row[name] = vals
                 else:
                     out_row[name] = vals[0] if vals else None
-            results = [out_row]
-        else:
+            return [out_row]
+        if order:
             # ORDER BY may reference expressions outside the projection
             # (standard Cypher): sort the BOUND rows first, then project
             for e, desc in reversed(q.order_by):
                 rows.sort(
                     key=lambda r, e=e: ((v := _eval(e, r)) is None, v),
                     reverse=desc)
-            results = []
-            for r in rows:
-                results.append({
-                    (it.alias or self._item_name(it)): _eval(it.expr, r)
-                    for it in q.returns})
-
-        if q.distinct:
-            seen, uniq = set(), []
-            for r in results:
-                key = repr(sorted(r.items(), key=lambda kv: kv[0]))
-                if key not in seen:
-                    seen.add(key)
-                    uniq.append(r)
-            results = uniq
-        if aggs:
+        out = [{(it.alias or self._item_name(it)): _eval(it.expr, r)
+                for it in q.returns} for r in rows]
+        if order:
+            # ORDER BY an output alias (e.g. `RETURN q.name AS f ORDER
+            # BY f`): sort the projected rows by that key
+            names = {it.alias or self._item_name(it) for it in q.returns}
             for e, desc in reversed(q.order_by):
-                name = self._expr_name(e)
-                results.sort(
-                    key=lambda r: (r.get(name) is None, r.get(name)),
-                    reverse=desc)
-        if q.skip:
-            results = results[q.skip:]
-        if q.limit is not None:
-            results = results[: q.limit]
-        return results
+                key = self._expr_name(e)
+                if e[0] == "var" and e[1] in names:
+                    out.sort(key=lambda r, k=e[1]: (r.get(k) is None,
+                                                    r.get(k)),
+                             reverse=desc)
+        return out
 
     def _create_path(self, pat: PathPattern, row: dict):
         prev = None
