@@ -7,14 +7,17 @@ surface the reference exposes via its graph shell
 
 Supported subset (the working core of the reference's README):
   MATCH (a:Label {k: v})-[r:TYPE*1..3]->(b) WHERE expr
+  OPTIONAL MATCH (...)            (unmatched vars bind to null)
+  WITH items [AS alias] [WHERE]   (pipeline stages; entities flow through)
   RETURN [DISTINCT] items [AS alias] / aggregations
          (count/sum/avg/min/max/collect)
-  ORDER BY ... [DESC] SKIP n LIMIT n
+  ORDER BY expr|alias [DESC] SKIP n LIMIT n
   CREATE (n:Label {..}), (a)-[:TYPE {..}]->(b)
+  MERGE (...) [ON CREATE SET ...] [ON MATCH SET ...]
   SET n.k = v / DELETE n / r
-Out of scope (documented): OPTIONAL MATCH, WITH pipelines,
-hyperedge patterns — niche surface of the reference's nom parser that no
-ruvector-cli example exercises.
+Out of scope (documented): hyperedge patterns (hyperedges load/store via
+PropertyGraph CRUD + JSONL; the nom parser's hyperedge pattern syntax
+has no ruvector-cli example exercising it).
 
 Execution: label-indexed scan for the first node pattern, then relation
 expansion honoring direction / type / variable-length bounds, row
