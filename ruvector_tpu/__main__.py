@@ -102,6 +102,14 @@ def main(argv=None):
     gs = sub.add_parser("graph-shell",
                         help="interactive Cypher shell over a property graph")
     gs.add_argument("path")
+    mc = sub.add_parser(
+        "mincut", help="min cut of an edge-list file (global, or s-t "
+                       "with --source/--sink); prints value, partition "
+                       "sizes and cut edges")
+    mc.add_argument("path", help="TSV/CSV: src dst [weight]")
+    mc.add_argument("--source", type=int, default=None)
+    mc.add_argument("--sink", type=int, default=None)
+    mc.add_argument("--json", action="store_true")
 
     args = p.parse_args(argv)
 
@@ -235,6 +243,49 @@ def main(argv=None):
                     for k, v in row.items()}, default=str))
         else:
             cypher_shell(pg)
+
+    elif args.cmd == "mincut":
+        import json as _json
+
+        from ruvector_tpu.mincut import DynamicMinCut
+
+        edges = []
+        n_max = 0
+        with open(args.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.replace(",", " ").split()
+                if len(parts) < 2:
+                    continue
+                u, v = int(parts[0]), int(parts[1])
+                w = float(parts[2]) if len(parts) > 2 else 1.0
+                edges.append((u, v, w))
+                n_max = max(n_max, u, v)
+        mcut = DynamicMinCut(n_max + 1, source=args.source, sink=args.sink)
+        for u, v, w in edges:
+            mcut.insert_edge(u, v, w)
+        val = mcut.cut_value()
+        side = mcut.partition()
+        cut = mcut.cut_edges()
+        if args.json:
+            print(_json.dumps({
+                "value": val, "cut_edges": [list(e) for e in cut],
+                "side_a": int(side.sum()),
+                "side_b": int((~side).sum()),
+                "mode": "global" if args.source is None else "s-t",
+            }))
+        else:
+            mode = ("global" if args.source is None
+                    else f"s-t ({args.source}->{mcut.sink})")
+            print(f"{mode} min cut: value={val:.6g}, "
+                  f"sides {int(side.sum())}/{int((~side).sum())}, "
+                  f"{len(cut)} crossing edges")
+            for u, v in cut[:20]:
+                print(f"  {u} - {v}")
+            if len(cut) > 20:
+                print(f"  ... {len(cut) - 20} more")
 
     elif args.cmd == "serve":
         from ruvector_tpu.serve.server import RuvectorServer

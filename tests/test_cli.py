@@ -35,3 +35,20 @@ def test_cli_full_lifecycle(tmp_path, capsys):
     g = np.load(tmp_path / "g.npz")
     assert g["nbr_idx"].shape == (120, 8)
     assert g["nbr_mask"].min() >= 0
+
+
+def test_cli_mincut(tmp_path, capsys):
+    import json
+
+    from ruvector_tpu.__main__ import main
+
+    p = tmp_path / "edges.tsv"
+    p.write_text("0 1 3\n1 2 3\n0 2 3\n3 4 3\n4 5 3\n3 5 3\n2 3 0.4\n")
+    main(["mincut", str(p), "--json"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert abs(out["value"] - 0.4) < 1e-6
+    assert out["mode"] == "global"
+    assert out["cut_edges"] == [[2, 3]]
+    main(["mincut", str(p), "--source", "0", "--sink", "5", "--json"])
+    out2 = json.loads(capsys.readouterr().out.strip())
+    assert out2["mode"] == "s-t" and abs(out2["value"] - 0.4) < 1e-6
