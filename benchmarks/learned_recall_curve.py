@@ -83,7 +83,9 @@ def main():
     # only learn upward (the production-safe shape of learned re-ranking)
     params = {"layer": ruvector_layer_init(jax.random.key(0), cfg),
               "beta": jnp.zeros(())}
-    opt = optax.adam(1e-3)
+    # decayed LR: a 100k-query stream at constant LR drifts after convergence
+    opt = optax.adam(optax.exponential_decay(
+        1e-3, transition_steps=20_000, decay_rate=0.3))
     opt_state = opt.init(params)
 
     m = nbr_idx.shape[1]
