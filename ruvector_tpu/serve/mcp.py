@@ -153,6 +153,23 @@ TOOLS = [
             "properties": {"collection": {"type": "string"}},
         },
     },
+    {
+        "name": "graph_mincut",
+        "description": ("Minimum cut of a collection's kNN neighbor "
+                        "graph: how separable the corpus is. Global by "
+                        "default; pass source+sink ids for s-t. Returns "
+                        "value, side sizes and crossing edges."),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "collection": {"type": "string"},
+                "k": {"type": "integer"},
+                "source": {"type": "integer"},
+                "sink": {"type": "integer"},
+            },
+            "required": ["collection"],
+        },
+    },
 ]
 
 
@@ -292,6 +309,35 @@ class McpServer:
         }, "gnn_cache": self.cache.stats()}
         return out
 
+    def _graph_mincut(self, args: dict) -> dict:
+        import numpy as np
+
+        from ruvector_tpu.graph import build_knn_graph
+        from ruvector_tpu.mincut import DynamicMinCut
+
+        db = self.collections[args["collection"]]
+        k = int(args.get("k", 8))
+        g = build_knn_graph(db.features_matrix(), k=min(k, len(db) - 1))
+        idx = np.asarray(g.nbr_idx)
+        ew = np.asarray(g.edge_weight)
+        mask = np.asarray(g.nbr_mask)
+        src = args.get("source")
+        mc = DynamicMinCut(len(db),
+                           source=None if src is None else int(src),
+                           sink=args.get("sink"))
+        for i in range(idx.shape[0]):
+            for j in range(idx.shape[1]):
+                if mask[i, j] > 0:
+                    mc.insert_edge(i, int(idx[i, j]), float(ew[i, j]))
+        side = mc.partition()
+        return {
+            "mode": "global" if src is None else "s-t",
+            "value": float(mc.cut_value()),
+            "side_a": int(side.sum()),
+            "side_b": int((~side).sum()),
+            "cut_edges": [list(e) for e in mc.cut_edges()[:50]],
+        }
+
     # --- JSON-RPC dispatch ---
 
     def handle(self, msg: dict) -> dict | None:
@@ -321,6 +367,7 @@ class McpServer:
                     "query": self._query,
                     "train": self._train,
                     "info": self._info,
+                    "graph_mincut": self._graph_mincut,
                 }.get(tool)
                 if fn is None:
                     raise ValueError(f"unknown tool '{tool}'")

@@ -91,3 +91,41 @@ def test_gnn_cache_lru_ttl():
     c2 = GnnProgramCache(capacity=2, ttl_s=-1)
     c2.put(("x", 0), "X")
     assert c2.get(("x", 0)) is None   # expired
+
+
+def test_graph_mincut_tool():
+    import json
+
+    import numpy as np
+
+    from ruvector_tpu.serve.mcp import McpServer
+
+    srv = McpServer()
+
+    def call(method, params=None, mid=1):
+        return srv.handle({"jsonrpc": "2.0", "id": mid, "method": method,
+                           "params": params or {}})
+
+    call("initialize")
+    call("tools/call", {"name": "create_collection",
+                        "arguments": {"name": "c", "dimensions": 8,
+                                      "index_type": "flat"}})
+    rng = np.random.default_rng(0)
+    vecs = np.concatenate([rng.normal(size=(20, 8)) + 4,
+                           rng.normal(size=(20, 8)) - 4]).astype(np.float32)
+    call("tools/call", {"name": "insert",
+                        "arguments": {"collection": "c",
+                                      "vectors": vecs.tolist()}})
+    r = call("tools/call", {"name": "graph_mincut",
+                            "arguments": {"collection": "c", "k": 6}})
+    payload = json.loads(r["result"]["content"][0]["text"])
+    # two far-apart blobs: the kNN graph splits cleanly
+    assert payload["mode"] == "global"
+    assert payload["value"] == 0.0
+    assert {payload["side_a"], payload["side_b"]} == {20}
+    # s-t variant across the blobs
+    r2 = call("tools/call", {"name": "graph_mincut",
+                             "arguments": {"collection": "c", "k": 6,
+                                           "source": 0, "sink": 39}})
+    p2 = json.loads(r2["result"]["content"][0]["text"])
+    assert p2["mode"] == "s-t" and p2["value"] == 0.0
