@@ -288,6 +288,9 @@ class GlobalDynamicMinCut:
         # primary crossed (its pool value was bumped): a pool entry at
         # the old minimum that does NOT separate u,v certifies no change
         old_val = self._value
+        if not self._pool:
+            self._dirty = True
+            return
         best = min(self._pool, key=lambda e: e[0])
         if best[0] <= old_val + 1e-12:
             self._value = best[0]
