@@ -322,6 +322,11 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
     """Solve every partition's gate once (chunked lax.map to bound the
     [c, B, B] push-relabel buffers) and record the signatures. Returns
     {"keep": [L, nB, B, B] bool, "sig": [L, nB] f32}."""
+    if cfg.gate_mode != "pooled":
+        raise ValueError(
+            "temporal gate reuse operates on the pooled (head-mean) gate "
+            "granularity — gating.rs's single-matrix semantics; use the "
+            "stateless apply for per_head mode")
     nb, b = bdg.n_blocks, bdg.block
     x = fpad.reshape(nb, b, -1)
     keeps, sigs = [], []
