@@ -152,6 +152,21 @@ def main():
     except Exception as e:      # fused path optional on exotic backends
         results["gnn_layer_fused_edges_per_s"] = f"error: {e}"
 
+    # 1c. GraphSAGE 2-layer fixed-fanout forward (BASELINE config 2)
+    from ruvector_tpu.models import (
+        GraphSAGENetConfig,
+        graphsage_net_apply,
+        graphsage_net_init,
+    )
+
+    sage_cfg = GraphSAGENetConfig(input_dim=d, hidden_dim=d, num_layers=2,
+                                  num_samples=10)
+    sage_params = graphsage_net_init(jax.random.key(2), sage_cfg)
+    sage = jax.jit(lambda p, f: graphsage_net_apply(p, sage_cfg, f, graph))
+    dt = timeit(lambda: sage(sage_params, feats))
+    results["graphsage_2layer_nodes_per_s"] = round(n / dt, 0)
+    results["graphsage_2layer_ms"] = round(dt * 1e3, 2)
+
     # 2. SpMM
     spmm = jax.jit(lambda f: spmm_padded(f, graph.nbr_idx, graph.edge_weight,
                                          graph.nbr_mask))
