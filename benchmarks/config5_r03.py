@@ -72,7 +72,7 @@ def main():
 
     cfg = GatedGraphTransformerConfig(
         dim=d, num_heads=4, num_layers=args.layers, gate_chunk=128,
-        hysteresis_band=0.05, remat=True)
+        hysteresis_band=0.05, remat=True, compute_dtype="bfloat16")
     params = gated_graph_transformer_init(jax.random.key(0), cfg)
     fpad = bdg.pad_features(jnp.asarray(feats))
     del feats

@@ -249,8 +249,11 @@ def _pooled_logits(h, node_pad, wq, wk, cfg):
     per-head [nB, H, B, B] tensor. Padding entries are -1.0, matching
     _gated_attention_block's pooled path exactly."""
     scale = 1.0 / (cfg.head_dim ** 0.5)
-    q = jnp.einsum("nbd,de->nbe", h, wq, preferred_element_type=jnp.float32)
-    k = jnp.einsum("nbd,de->nbe", h, wk, preferred_element_type=jnp.float32)
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    q = jnp.einsum("nbd,de->nbe", h, wq,
+                   preferred_element_type=jnp.float32).astype(cdt)
+    k = jnp.einsum("nbd,de->nbe", h, wk,
+                   preferred_element_type=jnp.float32).astype(cdt)
     lg = jnp.einsum("nqd,nkd->nqk", q, k,
                     preferred_element_type=jnp.float32)
     lg = lg * (scale / cfg.num_heads)
@@ -269,15 +272,21 @@ def _gate_signature(pooled, eps):
 def _attention_with_keep(h, node_pad, keep, p, cfg, chunk):
     """MHA within partitions under a FIXED per-partition keep mask
     ([nB, B, B] bool, broadcast across heads). Differentiable; no gate
-    solves. Chunked with lax.map to bound the [c, H, B, B] transients."""
+    solves. Chunked with lax.map to bound the [c, H, B, B] transients.
+
+    compute_dtype='bfloat16' casts Q/K/V (and the softmax weights fed to
+    the AV matmul) to bf16 with f32 accumulation — at 1M nodes the
+    [c, H, B, B] logits are the dominant HBM traffic and halve.
+    """
     nb, b, d = h.shape
     hh, dh = cfg.num_heads, cfg.head_dim
     scale = 1.0 / (dh ** 0.5)
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def proj(w):
         return jnp.einsum(
             "nbd,de->nbe", h, w, preferred_element_type=jnp.float32
-        ).reshape(nb, b, hh, dh).transpose(0, 2, 1, 3)
+        ).reshape(nb, b, hh, dh).transpose(0, 2, 1, 3).astype(cdt)
 
     q, k, v = proj(p["wq"]), proj(p["wk"]), proj(p["wv"])
     valid = node_pad[:, None, :, None] * node_pad[:, None, None, :]
@@ -290,7 +299,7 @@ def _attention_with_keep(h, node_pad, keep, p, cfg, chunk):
         logits = jnp.where(vmc > 0, logits, -1.0)
         mask = keepc[:, None].astype(jnp.float32) * vmc
         attn = masked_softmax(logits, mask)
-        return jnp.einsum("chqk,chkd->chqd", attn, vc,
+        return jnp.einsum("chqk,chkd->chqd", attn.astype(cdt), vc,
                           preferred_element_type=jnp.float32)
 
     c = max(cc for cc in range(1, min(chunk, nb) + 1) if nb % cc == 0)

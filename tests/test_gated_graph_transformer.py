@@ -267,3 +267,35 @@ def test_loss_with_masks_matches_and_grads():
     for a, b in zip(jax.tree.leaves(g_new), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_bf16_compute_mode_tracks_f32():
+    """compute_dtype='bfloat16' halves the attention HBM traffic at 1M
+    scale; outputs must track the f32 path within bf16 tolerance and the
+    gate masks must be identical on well-separated logits."""
+    import dataclasses
+
+    from ruvector_tpu.graph_transformer.gated import (
+        gate_state_init,
+        gated_graph_transformer_step,
+    )
+
+    bdg = _graph(96, 8, seed=4, block=32)
+    cfg32 = GatedGraphTransformerConfig(dim=32, num_heads=4, num_layers=2)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    params = gated_graph_transformer_init(jax.random.key(0), cfg32)
+    feats = np.random.default_rng(5).normal(size=(96, 32)).astype(np.float32)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+
+    out32 = gated_graph_transformer_apply(params, cfg32, fpad, bdg)
+    out16 = gated_graph_transformer_apply(params, cfg16, fpad, bdg)
+    err = np.abs(np.asarray(out32) - np.asarray(out16)).max()
+    scale = np.abs(np.asarray(out32)).max()
+    assert err <= 0.05 * max(scale, 1.0), (err, scale)
+
+    # state machinery runs in bf16 mode too
+    st = gate_state_init(params, cfg16, fpad, bdg)
+    out, st2, nres = gated_graph_transformer_step(params, cfg16, fpad,
+                                                  bdg, st)
+    assert int(nres) == 0
+    assert np.isfinite(np.asarray(out)).all()
