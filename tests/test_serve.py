@@ -191,3 +191,35 @@ def test_trained_draft_speculative_acceptance():
     toks_s = np.asarray(out_s[0])[:int(out_s[1])]
     k = min(len(toks_g), len(toks_s))
     assert k > 0 and (toks_g[:k] == toks_s[:k]).all()
+
+
+def test_train_spec_corpus_and_depth_logits():
+    import numpy as np
+
+    from ruvector_tpu.transformer.config import TransformerConfig
+    from ruvector_tpu.transformer.model import init_weights
+    from ruvector_tpu.transformer.train_spec import (
+        markov_corpus,
+        seq_logits_at_depths,
+    )
+
+    toks, succ = markov_corpus(3, vocab=32, n_seq=6, seq_len=20)
+    toks2, succ2 = markov_corpus(3, vocab=32, n_seq=6, seq_len=20)
+    np.testing.assert_array_equal(toks, toks2)       # deterministic
+    np.testing.assert_array_equal(succ, succ2)
+    # same chain, different draws
+    toks3, succ3 = markov_corpus(3, vocab=32, n_seq=6, seq_len=20,
+                                 sample_seed=9)
+    np.testing.assert_array_equal(succ, succ3)
+    assert not np.array_equal(toks, toks3)
+    # ~peak fraction of transitions follow the argmax successor
+    follows = (toks[:, 1:] == succ[toks[:, :-1]]).mean()
+    assert follows > 0.8
+
+    import jax
+
+    cfg = TransformerConfig.micro()
+    w = init_weights(jax.random.key(0), cfg, quantize=False)
+    ld, lf = seq_logits_at_depths(w, cfg, toks[0][:16], (1, cfg.layers))
+    assert ld.shape == lf.shape == (16, cfg.logits)
+    assert np.isfinite(np.asarray(ld)).all()
