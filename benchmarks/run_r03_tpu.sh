@@ -37,3 +37,11 @@ run spec python benchmarks/spec_trained.py
 run suite python benchmarks/suite.py --json BENCH_SUITE.json
 
 echo "ALL DONE"
+
+# commit the refreshed measurement artifacts (JSON records only)
+cd /root/repo
+git add -A ./*.json 2>/dev/null
+git commit -q -m "Round-3 TPU artifact refresh (bench/config5/scale/attention/spec/suite)
+
+No-Verification-Needed: measurement JSON artifacts only, no code" || true
+git log --oneline -1
