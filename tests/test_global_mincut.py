@@ -338,3 +338,60 @@ def test_native_gmc_fuzz(seed):
             assert sval == pytest.approx(expect, abs=1e-6), step
     st = gn.stats()
     assert st["o1_updates"] > 0
+
+
+def test_st_cut_dominates_global_cut():
+    """Cross-solver invariant: for ANY (s, t), the s-t min cut is an
+    upper bound on the global min cut (the global optimum is the min
+    over all pairs) — pins the native s-t and global solvers against
+    each other on shared random streams."""
+    native = pytest.importorskip("ruvector_tpu.native")
+    if not native.available:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(7)
+    n = 14
+    for trial in range(5):
+        edges = {}
+        while len(edges) < 26:
+            u, v = rng.integers(0, n, 2)
+            if u != v:
+                edges[(int(min(u, v)), int(max(u, v)))] = float(
+                    rng.uniform(0.1, 2.0))
+        g = native.GlobalIncrementalMinCut(n)
+        for (u, v), w in edges.items():
+            g.insert_edge(u, v, w)
+        gv = g.cut_value()
+        for _ in range(4):
+            s, t = rng.integers(0, n, 2)
+            if s == t:
+                continue
+            st = native.IncrementalMinCut(n, int(s), int(t))
+            for (u, v), w in edges.items():
+                st.insert_edge(u, v, w)
+                st.insert_edge(v, u, w)
+            assert st.cut_value() >= gv - 1e-6, (trial, s, t)
+
+
+def test_local_k_cut_dominates_global_cut():
+    from ruvector_tpu.graph.csr import CSRGraph
+    from ruvector_tpu.mincut import local_k_cut
+
+    rng = np.random.default_rng(3)
+    n = 40
+    src = rng.integers(0, n, 140)
+    dst = rng.integers(0, n, 140)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.1, 1.5, len(src)).astype(np.float32)
+    gmc = GlobalDynamicMinCut(n)
+    for u, v, ww in zip(src, dst, w):
+        gmc.insert_edge(int(u), int(v), float(ww))
+    gv = gmc.cut_value()          # exact (Stoer-Wagner backstop)
+    g = CSRGraph.from_edges(np.r_[src, dst], np.r_[dst, src],
+                            np.r_[w, w], n)
+    for seed in range(0, n, 7):
+        res = local_k_cut(g, seed=seed, k=1e9, max_radius=6,
+                          max_volume=n + 1)
+        if res is None:
+            continue
+        assert res.value >= gv - 1e-6, (seed, res.value, gv)
