@@ -202,7 +202,7 @@ class _Parser:
                     items.append(self.return_item())
                 w_where = self.expr() if self.accept("WHERE") else None
                 rest = self.parse()
-                return Query(matches, None, items, distinct, [], None,
+                return Query(matches, where, items, distinct, [], None,
                              None, creates, deletes, sets, merges,
                              optionals, rest, w_where)
             elif t.text == "WHERE":
@@ -614,16 +614,23 @@ class CypherEngine:
         if q.where is not None:
             rows = [r for r in rows if _eval(q.where, r)]
 
-        # mutations
+        # mutations. Zero rows out of MATCH means zero executions
+        # (standard Cypher); only a stage with no MATCH at all runs its
+        # CREATE/MERGE once on the empty binding.
+        matched_any = bool(q.matches or q.optional_matches)
+        base = rows if matched_any else (rows or [{}])
         for pat in q.creates:
-            for r in rows or [{}]:
+            for r in base:
                 self._create_path(pat, r)
         if q.merges:
             new_rows = []
-            for r in rows or [{}]:
+            for r in base:
+                frontier = [r]
                 for pat, on_create, on_match in q.merges:
-                    r = self._merge_path(pat, r, on_create, on_match)
-                new_rows.append(r)
+                    frontier = [r3 for r2 in frontier for r3 in
+                                self._merge_path(pat, r2, on_create,
+                                                 on_match)]
+                new_rows.extend(frontier)
             rows = new_rows
         if q.sets:
             for r in rows:
@@ -640,6 +647,15 @@ class CypherEngine:
 
         if q.next_stage is not None:
             projected = self._project(q, rows)
+            if q.distinct:
+                seen, uniq = set(), []
+                for r in projected:
+                    key = repr(sorted(r.items(),
+                                      key=lambda kv: str(kv[0])))
+                    if key not in seen:
+                        seen.add(key)
+                        uniq.append(r)
+                projected = uniq
             if q.with_where is not None:
                 projected = [r for r in projected
                              if _eval(q.with_where, r)]
@@ -711,25 +727,23 @@ class CypherEngine:
                 else:
                     out_row[name] = vals[0] if vals else None
             return [out_row]
-        if order:
-            # ORDER BY may reference expressions outside the projection
-            # (standard Cypher): sort the BOUND rows first, then project
-            for e, desc in reversed(q.order_by):
-                rows.sort(
-                    key=lambda r, e=e: ((v := _eval(e, r)) is None, v),
-                    reverse=desc)
         out = [{(it.alias or self._item_name(it)): _eval(it.expr, r)
                 for it in q.returns} for r in rows]
-        if order:
-            # ORDER BY an output alias (e.g. `RETURN q.name AS f ORDER
-            # BY f`): sort the projected rows by that key
+        if order and q.order_by:
+            # ORDER BY keys may be bound-row expressions OR projected
+            # aliases, in any mix; stable sorts applied in reverse key
+            # order give the composite ordering with correct precedence
             names = {it.alias or self._item_name(it) for it in q.returns}
+            pairs = list(zip(rows, out))
             for e, desc in reversed(q.order_by):
-                key = self._expr_name(e)
                 if e[0] == "var" and e[1] in names:
-                    out.sort(key=lambda r, k=e[1]: (r.get(k) is None,
-                                                    r.get(k)),
-                             reverse=desc)
+                    keyf = (lambda pr, k=e[1]:
+                            ((v := pr[1].get(k)) is None, v))
+                else:
+                    keyf = (lambda pr, e=e:
+                            ((v := _eval(e, pr[0])) is None, v))
+                pairs.sort(key=keyf, reverse=desc)
+            out = [pr[1] for pr in pairs]
         return out
 
     def _create_path(self, pat: PathPattern, row: dict):
@@ -753,16 +767,18 @@ class CypherEngine:
             prev = node
 
     def _merge_path(self, pat: PathPattern, row: dict,
-                    on_create, on_match) -> dict:
+                    on_create, on_match) -> list[dict]:
         """MERGE semantics: match the WHOLE pattern (under the row's
-        bindings) or create it atomically; then apply ON MATCH / ON
-        CREATE SET items. Idempotent ingestion (parser.rs MERGE)."""
-        found = next(iter(self._match_path(pat, row)), None)
-        if found is not None:
-            for var, prop, e in on_match:
-                ent = found.get(var)
-                if ent is not None:
-                    ent.properties[prop] = _eval(e, found)
+        bindings) — yielding EVERY matching binding, each receiving the
+        ON MATCH SET items — or create it atomically with ON CREATE SET.
+        Idempotent ingestion (parser.rs MERGE)."""
+        found = list(self._match_path(pat, row))
+        if found:
+            for fr in found:
+                for var, prop, e in on_match:
+                    ent = fr.get(var)
+                    if ent is not None:
+                        ent.properties[prop] = _eval(e, fr)
             return found
         r2 = dict(row)
         self._create_path(pat, r2)
@@ -770,7 +786,7 @@ class CypherEngine:
             ent = r2.get(var)
             if ent is not None:
                 ent.properties[prop] = _eval(e, r2)
-        return r2
+        return [r2]
 
     @staticmethod
     def _item_name(it: ReturnItem) -> str:

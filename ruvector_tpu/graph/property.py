@@ -219,20 +219,6 @@ class PropertyGraph:
         """Start a buffered atomic transaction (transaction.rs:107)."""
         return Transaction(self)
 
-    def _snapshot(self) -> tuple:
-        import copy
-
-        return (copy.deepcopy(self._nodes), copy.deepcopy(self._edges),
-                {k: list(v) for k, v in self._out.items()},
-                {k: list(v) for k, v in self._in.items()},
-                copy.deepcopy(self._hyperedges),
-                {k: set(v) for k, v in self._hyper_by_node.items()},
-                self._hyper_seq)
-
-    def _restore(self, snap: tuple) -> None:
-        (self._nodes, self._edges, self._out, self._in,
-         self._hyperedges, self._hyper_by_node, self._hyper_seq) = snap
-
     # --- loaders ---
 
     @staticmethod
@@ -519,31 +505,103 @@ class Transaction:
 
     def commit(self):
         """Apply all buffered operations; on ANY failure the graph (and
-        its indexes) are restored to the pre-transaction snapshot."""
+        its indexes) are restored via an UNDO journal recorded alongside
+        each applied op — commit cost scales with the TRANSACTION, not
+        the graph (the original full-deepcopy snapshot made every commit
+        O(graph); code-review r3)."""
         self._check()
-        snap = self.g._snapshot()
+        g = self.g
+        undo: list = []          # (fn) closures, applied in reverse
         try:
             for op, payload in self._ops:
                 if op == "add_node":
-                    self.g.add_node(payload.id, payload.labels,
-                                    **payload.properties)
+                    old = g._nodes.get(payload.id)
+                    existed = payload.id in g._nodes
+                    g.add_node(payload.id, payload.labels,
+                               **payload.properties)
+                    if existed:
+                        undo.append(lambda nid=payload.id, o=old:
+                                    g._nodes.__setitem__(nid, o))
+                    else:
+                        undo.append(lambda nid=payload.id: (
+                            g._nodes.pop(nid, None),
+                            g._out.pop(nid, None),
+                            g._in.pop(nid, None)))
                 elif op == "add_edge":
                     s, d2, t, w, props = payload
-                    self.g.add_edge(s, d2, type=t, weight=w, **props)
+                    created = [x for x in (s, d2) if x not in g._nodes]
+                    g.add_edge(s, d2, type=t, weight=w, **props)
+
+                    def undo_edge(s=s, d2=d2, created=tuple(created)):
+                        g._edges.pop()
+                        g._out[s].pop()
+                        g._in[d2].pop()
+                        for nid in created:
+                            g._nodes.pop(nid, None)
+                            g._out.pop(nid, None)
+                            g._in.pop(nid, None)
+                    undo.append(undo_edge)
                 elif op == "add_hyperedge":
                     nodes, t, kw = payload
-                    self.g.add_hyperedge(nodes, edge_type=t, **kw)
+                    created = [str(x) for x in nodes
+                               if str(x) not in g._nodes]
+                    old_he = g._hyperedges.get(str(kw.get("id", "")))
+                    he = g.add_hyperedge(nodes, edge_type=t, **kw)
+
+                    def undo_he(hid=he.id, old_he=old_he,
+                                created=tuple(created)):
+                        g.delete_hyperedge(hid)
+                        if old_he is not None:
+                            g._hyperedges[old_he.id] = old_he
+                            for nid in old_he.unique_nodes():
+                                g._hyper_by_node.setdefault(
+                                    nid, set()).add(old_he.id)
+                        for nid in created:
+                            g._nodes.pop(nid, None)
+                            g._out.pop(nid, None)
+                            g._in.pop(nid, None)
+                    undo.append(undo_he)
                 elif op == "delete_node":
-                    self.g.delete_node(payload)
+                    # inherently O(E): capture the structures the delete
+                    # rewrites (edge list + indexes + touched hyperedges)
+                    node = g._nodes.get(payload)
+                    edges = list(g._edges)
+                    out_idx = {k2: list(v) for k2, v in g._out.items()}
+                    in_idx = {k2: list(v) for k2, v in g._in.items()}
+                    hyper = dict(g._hyperedges)
+                    hyper_by = {k2: set(v)
+                                for k2, v in g._hyper_by_node.items()}
+                    g.delete_node(payload)
+
+                    def undo_del(node=node, edges=edges, out_idx=out_idx,
+                                 in_idx=in_idx, hyper=hyper,
+                                 hyper_by=hyper_by, nid=payload):
+                        if node is not None:
+                            g._nodes[nid] = node
+                        g._edges = edges
+                        g._out = out_idx
+                        g._in = in_idx
+                        g._hyperedges = hyper
+                        g._hyper_by_node = hyper_by
+                    undo.append(undo_del)
                 elif op == "set_property":
                     nid, k, v = payload
-                    node = self.g.get_node(nid)
+                    node = g.get_node(nid)
                     if node is None:
                         raise KeyError(f"no node {nid!r}")
-                    node.properties[k] = v
+                    missing = k not in node.properties
+                    old = node.properties.get(k)
+
+                    def undo_set(node=node, k=k, old=old, missing=missing):
+                        if missing:
+                            node.properties.pop(k, None)
+                        else:
+                            node.properties[k] = old
+                    undo.append(undo_set)
             self.state = "committed"
         except Exception:
-            self.g._restore(snap)
+            for fn in reversed(undo):
+                fn()
             self.state = "rolled_back"
             raise
 

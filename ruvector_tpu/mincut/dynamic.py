@@ -29,6 +29,25 @@ import numpy as np
 from ruvector_tpu.utils.monitoring import MetricWatcher
 
 
+
+def _cert_hash(payload: dict) -> str:
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True).encode()).hexdigest()
+
+
+def _cert_hash_ok(cert: dict) -> bool:
+    payload = {k: v for k, v in cert.items() if k != "hash"}
+    return _cert_hash(payload) == cert.get("hash")
+
+
+def _crossing_edges(weights: dict, side) -> list:
+    """Directed crossing edges (u on the True side, v off it)."""
+    return sorted((u, v) for (u, v) in weights if side[u] and not side[v])
+
+
 class DynamicMinCut:
     """backend='auto' uses the native incremental solver
     (native.IncrementalMinCut: persistent warm residual, O(1)
@@ -159,39 +178,27 @@ class DynamicMinCut:
     def certificate(self) -> dict:
         """Verifiable cut witness: partition + crossing edges + value +
         hash. verify_certificate re-checks it against the live graph."""
-        import hashlib
-        import json
-
         side = self.partition()
-        edges = sorted(self.cut_edges())
-        value = self.cut_value()
         payload = {
             "source": self.source, "sink": self.sink,
-            "value": round(value, 6),
-            "cut_edges": edges,
+            "value": round(self.cut_value(), 6),
+            "cut_edges": sorted(self.cut_edges()),
             "source_side": np.nonzero(side)[0].tolist(),
         }
-        payload["hash"] = hashlib.sha256(
-            json.dumps(payload, sort_keys=True).encode()).hexdigest()
+        payload["hash"] = _cert_hash(payload)
         return payload
 
     def verify_certificate(self, cert: dict) -> bool:
         """A valid certificate's partition separates s from t, its edges
         are exactly the crossing edges, and their weight equals the value
         (max-flow == min-cut ensures optimality of an honest witness)."""
-        import hashlib
-        import json
-
-        payload = {k: v for k, v in cert.items() if k != "hash"}
-        if hashlib.sha256(json.dumps(payload, sort_keys=True).encode()
-                          ).hexdigest() != cert["hash"]:
+        if not _cert_hash_ok(cert):
             return False
         side = np.zeros(self.n, bool)
         side[cert["source_side"]] = True
         if not side[self.source] or side[self.sink]:
             return False
-        crossing = sorted((u, v) for (u, v) in self.weights
-                          if side[u] and not side[v])
+        crossing = _crossing_edges(self.weights, side)
         if crossing != [tuple(e) for e in cert["cut_edges"]]:
             return False
         weight = sum(self.weights[e] for e in crossing)
@@ -283,36 +290,27 @@ class GlobalMinCutFacade:
                                   callback, hysteresis)
 
     def certificate(self) -> dict:
-        import hashlib
-        import json
-
         side = self.partition()
-        edges = sorted(self.cut_edges())
         payload = {
             "global": True,
             "value": round(self.cut_value(), 6),
-            "cut_edges": [list(e) for e in edges],
+            "cut_edges": [list(e) for e in sorted(self.cut_edges())],
             "source_side": np.nonzero(side)[0].tolist(),
         }
-        payload["hash"] = hashlib.sha256(
-            json.dumps(payload, sort_keys=True).encode()).hexdigest()
+        payload["hash"] = _cert_hash(payload)
         return payload
 
     def verify_certificate(self, cert: dict) -> bool:
         """Valid iff: hash checks, both sides hold >=1 active node, the
-        listed edges are exactly the crossing edges, and their weight
-        equals the claimed value."""
-        import hashlib
-        import json
-
-        payload = {k: v for k, v in cert.items() if k != "hash"}
-        if hashlib.sha256(json.dumps(payload, sort_keys=True).encode()
-                          ).hexdigest() != cert["hash"]:
+        listed edges are exactly the crossing edges (either direction —
+        the cut is global/undirected), and their weight equals the
+        claimed value."""
+        if not _cert_hash_ok(cert):
             return False
         side = np.zeros(self.n, bool)
         side[cert["source_side"]] = True
-        deg = np.zeros(self.n)
         w = dict(self.weights)
+        deg = np.zeros(self.n)
         for (u, v), ww in w.items():
             deg[u] += ww
             deg[v] += ww

@@ -204,7 +204,10 @@ class GlobalDynamicMinCut:
     # -- updates -------------------------------------------------------------
 
     def insert_edge(self, u: int, v: int, w: float):
-        if u == v or w <= 0:
+        # guard at the ACTIVITY threshold (degree > 1e-12), not 0 — an
+        # edge in (0, 1e-12] would be stored while leaving its endpoints
+        # inactive, corrupting the maintained value (code-review r3)
+        if u == v or w <= 1e-12:
             return
         k = self._key(u, v)
         self.weights[k] = self.weights.get(k, 0.0) + w
@@ -312,7 +315,7 @@ class GlobalDynamicMinCut:
         self._decrease_repair(u, v, w)
 
     def reweight_edge(self, u: int, v: int, w: float):
-        if w <= 0:
+        if w <= 1e-12:
             return self.delete_edge(u, v)
         k = self._key(u, v)
         old = self.weights.get(k)

@@ -347,6 +347,7 @@ def gen_cluster_knn(n: int, d: int, k: int, cluster: int, seed: int = 0,
 
     threads = threads or (_os.cpu_count() or 4)
     assert n % cluster == 0
+    assert 0 < k < cluster, "k must be < cluster (self excluded)"
     feats = np.empty((n, d), np.float32)
     idx = np.empty((n, k), np.int32)
     ew = np.empty((n, k), np.float32)

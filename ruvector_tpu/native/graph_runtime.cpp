@@ -1106,7 +1106,9 @@ struct Solver {
     }
 
     void insert_edge(int32_t u, int32_t v, double ww) {
-        if (u == v || ww <= 0 || u < 0 || v < 0 || u >= n || v >= n)
+        // EPS guard, not 0: a (0, EPS] edge would be stored while its
+        // endpoints stay inactive (activity threshold is deg > EPS)
+        if (u == v || ww <= EPS || u < 0 || v < 0 || u >= n || v >= n)
             return;
         int64_t k = key(u, v, n);
         w[k] += ww;
@@ -1145,7 +1147,7 @@ struct Solver {
     }
 
     void reweight_edge(int32_t u, int32_t v, double ww) {
-        if (ww <= 0) { delete_edge(u, v); return; }
+        if (ww <= EPS) { delete_edge(u, v); return; }
         if (u == v || u < 0 || v < 0 || u >= n || v >= n) return;
         int64_t k = key(u, v, n);
         auto it = w.find(k);
@@ -1403,6 +1405,8 @@ int32_t bdense_fill(const int32_t* nbr, const float* mask, const float* ew,
 void gen_cluster_knn(int64_t n, int64_t d, int64_t k, int64_t cluster,
                      uint64_t seed, int64_t threads,
                      float* feats, int32_t* idx, float* ew) {
+    if (k >= cluster) k = cluster - 1;   // self excluded; guard UB
+    if (k < 1) return;
     int64_t nc = n / cluster;
     bdense::parallel_for(nc, (int)threads, [=](int64_t lo, int64_t hi) {
         std::vector<float> center((size_t)d);

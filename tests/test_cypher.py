@@ -295,3 +295,72 @@ def test_with_entities_flow_to_next_stage():
            "OPTIONAL MATCH (p)-[:KNOWS]->(q) RETURN q.name AS f "
            "ORDER BY f")
     assert [r["f"] for r in rows] == ["Bob", "Cat"]
+
+
+# --- code-review r3 regressions ---------------------------------------------
+
+def test_where_before_with_is_applied():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    g.add_node("a", ["P"], x=1)
+    g.add_node("b", ["P"], x=5)
+    rows = execute_cypher(
+        g, "MATCH (n:P) WHERE n.x > 3 WITH n.x AS y RETURN y")
+    assert rows == [{"y": 5}]
+
+
+def test_with_distinct_dedupes_before_next_stage():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    for i in range(4):
+        g.add_node(str(i), ["Q"], v=i % 2)
+    rows = execute_cypher(
+        g, "MATCH (n:Q) WITH DISTINCT n.v AS v RETURN collect(v) AS vs")
+    assert sorted(rows[0]["vs"]) == [0, 1]
+
+
+def test_merge_zero_matched_rows_executes_zero_times():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    g.add_node("z", ["Present"])
+    execute_cypher(g, "MATCH (x:Missing) MERGE (y:Thing {k: 1})")
+    assert g.nodes_by_label("Thing") == []
+    execute_cypher(g, "MATCH (x:Missing) CREATE (y:Thing {k: 1})")
+    assert g.nodes_by_label("Thing") == []
+    # bare MERGE (no MATCH) still runs once
+    execute_cypher(g, "MERGE (y:Thing {k: 1})")
+    assert len(g.nodes_by_label("Thing")) == 1
+
+
+def test_merge_on_match_applies_to_every_binding():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    g.add_node("a", ["P"])
+    g.add_node("b1", ["P"])
+    g.add_node("b2", ["P"])
+    g.add_edge("a", "b1", type="R")
+    g.add_edge("a", "b2", type="R")
+    execute_cypher(g, "MERGE (a:P)-[:R]->(b) ON MATCH SET b.seen = 1")
+    assert g.get_node("b1").properties.get("seen") == 1
+    assert g.get_node("b2").properties.get("seen") == 1
+    assert g.edge_count == 2            # nothing re-created
+
+
+def test_order_by_mixed_expr_and_alias_precedence():
+    from ruvector_tpu.graph import PropertyGraph
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = PropertyGraph()
+    for i, (x, y) in enumerate([(1, 9), (1, 1), (0, 5), (0, 7)]):
+        g.add_node(str(i), ["P"], x=x, y=y)
+    rows = execute_cypher(
+        g, "MATCH (n:P) RETURN n.y AS f ORDER BY n.x, f")
+    assert [r["f"] for r in rows] == [5, 7, 1, 9]

@@ -395,3 +395,27 @@ def test_local_k_cut_dominates_global_cut():
         if res is None:
             continue
         assert res.value >= gv - 1e-6, (seed, res.value, gv)
+
+
+def test_subthreshold_edges_are_rejected():
+    """code-review r3: an edge with weight in (0, 1e-12] must not be
+    stored (it would leave its endpoints inactive while influencing the
+    maintained value)."""
+    mc = GlobalDynamicMinCut(6)
+    mc.insert_edge(0, 1, 5.0)
+    assert mc.cut_value() == pytest.approx(5.0)
+    mc.insert_edge(2, 3, 1e-13)
+    assert mc.cut_value() == pytest.approx(5.0)       # unchanged
+    assert (2, 3) not in mc.weights
+    mc.reweight_edge(0, 1, 1e-13)                      # == delete
+    assert mc.cut_value() == 0.0
+
+    import pytest as _p
+
+    native = _p.importorskip("ruvector_tpu.native")
+    if native.available:
+        g = native.GlobalIncrementalMinCut(6)
+        g.insert_edge(0, 1, 5.0)
+        assert g.cut_value() == _p.approx(5.0)
+        g.insert_edge(2, 3, 1e-13)
+        assert g.cut_value() == _p.approx(5.0)
