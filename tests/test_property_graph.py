@@ -243,3 +243,37 @@ def test_transaction_delete_and_read_your_writes():
         assert tx.read_node("a") is None         # sees pending delete
         tx.add_node("b")
     assert g.get_node("a") is None and g.get_node("b") is not None
+
+
+def test_transaction_interleaved_ops_rollback_ordering():
+    """Undo journal must unwind interleaved creates/deletes/overwrites
+    in exact reverse order (code-review r3 follow-up)."""
+    import pytest
+
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    g.add_node("keep", v=1)
+    g.add_edge("keep", "other", weight=2.0)
+    he0 = g.add_hyperedge(["keep", "other"], edge_type="OLD", id="H")
+
+    tx = g.begin()
+    tx.add_node("a", score=1)            # fresh
+    tx.add_node("a", score=2)            # overwrite within the txn
+    tx.add_edge("a", "b")                # creates b
+    tx.add_edge("a", "c")                # creates c
+    tx.add_hyperedge(["a", "b"], edge_type="NEW", id="H")   # overwrites H
+    tx.delete_node("other")              # rewrites edges + indexes
+    tx.add_edge("keep", "d")             # after the delete
+    tx.set_property("keep", "v", 99)
+    tx.set_property("nope", "k", 1)      # fails -> full unwind
+    with pytest.raises(KeyError):
+        tx.commit()
+
+    # graph is bit-for-bit the pre-transaction state
+    assert set(g._nodes) == {"keep", "other"}
+    assert g.edge_count == 1
+    assert g.get_node("keep").properties["v"] == 1
+    assert g.get_hyperedge("H").edge_type == "OLD"
+    assert [e.dst for e in g.outgoing("keep")] == ["other"]
+    assert g.hyperedges_of_node("other") == [g.get_hyperedge("H")]
