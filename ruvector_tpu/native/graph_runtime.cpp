@@ -1424,10 +1424,20 @@ void gen_cluster_knn(int64_t n, int64_t d, int64_t k, int64_t cluster,
             for (int64_t i = 0; i < cluster; ++i) {
                 d2[(size_t)(i * cluster + i)] = 3.0e38f;   // exclude self
                 for (int64_t j2 = i + 1; j2 < cluster; ++j2) {
-                    float acc = 0.0f;
+                    // 16-lane accumulator array vectorizes (see
+                    // hnsw.cpp dist note)
+                    float lanes[16] = {0};
                     const float* a = f + i * d;
                     const float* b = f + j2 * d;
-                    for (int64_t x = 0; x < d; ++x) {
+                    int64_t x = 0;
+                    for (; x + 16 <= d; x += 16)
+                        for (int l = 0; l < 16; ++l) {
+                            float df = a[x + l] - b[x + l];
+                            lanes[l] += df * df;
+                        }
+                    float acc = 0.0f;
+                    for (int l = 0; l < 16; ++l) acc += lanes[l];
+                    for (; x < d; ++x) {
                         float df = a[x] - b[x];
                         acc += df * df;
                     }
