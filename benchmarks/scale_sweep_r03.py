@@ -18,7 +18,6 @@ Writes SCALE_BENCH_r03.json.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -88,25 +87,37 @@ def main():
         bdg = bdg_host
         del feats, idx, mask, ew
 
-        iters = 3 if big else 20
         io_dt = jnp.bfloat16 if big else None
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def one(p, f, g):
-            return ruvector_layer_apply_block_dense_fused(
-                p, cfg, f, g, tile=256, io_dtype=io_dt)
+        # two scan lengths, value-synced with float(): the difference
+        # cancels dispatch/transfer overhead, and the float() sync is the
+        # only wait the remote axon runtime honors for wall-clock honesty
+        # (block_until_ready on a chained python loop timed dispatch only
+        # — it reported a physically impossible 0.3 ms at 10M nodes)
+        def make(n_it):
+            @jax.jit
+            def loop(p, f, g):
+                def body(x, _):
+                    return ruvector_layer_apply_block_dense_fused(
+                        p, cfg, x, g, tile=256, io_dtype=io_dt), None
+                out, _ = jax.lax.scan(body, f, None, length=n_it)
+                return jnp.sum(out.astype(jnp.float32))
+            return loop
 
+        f_s, f_l = make(3), make(23)
         t0 = time.time()
-        x = one(params, fpad, bdg)
-        jax.block_until_ready(x)
+        float(f_s(params, fpad, bdg))     # compile + first value sync
         t_compile = time.time() - t0
         end_to_end = time.time() - t_start
 
+        float(f_l(params, fpad, bdg))     # compile the long loop
         t0 = time.perf_counter()
-        for _ in range(iters):
-            x = one(params, x, bdg)
-        jax.block_until_ready(x)
-        dt = (time.perf_counter() - t0) / iters
+        float(f_s(params, fpad, bdg))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f_l(params, fpad, bdg))
+        t_l = time.perf_counter() - t0
+        dt = max(t_l - t_s, 1e-9) / 20
 
         edges = float(n * DEGREE)
         rows.append({
@@ -120,7 +131,7 @@ def main():
             "io": "bf16" if big else "f32",
         })
         print(rows[-1], flush=True)
-        del fpad, bdg, bdg_host, x
+        del fpad, bdg, bdg_host
 
     payload = {
         "dim": d, "degree": DEGREE, "cluster": CLUSTER,

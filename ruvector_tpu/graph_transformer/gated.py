@@ -131,10 +131,12 @@ def _gated_attention_block(h, node_pad, wq, wk, wv, wo, cfg):
         ).reshape(nb, b, hh, dh).transpose(0, 2, 1, 3)    # [nB, H, B, dh]
 
     q, k, v = proj(wq), proj(wk), proj(wv)
-    valid = (node_pad[:, None, :, None] * node_pad[:, None, None, :])
 
     def one_chunk(args):
-        qc, kc, vc, vmc = args                      # [C, H, B, *]
+        qc, kc, vc, padc = args                     # [C, H, B, *] / [C, B]
+        # pad mask built per chunk: materializing [nB, 1, B, B] up front
+        # costs ~1 GB at 1M nodes and becomes a stacked scan residual
+        vmc = padc[:, None, :, None] * padc[:, None, None, :]
         logits = jnp.einsum(
             "chqd,chkd->chqk", qc, kc,
             preferred_element_type=jnp.float32) * scale
@@ -170,7 +172,7 @@ def _gated_attention_block(h, node_pad, wq, wk, wv, wo, cfg):
         return x.reshape(nb // chunk, chunk, *x.shape[1:])
     out, (applied, cost) = jax.lax.map(
         one_chunk,
-        (reshape_c(q), reshape_c(k), reshape_c(v), reshape_c(valid)))
+        (reshape_c(q), reshape_c(k), reshape_c(v), reshape_c(node_pad)))
     out = out.reshape(nb, hh, b, dh).transpose(0, 2, 1, 3).reshape(nb, b, d)
     out = jnp.einsum(
         "nbd,de->nbe", out, wo, preferred_element_type=jnp.float32)
@@ -289,10 +291,16 @@ def _attention_with_keep(h, node_pad, keep, p, cfg, chunk):
         ).reshape(nb, b, hh, dh).transpose(0, 2, 1, 3).astype(cdt)
 
     q, k, v = proj(p["wq"]), proj(p["wk"]), proj(p["wv"])
-    valid = node_pad[:, None, :, None] * node_pad[:, None, None, :]
 
+    # checkpointed chunk body: without remat, the lax.map backward stacks
+    # every chunk's [c, H, B, B] logits/attn residuals into
+    # [n_chunks, c, H, B, B] HBM temps (3×3.8 GB at 1M nodes — the exact
+    # round-3 OOM); recomputing one chunk's attention in the backward scan
+    # costs two small einsums and keeps the peak bounded by one chunk
+    @jax.checkpoint
     def one_chunk(args):
-        qc, kc, vc, vmc, keepc = args
+        qc, kc, vc, padc, keepc = args              # padc: [c, B]
+        vmc = padc[:, None, :, None] * padc[:, None, None, :]
         logits = jnp.einsum(
             "chqd,chkd->chqk", qc, kc,
             preferred_element_type=jnp.float32) * scale
@@ -307,7 +315,8 @@ def _attention_with_keep(h, node_pad, keep, p, cfg, chunk):
     def rc(x):
         return x.reshape(nb // c, c, *x.shape[1:])
 
-    out = jax.lax.map(one_chunk, (rc(q), rc(k), rc(v), rc(valid), rc(keep)))
+    out = jax.lax.map(
+        one_chunk, (rc(q), rc(k), rc(v), rc(node_pad), rc(keep)))
     out = out.reshape(nb, hh, b, dh).transpose(0, 2, 1, 3).reshape(nb, b, d)
     out = jnp.einsum("nbd,de->nbe", out, p["wo"],
                      preferred_element_type=jnp.float32)
