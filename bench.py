@@ -188,13 +188,15 @@ def _mincut_gate_us(jax):
             return jnp.sum(x)
         return loop
 
-    f_s, f_l = make(3), make(23)
+    # the gate is ~50us/iter: the long-short difference must clear the
+    # tunnel's multi-ms fetch jitter, so run thousands of iterations
+    f_s, f_l = make(20), make(2020)
     float(f_s(logits)); float(f_l(logits))
     t0 = time.perf_counter(); float(f_s(logits + 0.01))
     t_s = time.perf_counter() - t0
     t0 = time.perf_counter(); float(f_l(logits + 0.01))
     t_l = time.perf_counter() - t0
-    return max(t_l - t_s, 1e-9) / 20 * 1e6
+    return max(t_l - t_s, 1e-9) / 2000 * 1e6
 
 
 def _fused_layer_time(jax, jnp, idx, mask, ew, feats_np, d, iters):

@@ -77,64 +77,106 @@ def main():
     fpad = bdg.pad_features(jnp.asarray(feats))
     del feats
 
+    # NOTE on timing: jax.block_until_ready on the remote (axon) tunnel
+    # acknowledges enqueue, not execution — every measurement below uses
+    # value-fetch sync (float()/np.asarray) and, for per-iteration rates,
+    # two scan lengths whose difference cancels the tunnel's fixed
+    # dispatch/fetch cost (see benchmarks/_timing.py).
+
     # --- one-time gate state init (all gates, chunked) ---
     init_fn = jax.jit(lambda p, f, g: gate_state_init(p, cfg, f, g))
     t0 = time.time()
     state = init_fn(params, fpad, bdg)
-    jax.block_until_ready(state["keep"])
+    float(jnp.sum(state["sig"]))          # value fetch = real sync
     t_init = time.time() - t0
 
     max_resolve = max(1, bdg.n_blocks // 16)
-    step_fn = jax.jit(
-        lambda p, f, g, s: gated_graph_transformer_step(
-            p, cfg, f, g, s, max_resolve=max_resolve),
-    )
 
-    # --- steady-state forward: same input, zero drift (pure reuse) ---
-    out, state2, nres0 = step_fn(params, fpad, bdg, state)
-    jax.block_until_ready(out)            # compile + warm
+    # --- steady-state forward: same input, zero drift (pure reuse);
+    # state threads through the scan so reuse semantics are exact ---
+    def make_steady(n_it):
+        @jax.jit
+        def loop(p, f, s):
+            def body(carry, _):
+                s, acc = carry
+                out, s2, nres = gated_graph_transformer_step(
+                    p, cfg, f, bdg, s, max_resolve=max_resolve)
+                return (s2, acc + jnp.sum(out) * 0.0), nres
+            (s, acc), nres = jax.lax.scan(
+                body, (s, jnp.zeros((), fpad.dtype)), None, length=n_it)
+            return acc + jnp.sum(s["sig"]) * 0.0, nres
+        return loop
+
     k = args.iters
+    s_short, s_long = max(1, k // 2), max(1, k // 2) + 2 * k
+    f_s, f_l = make_steady(s_short), make_steady(s_long)
+    a, nres0 = f_s(params, fpad, state)
+    float(a); float(f_l(params, fpad, state)[0])
+    t0 = time.perf_counter(); float(f_s(params, fpad, state)[0])
+    t_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(k):
-        out, state2, nres = step_fn(params, fpad, bdg, state2)
-    jax.block_until_ready(out)
-    fwd_steady_s = (time.perf_counter() - t0) / k
+    a, nres_steady = f_l(params, fpad, state)
+    float(a)
+    t_l = time.perf_counter() - t0
+    fwd_steady_s = max(t_l - t_s, 1e-9) / (s_long - s_short)
+    assert int(np.asarray(nres_steady).max()) == 0   # pure hysteresis reuse
+    state2 = state
 
     # --- drift forward: perturb features each iter so gates re-solve
     # up to the budget (the realistic evolving-embedding loop) ---
+    def make_drift(n_it):
+        @jax.jit
+        def loop(p, f, s, key):
+            def body(carry, _):
+                f, s, key, acc = carry
+                key, sub = jax.random.split(key)
+                f2 = f + 0.1 * jax.random.normal(sub, f.shape, f.dtype)
+                out, s2, nres = gated_graph_transformer_step(
+                    p, cfg, f2, bdg, s, max_resolve=max_resolve)
+                return (f2, s2, key, acc + jnp.sum(out) * 0.0), nres
+            (f, s, _, acc), nres = jax.lax.scan(
+                body, (f, s, key, jnp.zeros((), fpad.dtype)), None,
+                length=n_it)
+            return acc + jnp.sum(s["sig"]) * 0.0, nres
+        return loop
+
+    d_short, d_long = max(1, k // 2), max(1, k // 2) + k
+    g_s, g_l = make_drift(d_short), make_drift(d_long)
     key = jax.random.key(7)
-    pert = jax.jit(lambda f, k: f + 0.1 * jax.random.normal(
-        k, f.shape, f.dtype))
-    resolved = []
-    t_drift = 0.0
-    st = state2
-    fcur = fpad
-    for i in range(k):
-        key, sub = jax.random.split(key)
-        fcur = pert(fcur, sub)
-        jax.block_until_ready(fcur)
-        t0 = time.perf_counter()
-        out, st, nres = step_fn(params, fcur, bdg, st)
-        jax.block_until_ready(out)
-        t_drift += time.perf_counter() - t0
-        resolved.append(int(nres))
-    fwd_drift_s = t_drift / k
+    float(g_s(params, fpad, state2, key)[0])
+    float(g_l(params, fpad, state2, key)[0])
+    t0 = time.perf_counter(); float(g_s(params, fpad, state2, key)[0])
+    t_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    a, nres_drift = g_l(params, fpad, state2, key)
+    float(a)
+    t_l = time.perf_counter() - t0
+    fwd_drift_s = max(t_l - t_s, 1e-9) / (d_long - d_short)
+    resolved = [int(x) for x in np.asarray(nres_drift)][:k]
 
     # --- train step on the FULL graph: refresh masks (non-diff) is
     # already timed above; here the differentiable step given masks ---
-    @jax.jit
-    def train_step(p, f, g, masks):
-        loss, gr = jax.value_and_grad(gated_graph_transformer_loss_with_masks)(
-            p, cfg, f, g, masks, jnp.zeros_like(f))
-        return jax.tree_util.tree_map(
-            lambda w, gw: w - 1e-3 * gw, p, gr), loss
+    def make_train(n_it):
+        @jax.jit
+        def loop(p, f, masks):
+            def body(p, _):
+                loss, gr = jax.value_and_grad(
+                    gated_graph_transformer_loss_with_masks)(
+                    p, cfg, f, bdg, masks, jnp.zeros_like(f))
+                return jax.tree_util.tree_map(
+                    lambda w, gw: w - 1e-3 * gw, p, gr), loss
+            p, losses = jax.lax.scan(body, p, None, length=n_it)
+            return losses[-1]
+        return loop
 
-    p2, loss = train_step(params, fpad, bdg, state2["keep"])
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    p2, loss = train_step(params, fpad, bdg, state2["keep"])
-    jax.block_until_ready(loss)
-    grad_step_s = time.perf_counter() - t0
+    t_s1, t_l1 = make_train(1), make_train(4)
+    loss = float(t_s1(params, fpad, state2["keep"]))
+    float(t_l1(params, fpad, state2["keep"]))
+    t0 = time.perf_counter(); float(t_s1(params, fpad, state2["keep"]))
+    ts_ = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(t_l1(params, fpad, state2["keep"]))
+    tl_ = time.perf_counter() - t0
+    grad_step_s = max(tl_ - ts_, 1e-9) / 3
 
     edges = float(n * DEGREE * args.layers)
     payload = {

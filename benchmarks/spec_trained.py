@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _timing import device_time  # noqa: E402  (honest tunnel timing)
+
 
 def main():
     import jax
@@ -78,13 +82,7 @@ def main():
         return [kv_cache_init(cache_cfg) for _ in range(cfg.layers)]
 
     out_g = gen(weights, fresh_caches(), jnp.asarray(prompt))
-    jax.block_until_ready(out_g[0])
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        out_g = gen(weights, fresh_caches(), jnp.asarray(prompt))
-        jax.block_until_ready(out_g[0])
-    dt_g = (time.perf_counter() - t0) / reps
+    dt_g = device_time(gen, weights, fresh_caches(), jnp.asarray(prompt))
 
     # --- speculative with the trained draft ---
     sgen = make_speculative_generate_fn(
@@ -92,12 +90,7 @@ def main():
         new_tokens)
     caches_s, first = warm_caches()
     out_s = sgen(weights, caches_s, first)
-    jax.block_until_ready(out_s[0])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out_s = sgen(weights, caches_s, first)
-        jax.block_until_ready(out_s[0])
-    dt_s = (time.perf_counter() - t0) / reps
+    dt_s = device_time(sgen, weights, caches_s, first)
 
     commits = np.asarray(out_s[4])
     done_at = int(np.searchsorted(np.cumsum(commits), float(out_s[1])))

@@ -25,16 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(f, *a, iters=10):
-    import jax
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    o = f(*a)
-    jax.block_until_ready(o)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        o = f(*a)
-    jax.block_until_ready(o)
-    return (time.perf_counter() - t0) / iters
+from _timing import device_time  # noqa: E402  (honest tunnel timing)
 
 
 def main():
@@ -45,6 +38,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from ruvector_tpu.graph import NeighborGraph, build_knn_graph
     from ruvector_tpu.nn import RuvectorLayerConfig, ruvector_layer_init
@@ -67,9 +63,9 @@ def main():
     else:
         t0 = time.perf_counter()
         graph = build_knn_graph(feats, k=k, block=2048)
-        jax.block_until_ready(graph.nbr_idx)
+        idx_np = np.asarray(graph.nbr_idx)   # value fetch = the only real sync
         results["knn_build_s"] = round(time.perf_counter() - t0, 2)
-        np.savez(cache, idx=np.asarray(graph.nbr_idx),
+        np.savez(cache, idx=idx_np,
                  mask=np.asarray(graph.nbr_mask),
                  w=np.asarray(graph.edge_weight))
 
@@ -159,18 +155,19 @@ def main():
         graphsage_net_init,
     )
 
-    sage_cfg = GraphSAGENetConfig(input_dim=d, hidden_dim=d, num_layers=2,
-                                  num_samples=10)
+    sage_cfg = GraphSAGENetConfig(in_features=d, hidden_features=d,
+                                  out_features=d, fanouts=(10, 10))
     sage_params = graphsage_net_init(jax.random.key(2), sage_cfg)
-    sage = jax.jit(lambda p, f: graphsage_net_apply(p, sage_cfg, f, graph))
-    dt = timeit(lambda: sage(sage_params, feats))
+    dt = device_time(
+        lambda p, f: graphsage_net_apply(p, sage_cfg, f, graph),
+        sage_params, feats)
     results["graphsage_2layer_nodes_per_s"] = round(n / dt, 0)
     results["graphsage_2layer_ms"] = round(dt * 1e3, 2)
 
     # 2. SpMM
-    spmm = jax.jit(lambda f: spmm_padded(f, graph.nbr_idx, graph.edge_weight,
-                                         graph.nbr_mask))
-    dt = timeit(spmm, feats)
+    dt = device_time(
+        lambda f: spmm_padded(f, graph.nbr_idx, graph.edge_weight,
+                              graph.nbr_mask), feats)
     results["spmm_edges_per_s"] = round(n * k / dt, 0)
 
     # 3. flash attention over candidate pools
@@ -178,12 +175,14 @@ def main():
     q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
     kk = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
     vv = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
-    dt = timeit(lambda: flash_attention(q, kk, vv, block_size=128))
+    dt = device_time(lambda a, b, c: flash_attention(a, b, c,
+                                                      block_size=128),
+                     q, kk, vv)
     results["flash_attention_queries_per_s"] = round(b / dt, 0)
 
     # 4. batched cosine distance
     queries = jnp.asarray(rng.normal(size=(256, d)).astype(np.float32))
-    dt = timeit(lambda: pairwise_cosine(queries, feats))
+    dt = device_time(pairwise_cosine, queries, feats)
     results["cosine_distances_per_s"] = round(256 * n / dt, 0)
 
     # 5. HNSW (native, host-side)
@@ -209,11 +208,11 @@ def main():
     )
 
     sq = scalar_quantize(feats)
-    dt = timeit(lambda: scalar_distance(queries, sq))
+    dt = device_time(lambda q: scalar_distance(q, sq), queries)
     results["int8_distances_per_s"] = round(256 * n / dt, 0)
     bq = binary_quantize(feats)
     bq_q = binary_quantize(queries)
-    dt = timeit(lambda: hamming_distance(bq_q, bq))
+    dt = device_time(hamming_distance, bq_q, bq)
     results["binary_distances_per_s"] = round(256 * n / dt, 0)
 
     # 7. transformer inference
@@ -286,13 +285,8 @@ def main():
     gen = make_generate_fn(tcfg, dec.cache_cfg, prompt_len=8,
                            max_new_tokens=new_tokens)
     prompt = jnp.asarray(np.arange(8) % tcfg.vocab, jnp.int32)
-    out = gen(model.weights, dec.init_caches(), prompt)
-    jax.block_until_ready(out[0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = gen(model.weights, dec.init_caches(), prompt)
-        jax.block_until_ready(out[0])
-    dt = (time.perf_counter() - t0) / 5
+    caches0 = dec.init_caches()
+    dt = device_time(gen, model.weights, caches0, prompt)
     results["decode_tokens_per_s"] = round((8 + new_tokens) / dt, 1)
 
     # 8b. speculative decoding (self-drafting early-exit draft model):
@@ -316,12 +310,7 @@ def main():
         tcfg, dec.cache_cfg, SpecDecodeConfig(gamma=4, draft_layers=1),
         new_tokens)
     out_sp = sgen(model.weights, caches_sp, first_sp)
-    jax.block_until_ready(out_sp[0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out_sp = sgen(model.weights, caches_sp, first_sp)
-        jax.block_until_ready(out_sp[0])
-    dt_sp = (time.perf_counter() - t0) / 5
+    dt_sp = device_time(sgen, model.weights, caches_sp, first_sp)
     commits = np.asarray(out_sp[4])
     # the fixed-length scan keeps running after all tokens commit; count
     # only the macro steps needed to reach the token budget
@@ -355,20 +344,9 @@ def main():
             jnp.bool_(True))
     first_cv = jnp.argmax(logits_cv).astype(jnp.int32)
     out_cv = sgen(w_cv, caches_cv, first_cv)
-    jax.block_until_ready(out_cv[0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out_cv = sgen(w_cv, caches_cv, first_cv)
-        jax.block_until_ready(out_cv[0])
-    dt_cv = (time.perf_counter() - t0) / 5
+    dt_cv = device_time(sgen, w_cv, caches_cv, first_cv)
     # greedy under the same weights for the apples-to-apples ratio
-    out_g = gen(w_cv, dec.init_caches(), prompt)
-    jax.block_until_ready(out_g[0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out_g = gen(w_cv, dec.init_caches(), prompt)
-        jax.block_until_ready(out_g[0])
-    dt_gcv = (time.perf_counter() - t0) / 5
+    dt_gcv = device_time(gen, w_cv, dec.init_caches(), prompt)
     n_macros_cv = int(np.searchsorted(
         np.cumsum(np.asarray(out_cv[4])), float(out_cv[1]))) + 1
     results["decode_speculative_ceiling_tokens_per_s"] = round(
@@ -389,13 +367,8 @@ def main():
         lambda *xs: jnp.stack(xs), *[dec.init_caches() for _ in range(bsz)])
     prompts = jnp.asarray(np.arange(8 * bsz).reshape(bsz, 8) % tcfg.vocab,
                           jnp.int32)
-    out = genb(model.weights, caches_b, prompts)
-    jax.block_until_ready(out[0])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = genb(model.weights, caches_b, prompts)
-        jax.block_until_ready(out[0])
-    dt = (time.perf_counter() - t0) / 3
+    dt = device_time(genb, model.weights, caches_b, prompts,
+                     short=2, long=8)
     results["decode_batched_tokens_per_s"] = round(bsz * (8 + new_tokens) / dt, 1)
 
     results["backend"] = jax.devices()[0].platform
