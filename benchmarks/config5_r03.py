@@ -96,11 +96,11 @@ def main():
     # state threads through the scan so reuse semantics are exact ---
     def make_steady(n_it):
         @jax.jit
-        def loop(p, f, s):
+        def loop(p, f, s, g):
             def body(carry, _):
                 s, acc = carry
                 out, s2, nres = gated_graph_transformer_step(
-                    p, cfg, f, bdg, s, max_resolve=max_resolve)
+                    p, cfg, f, g, s, max_resolve=max_resolve)
                 return (s2, acc + jnp.sum(out) * 0.0), nres
             (s, acc), nres = jax.lax.scan(
                 body, (s, jnp.zeros((), fpad.dtype)), None, length=n_it)
@@ -110,12 +110,12 @@ def main():
     k = args.iters
     s_short, s_long = max(1, k // 2), max(1, k // 2) + 2 * k
     f_s, f_l = make_steady(s_short), make_steady(s_long)
-    a, nres0 = f_s(params, fpad, state)
-    float(a); float(f_l(params, fpad, state)[0])
-    t0 = time.perf_counter(); float(f_s(params, fpad, state)[0])
+    a, nres0 = f_s(params, fpad, state, bdg)
+    float(a); float(f_l(params, fpad, state, bdg)[0])
+    t0 = time.perf_counter(); float(f_s(params, fpad, state, bdg)[0])
     t_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    a, nres_steady = f_l(params, fpad, state)
+    a, nres_steady = f_l(params, fpad, state, bdg)
     float(a)
     t_l = time.perf_counter() - t0
     fwd_steady_s = max(t_l - t_s, 1e-9) / (s_long - s_short)
@@ -126,13 +126,13 @@ def main():
     # up to the budget (the realistic evolving-embedding loop) ---
     def make_drift(n_it):
         @jax.jit
-        def loop(p, f, s, key):
+        def loop(p, f, s, key, g):
             def body(carry, _):
                 f, s, key, acc = carry
                 key, sub = jax.random.split(key)
                 f2 = f + 0.1 * jax.random.normal(sub, f.shape, f.dtype)
                 out, s2, nres = gated_graph_transformer_step(
-                    p, cfg, f2, bdg, s, max_resolve=max_resolve)
+                    p, cfg, f2, g, s, max_resolve=max_resolve)
                 return (f2, s2, key, acc + jnp.sum(out) * 0.0), nres
             (f, s, _, acc), nres = jax.lax.scan(
                 body, (f, s, key, jnp.zeros((), fpad.dtype)), None,
@@ -143,12 +143,12 @@ def main():
     d_short, d_long = max(1, k // 2), max(1, k // 2) + k
     g_s, g_l = make_drift(d_short), make_drift(d_long)
     key = jax.random.key(7)
-    float(g_s(params, fpad, state2, key)[0])
-    float(g_l(params, fpad, state2, key)[0])
-    t0 = time.perf_counter(); float(g_s(params, fpad, state2, key)[0])
+    float(g_s(params, fpad, state2, key, bdg)[0])
+    float(g_l(params, fpad, state2, key, bdg)[0])
+    t0 = time.perf_counter(); float(g_s(params, fpad, state2, key, bdg)[0])
     t_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    a, nres_drift = g_l(params, fpad, state2, key)
+    a, nres_drift = g_l(params, fpad, state2, key, bdg)
     float(a)
     t_l = time.perf_counter() - t0
     fwd_drift_s = max(t_l - t_s, 1e-9) / (d_long - d_short)
@@ -158,11 +158,11 @@ def main():
     # already timed above; here the differentiable step given masks ---
     def make_train(n_it):
         @jax.jit
-        def loop(p, f, masks):
+        def loop(p, f, masks, g):
             def body(p, _):
                 loss, gr = jax.value_and_grad(
                     gated_graph_transformer_loss_with_masks)(
-                    p, cfg, f, bdg, masks, jnp.zeros_like(f))
+                    p, cfg, f, g, masks, jnp.zeros_like(f))
                 return jax.tree_util.tree_map(
                     lambda w, gw: w - 1e-3 * gw, p, gr), loss
             p, losses = jax.lax.scan(body, p, None, length=n_it)
@@ -170,11 +170,11 @@ def main():
         return loop
 
     t_s1, t_l1 = make_train(1), make_train(4)
-    loss = float(t_s1(params, fpad, state2["keep"]))
-    float(t_l1(params, fpad, state2["keep"]))
-    t0 = time.perf_counter(); float(t_s1(params, fpad, state2["keep"]))
+    loss = float(t_s1(params, fpad, state2["keep"], bdg))
+    float(t_l1(params, fpad, state2["keep"], bdg))
+    t0 = time.perf_counter(); float(t_s1(params, fpad, state2["keep"], bdg))
     ts_ = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(t_l1(params, fpad, state2["keep"]))
+    t0 = time.perf_counter(); float(t_l1(params, fpad, state2["keep"], bdg))
     tl_ = time.perf_counter() - t0
     grad_step_s = max(tl_ - ts_, 1e-9) / 3
 

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from _timing import device_time  # noqa: E402  (honest tunnel timing)
 from scale_sweep_r02 import CLUSTER, gen_cluster_graph  # noqa: E402
 
 DEGREE = 16
@@ -89,35 +90,24 @@ def main():
 
         io_dt = jnp.bfloat16 if big else None
 
-        # two scan lengths, value-synced with float(): the difference
-        # cancels dispatch/transfer overhead, and the float() sync is the
-        # only wait the remote axon runtime honors for wall-clock honesty
-        # (block_until_ready on a chained python loop timed dispatch only
-        # — it reported a physically impossible 0.3 ms at 10M nodes)
-        def make(n_it):
-            @jax.jit
-            def loop(p, f, g):
-                def body(x, _):
-                    return ruvector_layer_apply_block_dense_fused(
-                        p, cfg, x, g, tile=256, io_dtype=io_dt), None
-                out, _ = jax.lax.scan(body, f, None, length=n_it)
-                return jnp.sum(out.astype(jnp.float32))
-            return loop
-
-        f_s, f_l = make(3), make(23)
+        # first forward, value-synced (block_until_ready on the tunnel is
+        # enqueue-ack only — DESIGN_NOTES round-3 timing finding)
+        fwd = jax.jit(lambda p, f, g: jnp.sum(
+            ruvector_layer_apply_block_dense_fused(
+                p, cfg, f, g, tile=256, io_dtype=io_dt
+            ).astype(jnp.float32)))
         t0 = time.time()
-        float(f_s(params, fpad, bdg))     # compile + first value sync
+        float(fwd(params, fpad, bdg))
         t_compile = time.time() - t0
         end_to_end = time.time() - t_start
 
-        float(f_l(params, fpad, bdg))     # compile the long loop
-        t0 = time.perf_counter()
-        float(f_s(params, fpad, bdg))
-        t_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(f_l(params, fpad, bdg))
-        t_l = time.perf_counter() - t0
-        dt = max(t_l - t_s, 1e-9) / 20
+        # per-iteration device time: scan-diff with the carry folded into
+        # a small params leaf (carrying the [n, d] features doubles the
+        # activation buffers and OOMs the 10M row at compile)
+        dt = device_time(
+            lambda p, f, g: ruvector_layer_apply_block_dense_fused(
+                p, cfg, f, g, tile=256, io_dtype=io_dt),
+            params, fpad, bdg)
 
         edges = float(n * DEGREE)
         rows.append({

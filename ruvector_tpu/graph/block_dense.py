@@ -29,6 +29,7 @@ stored as a tiny epsilon so they stay visible to attention).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +92,23 @@ class BlockDenseGraph:
 _EPS_EDGE = 1e-7  # marks real zero-weight edges in wdense
 
 
+@functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(2,))
+def _densify_device(slot, wnorm, zeros_flat, block):
+    """Scatter per-edge weights into the padded dense table ON DEVICE.
+
+    slot: [n, m] int32 local-table columns (masked edges carry T, which is
+    out of bounds for the [rows, T] target -> mode='drop' discards them).
+    Shipping (slot, wnorm) instead of the materialized table cuts the
+    host->device transfer by ~T/m (5.1 GB -> ~1 GB at 10M nodes, where the
+    dev tunnel moves ~40 MB/s). zeros_flat is donated so the scatter is
+    in-place — no second table-sized buffer."""
+    n, m = slot.shape
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, m))
+    t = zeros_flat.shape[1]
+    return zeros_flat.at[rows, slot].set(wnorm, mode="drop").reshape(
+        -1, block, t)
+
+
 def build_block_dense(
     nbr_idx: np.ndarray,
     nbr_mask: np.ndarray,
@@ -99,6 +117,7 @@ def build_block_dense(
     table_pad: int = 128,
     dtype=np.float32,
     leaf_sizes: list[int] | None = None,
+    device_fill: bool | None = None,
 ) -> BlockDenseGraph:
     """Build from padded-slot adjacency (already locality-reordered —
     parallel/ordering.recursive_bisection_order or
@@ -115,7 +134,52 @@ def build_block_dense(
     ew = np.asarray(edge_weight).astype(np.float32)
     n, m = nbr.shape
 
-    # threaded native fast path for uniform blocks (graph_runtime.cpp
+    # device-fill fast path (default when native is available): the native
+    # planner emits only local_ids + per-edge table columns, the host
+    # normalizes the [n, m] weights (same values as the fill paths — the
+    # bf16 cast is RNE on both sides), and one jitted scatter densifies in
+    # HBM. Falls back on duplicate neighbor slots (log_mult path below).
+    if leaf_sizes is None and device_fill is not False:
+        try:
+            from ruvector_tpu import native
+        except ImportError:
+            native = None
+        if native is not None and native.available:
+            lid, slot, dup = native.bdense_plan(
+                nbr, mask, block=block, table_pad=table_pad)
+            if not dup:
+                nb, t = lid.shape
+                w = ew * mask
+                wsum = w.sum(1, keepdims=True)
+                deg = np.maximum(mask.sum(1, keepdims=True), 1.0)
+                wnorm = np.where(wsum > 0,
+                                 w / np.where(wsum > 0, wsum, 1.0),
+                                 mask / deg)
+                wnorm = np.where(mask > 0, np.maximum(wnorm, _EPS_EDGE), 0.0)
+                if jnp.dtype(dtype) == jnp.bfloat16:
+                    import ml_dtypes
+
+                    wnorm = wnorm.astype(ml_dtypes.bfloat16)
+                else:
+                    wnorm = wnorm.astype(dtype)
+                degrees = np.zeros((nb, block), np.float32)
+                degrees.reshape(-1)[:n] = mask.sum(1)
+                node_pad = np.zeros((nb, block), np.float32)
+                node_pad.reshape(-1)[:n] = 1.0
+                wdense = _densify_device(
+                    jnp.asarray(slot), jnp.asarray(wnorm),
+                    jnp.zeros((nb * block, t), dtype), block)
+                return BlockDenseGraph(
+                    local_ids=jnp.asarray(lid),
+                    wdense=wdense,
+                    degrees=jnp.asarray(degrees),
+                    node_pad=jnp.asarray(node_pad),
+                    node_pos=jnp.asarray(np.arange(n, dtype=np.int64)),
+                    n=n,
+                    log_mult=None,
+                )
+
+    # threaded native host-fill path for uniform blocks (graph_runtime.cpp
     # bdense_*): bit-identical to the Python loop below (pinned in
     # tests/test_native.py), ~30x faster and emits bf16 directly —
     # the 10M-node pipeline's build stage drops from 417s to seconds.

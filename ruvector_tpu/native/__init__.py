@@ -95,6 +95,9 @@ def _load():
                                 f32, i32, i64, i32p, ctypes.c_void_p,
                                 f32p, f32p, i64p]
     lib.bdense_fill.restype = i32
+    lib.bdense_slots.argtypes = [i32p, f32p, i64, i64, i64, i64, i64,
+                                 i32p, i32p]
+    lib.bdense_slots.restype = i32
     lib.gen_cluster_knn.argtypes = [i64, i64, i64, i64, u64, i64,
                                     f32p, i32p, f32p]
 
@@ -337,6 +340,32 @@ def bdense_build(nbr: np.ndarray, mask: np.ndarray, ew: np.ndarray,
 
         wdense = wdense.view(ml_dtypes.bfloat16)
     return local_ids, wdense, degrees, node_pad, node_pos, dup
+
+
+def bdense_plan(nbr: np.ndarray, mask: np.ndarray, block: int,
+                table_pad: int = 128, threads: int = 0):
+    """Compact block-dense plan for device-side densification: returns
+    (local_ids [nb, T], slot [n, m], dup). slot[g, j] is edge (g, j)'s
+    column in its block's local table (== T for masked edges, the
+    scatter-drop sentinel). The [nb, B, T] weight table itself is built
+    ON DEVICE from (slot, normalized weights) — see
+    graph/block_dense.py's device-fill path — so only ~n*m values cross
+    the host->device link instead of nb*B*T."""
+    import os as _os
+
+    threads = threads or (_os.cpu_count() or 4)
+    n, m = nbr.shape
+    nbr_c = np.ascontiguousarray(nbr, np.int32)
+    mask_c = np.ascontiguousarray(mask, np.float32)
+    nb = -(-n // block)
+    halo = int(_lib.bdense_halo_max(nbr_c, mask_c, n, m, block, threads))
+    table = block + halo
+    table = -(-table // table_pad) * table_pad
+    local_ids = np.zeros((nb, table), np.int32)
+    slot = np.zeros((n, m), np.int32)
+    dup = int(_lib.bdense_slots(nbr_c, mask_c, n, m, block, table,
+                                threads, local_ids, slot))
+    return local_ids, slot, dup
 
 
 def gen_cluster_knn(n: int, d: int, k: int, cluster: int, seed: int = 0,

@@ -1398,6 +1398,76 @@ int32_t bdense_fill(const int32_t* nbr, const float* mask, const float* ew,
     return dup;
 }
 
+// Compact plan for DEVICE-side densification: emits local_ids [nb, T] and
+// per-edge table columns slot [n, m] (masked edges -> T, a drop sentinel)
+// WITHOUT materializing the [nb, B, T] dense table on the host. The caller
+// ships the ~m/T-times-smaller (slot, normalized-weight) pair to the
+// device and scatters there — at 10M nodes that turns a 5.1 GB tunnel
+// upload into ~1 GB. Same halo layout as bdense_fill (own rows at
+// [0, B), sorted-unique halo at [B, B+h)); returns the same dup flag
+// (duplicate neighbor slots -> caller falls back to the log_mult path).
+int32_t bdense_slots(const int32_t* nbr, const float* mask,
+                     int64_t n, int64_t m, int64_t B, int64_t T,
+                     int64_t threads, int32_t* local_ids, int32_t* slot) {
+    int64_t nb = (n + B - 1) / B;
+    std::vector<int32_t> dup_flags((size_t)threads, 0);
+    int64_t chunk = (nb + threads - 1) / threads;
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < threads; ++t) {
+        int64_t lo = t * chunk, hi = std::min(nb, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([=, &dup_flags] {
+            std::vector<int32_t> halo;
+            std::unordered_map<int32_t, int32_t> pos;
+            std::vector<int32_t> seen((size_t)T, -1);
+            for (int64_t k = lo; k < hi; ++k) {
+                int64_t s = k * B, e = std::min(n, s + B);
+                int64_t len = e - s;
+                halo.clear();
+                for (int64_t g = s; g < e; ++g) {
+                    const int32_t* row = nbr + g * m;
+                    const float* mr = mask + g * m;
+                    for (int64_t j = 0; j < m; ++j) {
+                        if (mr[j] <= 0) continue;
+                        int32_t v = row[j];
+                        if (v < s || v >= e) halo.push_back(v);
+                    }
+                }
+                std::sort(halo.begin(), halo.end());
+                halo.erase(std::unique(halo.begin(), halo.end()), halo.end());
+                int32_t* lid = local_ids + k * T;
+                for (int64_t i = 0; i < T; ++i) lid[i] = 0;
+                pos.clear();
+                for (int64_t i = 0; i < len; ++i) {
+                    lid[i] = (int32_t)(s + i);
+                    pos[(int32_t)(s + i)] = (int32_t)i;
+                }
+                for (size_t i = 0; i < halo.size(); ++i) {
+                    lid[B + i] = halo[i];
+                    pos[halo[i]] = (int32_t)(B + i);
+                }
+                for (int64_t g = s; g < e; ++g) {
+                    const int32_t* rown = nbr + g * m;
+                    const float* mr = mask + g * m;
+                    int32_t* sl = slot + g * m;
+                    for (int64_t j = 0; j < m; ++j) {
+                        if (mr[j] <= 0) { sl[j] = (int32_t)T; continue; }
+                        int32_t c = pos[rown[j]];
+                        if (seen[(size_t)c] == (int32_t)g)
+                            dup_flags[(size_t)t] = 1;
+                        seen[(size_t)c] = (int32_t)g;
+                        sl[j] = c;
+                    }
+                }
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
+    int32_t dup = 0;
+    for (auto f : dup_flags) dup |= f;
+    return dup;
+}
+
 // Threaded synthetic clustered corpus + exact within-cluster kNN
 // (scale_sweep gen_cluster_graph semantics: gaussian clusters of size
 // `cluster`, contiguous ids, weights 1/(1+dist)). Deterministic per

@@ -209,3 +209,59 @@ def test_gen_cluster_knn_native():
     f2, i2, w2 = native.gen_cluster_knn(n, d, k, cl, seed=7)
     np.testing.assert_array_equal(feats, f2)
     np.testing.assert_array_equal(idx, i2)
+
+
+def test_bdense_device_fill_pins_python_builder():
+    """The device-fill path (native bdense_plan + on-device scatter) ==
+    the Python builder BIT-exactly in f32 and bf16: the host ships the
+    numpy-normalized [n, m] weights, so only the densification moves to
+    the device. Also: dup rows fall back, and the host-fill path agrees
+    at its documented 1e-6 (different f32 summation order)."""
+    import numpy as np
+
+    import jax
+
+    from ruvector_tpu import native
+    from ruvector_tpu.graph.block_dense import build_block_dense
+
+    if not native.available:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(3)
+    n, m, B = 1000, 16, 128
+    idx = np.stack([rng.choice(n, m, replace=False)
+                    for _ in range(n)]).astype(np.int32)
+    mask = (rng.uniform(size=(n, m)) > 0.1).astype(np.float32)
+    mask[5] = 0.0                       # isolated node
+    ew = rng.uniform(0, 1, (n, m)).astype(np.float32)
+    ew[7] = 0.0                         # uniform-fallback row
+
+    lens = [B] * (n // B) + ([n % B] if n % B else [])
+    for dt in (np.float32, jax.numpy.bfloat16):
+        a = build_block_dense(idx, mask, ew, block=B, dtype=dt)
+        ref = build_block_dense(idx, mask, ew, block=B, dtype=dt,
+                                leaf_sizes=lens)   # python loop
+        np.testing.assert_array_equal(np.asarray(a.local_ids),
+                                      np.asarray(ref.local_ids))
+        np.testing.assert_array_equal(
+            np.asarray(a.wdense).astype(np.float32),
+            np.asarray(ref.wdense).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(a.degrees),
+                                      np.asarray(ref.degrees))
+        np.testing.assert_array_equal(np.asarray(a.node_pad),
+                                      np.asarray(ref.node_pad))
+        np.testing.assert_array_equal(np.asarray(a.node_pos),
+                                      np.asarray(ref.node_pos))
+        host = build_block_dense(idx, mask, ew, block=B, dtype=dt,
+                                 device_fill=False)
+        np.testing.assert_allclose(
+            np.asarray(a.wdense).astype(np.float32),
+            np.asarray(host.wdense).astype(np.float32),
+            rtol=1e-6, atol=1e-12)
+
+    idx2 = idx.copy()
+    idx2[0, 1] = idx2[0, 0]             # duplicate slot -> log_mult path
+    g = build_block_dense(idx2, mask, ew, block=B)
+    assert g.log_mult is not None
