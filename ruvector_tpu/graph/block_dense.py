@@ -92,21 +92,41 @@ class BlockDenseGraph:
 _EPS_EDGE = 1e-7  # marks real zero-weight edges in wdense
 
 
-@functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(2,))
-def _densify_device(slot, wnorm, zeros_flat, block):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4), donate_argnums=())
+def _densify_chunk(slot, wnorm, rows, t, dtype):
+    """One chunk of the device-side densification: a 1-D flat-index
+    scatter. A 2-D [n, m, 2] scatter-index tensor is tile-padded 64x by
+    the (8, 128) TPU layout (82 GB at 10M nodes); the flat [n*m] index
+    vector pads only to the lane boundary. Masked edges (slot == t) are
+    redirected one past the buffer end -> mode='drop'. `rows` is the
+    chunk's row count — flat indices stay below 2**31 because callers
+    chunk at (2**31 - 1) // t rows."""
+    n, m = slot.shape
+    base = jnp.arange(n, dtype=jnp.int32)[:, None] * t
+    flat_idx = jnp.where(slot >= t, rows * t, base + slot).reshape(-1)
+    flat = jnp.zeros((rows * t,), dtype)
+    return flat.at[flat_idx].set(wnorm.reshape(-1), mode="drop")
+
+
+def _densify_device(slot, wnorm, nb, block, t, dtype):
     """Scatter per-edge weights into the padded dense table ON DEVICE.
 
-    slot: [n, m] int32 local-table columns (masked edges carry T, which is
-    out of bounds for the [rows, T] target -> mode='drop' discards them).
-    Shipping (slot, wnorm) instead of the materialized table cuts the
-    host->device transfer by ~T/m (5.1 GB -> ~1 GB at 10M nodes, where the
-    dev tunnel moves ~40 MB/s). zeros_flat is donated so the scatter is
-    in-place — no second table-sized buffer."""
-    n, m = slot.shape
-    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, m))
-    t = zeros_flat.shape[1]
-    return zeros_flat.at[rows, slot].set(wnorm, mode="drop").reshape(
-        -1, block, t)
+    slot: [n, m] int32 local-table columns (masked edges carry T — the
+    drop sentinel). Shipping (slot, wnorm) instead of the materialized
+    table cuts the host->device transfer by ~T/m (5.1 GB -> ~1 GB at 10M
+    nodes, where the dev tunnel moves ~40 MB/s). Chunked over
+    block-aligned row ranges so the int32 flat index never overflows."""
+    n = slot.shape[0]
+    rows_total = nb * block
+    max_rows = max(((2**31 - 1) // t) // block * block, block)
+    parts = []
+    for lo in range(0, rows_total, max_rows):
+        hi = min(rows_total, lo + max_rows)
+        e_lo, e_hi = min(lo, n), min(hi, n)   # edge rows live in [0, n)
+        parts.append(_densify_chunk(
+            jnp.asarray(slot[e_lo:e_hi]), jnp.asarray(wnorm[e_lo:e_hi]),
+            hi - lo, t, jnp.dtype(dtype)).reshape(-1, block, t))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def build_block_dense(
@@ -166,9 +186,7 @@ def build_block_dense(
                 degrees.reshape(-1)[:n] = mask.sum(1)
                 node_pad = np.zeros((nb, block), np.float32)
                 node_pad.reshape(-1)[:n] = 1.0
-                wdense = _densify_device(
-                    jnp.asarray(slot), jnp.asarray(wnorm),
-                    jnp.zeros((nb * block, t), dtype), block)
+                wdense = _densify_device(slot, wnorm, nb, block, t, dtype)
                 return BlockDenseGraph(
                     local_ids=jnp.asarray(lid),
                     wdense=wdense,
