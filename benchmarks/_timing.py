@@ -55,9 +55,13 @@ def _make_loop(f, args, n_iters):
             cur[pi] = cur[pi] + carry.astype(cur[pi].dtype)
             out = f(*jax.tree_util.tree_unflatten(treedef, cur))
             leaf = jax.tree_util.tree_leaves(out)[0]
-            # 0.0-scaled so the perturbation never changes the numerics,
-            # but the data dependence chains iterations for the compiler
-            return jnp.sum(leaf.astype(jnp.float32)) * 0.0, None
+            # 1e-38-scaled: numerically nil (vanishes in f32 rounding when
+            # added to any normal-scale input) but NOT algebraically
+            # foldable — this toolchain compiles with
+            # --xla_allow_excess_precision, under which a *0.0 chain gets
+            # simplified away and the whole body DCE'd (measured: the
+            # scale sweep read 0.0 ms/layer)
+            return jnp.sum(leaf.astype(jnp.float32)) * 1e-38, None
 
         out, _ = jax.lax.scan(
             body, jnp.zeros((), jnp.float32), None, length=n_iters)

@@ -101,10 +101,10 @@ def main():
                 s, acc = carry
                 out, s2, nres = gated_graph_transformer_step(
                     p, cfg, f, g, s, max_resolve=max_resolve)
-                return (s2, acc + jnp.sum(out) * 0.0), nres
+                return (s2, acc + jnp.sum(out) * 1e-38), nres
             (s, acc), nres = jax.lax.scan(
                 body, (s, jnp.zeros((), fpad.dtype)), None, length=n_it)
-            return acc + jnp.sum(s["sig"]) * 0.0, nres
+            return acc + jnp.sum(s["sig"]) * 1e-38, nres
         return loop
 
     k = args.iters
@@ -133,11 +133,11 @@ def main():
                 f2 = f + 0.1 * jax.random.normal(sub, f.shape, f.dtype)
                 out, s2, nres = gated_graph_transformer_step(
                     p, cfg, f2, g, s, max_resolve=max_resolve)
-                return (f2, s2, key, acc + jnp.sum(out) * 0.0), nres
+                return (f2, s2, key, acc + jnp.sum(out) * 1e-38), nres
             (f, s, _, acc), nres = jax.lax.scan(
                 body, (f, s, key, jnp.zeros((), fpad.dtype)), None,
                 length=n_it)
-            return acc + jnp.sum(s["sig"]) * 0.0, nres
+            return acc + jnp.sum(s["sig"]) * 1e-38, nres
         return loop
 
     d_short, d_long = max(1, k // 2), max(1, k // 2) + k

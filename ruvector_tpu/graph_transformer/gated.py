@@ -49,6 +49,10 @@ import jax.numpy as jnp
 
 from ruvector_tpu.attention.mincut_device import mincut_gate_device
 from ruvector_tpu.graph.block_dense import BlockDenseGraph
+from ruvector_tpu.ops.pallas.gated_block_attn import (
+    fold_gated_attention_params,
+    gated_block_attention,
+)
 from ruvector_tpu.nn.core import (
     layer_norm_apply,
     layer_norm_init,
@@ -86,6 +90,12 @@ class GatedGraphTransformerConfig:
     # 1M-node backward programs (and cuts activation memory ~L-fold)
     remat: bool = False
     compute_dtype: str = "float32"
+    # fused Pallas gated-MHA kernel for the FORWARD paths (step/init):
+    # 'auto' uses it on TPU when shapes tile (D%128==0, B%8==0); 'always'
+    # forces it (tests run it in interpret mode); 'never' disables. The
+    # differentiable loss path always uses the XLA attention (the kernel
+    # has no autodiff rule).
+    fused_gate_attn: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -323,10 +333,23 @@ def _attention_with_keep(h, node_pad, keep, p, cfg, chunk):
     return out * node_pad[..., None]
 
 
-def _layer_with_keep(p, cfg, x, bdg, keep, attn_chunk=512):
+def _use_fused_attn(cfg, b, d):
+    return cfg.fused_gate_attn == "always" or (
+        cfg.fused_gate_attn == "auto"
+        and jax.default_backend() == "tpu"
+        and d % 128 == 0 and b % 8 == 0)
+
+
+def _layer_with_keep(p, cfg, x, bdg, keep, attn_chunk=512, fused=False):
     pad = bdg.node_pad
     h = layer_norm_apply(p["ln1"], x)
-    x = x + _attention_with_keep(h, pad, keep, p, cfg, attn_chunk)
+    if fused and _use_fused_attn(cfg, bdg.block, x.shape[-1]):
+        A, Wvo = fold_gated_attention_params(p, cfg)
+        x = x + gated_block_attention(
+            h, keep, pad, A, Wvo,
+            compute_bf16=cfg.compute_dtype == "bfloat16")
+    else:
+        x = x + _attention_with_keep(h, pad, keep, p, cfg, attn_chunk)
     g = layer_norm_apply(p["ln_g"], x)
     x = x + _neighbor_mix(g, bdg, p["w_gnn"]) * pad[..., None]
     h2 = layer_norm_apply(p["ln2"], x)
@@ -359,7 +382,7 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
             pooled.reshape(nb // c, c, b, b)).reshape(nb, b, b)
         keeps.append(keep)
         sigs.append(_gate_signature(pooled, cfg.eps))
-        x = _layer_with_keep(p, cfg, x, bdg, keep)
+        x = _layer_with_keep(p, cfg, x, bdg, keep, fused=True)
     return {"keep": jnp.stack(keeps), "sig": jnp.stack(sigs)}
 
 
@@ -403,7 +426,7 @@ def gated_graph_transformer_step(
         new_keep.append(keep_l)
         new_sig.append(sig_l)
         resolved = resolved + jnp.sum(sel)
-        x = _layer_with_keep(p, cfg, x, bdg, keep_l)
+        x = _layer_with_keep(p, cfg, x, bdg, keep_l, fused=True)
     new_state = {"keep": jnp.stack(new_keep), "sig": jnp.stack(new_sig)}
     return x.reshape(nb * b, -1), new_state, resolved
 

@@ -211,9 +211,8 @@ def ruvector_layer_apply_block_dense_fused(
         L_tab = jnp.concatenate([own, halo], axis=1)
 
     folded = fold_layer_params(params, cfg)
-    deg = bdg.degrees[..., None]
     out = block_dense_layer_fused(
-        L_tab, msgf, bdg.wdense, deg, folded, bdg.log_mult,
+        L_tab, msgf, bdg.wdense, folded, bdg.log_mult,
         scale=1.0 / ((d // cfg.heads) ** 0.5),
         dropout=cfg.dropout, eps=cfg.eps, tile=tile)
     return out.reshape(-1, d)

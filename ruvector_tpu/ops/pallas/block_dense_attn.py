@@ -149,7 +149,7 @@ def block_dense_attention(L, u, sb, wd, lm=None, *, scale: float,
 
 def _make_fused_kernel(heads: int, scale: float, dropout: float, eps: float,
                        with_lm: bool):
-    def kernel(L_ref, msg_ref, wd_ref, deg_ref,
+    def kernel(L_ref, msg_ref, wd_ref,
                A_ref, c_ref,
                Wvo_ref, bvo_ref, bout_ref, Wagg_ref, bagg_ref,
                w3_ref, b3_ref, u2_ref, ub2_ref, uhk_ref, uhb_ref,
@@ -203,7 +203,12 @@ def _make_fused_kernel(heads: int, scale: float, dropout: float, eps: float,
             wd.astype(cdt), L, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)               # [Bt, D]
 
-        has_any = (deg_ref[0] > 0).astype(f32)        # [Bt, 1]
+        # deg > 0 <=> the wd row has any positive entry (real zero-weight
+        # edges carry the eps floor, padding rows are all-zero) — deriving
+        # it from the edge mask already in VMEM avoids a [nB, B, 1] HBM
+        # operand whose unit lane dim tile-pads 128x (4.77 GB at 10M)
+        has_any = (jnp.sum(edge.astype(f32), axis=-1, keepdims=True)
+                   > 0).astype(f32)                    # [Bt, 1]
         attn_out = attn_out + has_any * bvo_ref[0]
         aggregated = jax.lax.dot_general(
             attn_out + wm, Wagg_ref[:], (((1,), (0,)), ((), ())),
@@ -238,7 +243,7 @@ def _make_fused_kernel(heads: int, scale: float, dropout: float, eps: float,
 
 @functools.partial(jax.jit, static_argnames=("scale", "dropout", "eps",
                                              "tile"))
-def block_dense_layer_fused(L, msgf, wd, deg, folded, lm=None, *,
+def block_dense_layer_fused(L, msgf, wd, folded, lm=None, *,
                             scale: float, dropout: float, eps: float,
                             tile: int = 256):
     """One-kernel RuvectorLayer epilogue-fused forward over local tables.
@@ -248,8 +253,8 @@ def block_dense_layer_fused(L, msgf, wd, deg, folded, lm=None, *,
             parity; bf16 IO is supported for HBM-constrained scales —
             GRU/LN math still runs in f32 in-kernel, only the buffer IO
             rounds. Output dtype follows msgf.
-    wd:     [nB, B, T]  normalized edge weights
-    deg:    [nB, B, 1]  true degrees (isolated-node short-circuit)
+    wd:     [nB, B, T]  normalized edge weights (isolated-node
+            short-circuit derives from all-zero rows in-kernel)
     folded: dict of folded parameter tensors (see fold_layer_params)
     returns [nB, B, D] f32 — the layer output (padded rows undefined-masked).
     """
@@ -270,7 +275,6 @@ def block_dense_layer_fused(L, msgf, wd, deg, folded, lm=None, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt, d), node3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bt, t), node3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bt, 1), node3, memory_space=pltpu.VMEM),
         pl.BlockSpec((h, d, d), full3, memory_space=pltpu.VMEM),    # A
         pl.BlockSpec((h, 1, d), full3, memory_space=pltpu.VMEM),    # c
         pl.BlockSpec((h, d, d), full3, memory_space=pltpu.VMEM),    # Wvo
@@ -287,7 +291,7 @@ def block_dense_layer_fused(L, msgf, wd, deg, folded, lm=None, *,
         pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),        # gamma
         pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),        # beta
     ]
-    args = [L, msgf, wd, deg,
+    args = [L, msgf, wd,
             folded["A"], folded["c"],
             folded["Wvo"], folded["bvo"], folded["bout"], folded["Wagg"],
             folded["bagg"], folded["w3"], folded["b3"], folded["u2"],

@@ -299,3 +299,50 @@ def test_bf16_compute_mode_tracks_f32():
                                                   bdg, st)
     assert int(nres) == 0
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_gate_attention_matches_xla_path():
+    """The Pallas gated-MHA kernel (forward/step paths) == the XLA
+    attention to ~1e-4 (head-folding A=WqWk^T and Wvo=WvWo reassociates
+    the f32 products, so equality is close-but-not-bitwise). Runs in
+    interpret mode on CPU."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ruvector_tpu.graph import build_block_dense
+    from ruvector_tpu.graph_transformer.gated import (
+        GatedGraphTransformerConfig,
+        gate_state_init,
+        gated_graph_transformer_init,
+        gated_graph_transformer_step,
+    )
+
+    rng = np.random.default_rng(5)
+    blk, nblocks, deg, d = 8, 4, 3, 128
+    n = blk * nblocks
+    idx = ((rng.integers(0, n, (n, deg)) % blk)
+           + (np.arange(n)[:, None] // blk) * blk).astype(np.int32)
+    mask = np.ones((n, deg), np.float32)
+    ew = rng.uniform(0.1, 1, (n, deg)).astype(np.float32)
+    bdg = build_block_dense(idx, mask, ew, block=blk, table_pad=8)
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+
+    outs = {}
+    for mode in ("never", "always"):
+        cfg = GatedGraphTransformerConfig(
+            dim=d, num_heads=4, num_layers=2, gate_chunk=2,
+            fused_gate_attn=mode)
+        params = gated_graph_transformer_init(jax.random.key(0), cfg)
+        fpad = bdg.pad_features(jnp.asarray(feats))
+        state = gate_state_init(params, cfg, fpad, bdg)
+        out, state2, nres = gated_graph_transformer_step(
+            params, cfg, fpad, bdg, state, max_resolve=1)
+        outs[mode] = (np.asarray(out), np.asarray(state["keep"]),
+                      int(nres))
+
+    np.testing.assert_array_equal(outs["never"][1], outs["always"][1])
+    assert outs["never"][2] == outs["always"][2] == 0
+    np.testing.assert_allclose(outs["never"][0], outs["always"][0],
+                               atol=2e-4, rtol=1e-4)
