@@ -371,6 +371,27 @@ def main():
                      short=2, long=8)
     results["decode_batched_tokens_per_s"] = round(bsz * (8 + new_tokens) / dt, 1)
 
+    # 10. SONA MicroLoRA instant path (BASELINE rows: rank-2 4096-d
+    # forward 2.61us SIMD on M4 Pro, reference README.md:997; "MicroLoRA
+    # instant <1 ms" loop-latency claim, README.md:319-323). Single-query
+    # device time plus the batched shape serving actually runs (vmap-free
+    # — the einsum broadcasts over leading dims, sona/lora.py).
+    from ruvector_tpu.sona.lora import MicroLoRA, _lora_forward
+
+    ml = MicroLoRA(4096, rank=2)
+    rngl = np.random.default_rng(5)
+    x1 = jnp.asarray(rngl.normal(size=(4096,)).astype(np.float32))
+    down, up = jnp.asarray(ml.down), jnp.asarray(ml.up)
+
+    def lora_f(x, d, u):
+        return _lora_forward(x, d, u, ml.scale)
+
+    dt1 = device_time(lora_f, x1, down, up, short=100, long=4100)
+    results["microlora_forward_us"] = round(dt1 * 1e6, 2)
+    xb = jnp.asarray(rngl.normal(size=(256, 4096)).astype(np.float32))
+    dtb = device_time(lora_f, xb, down, up, short=100, long=4100)
+    results["microlora_batch256_adapted_qps"] = round(256 / dtb, 1)
+
     # 8d. TRAINED-draft speculative rows (VERDICT r2 missing#2: the suite
     # must carry MEASURED acceptance/speedup, not only the floor/ceiling
     # rows above). benchmarks/spec_trained.py trains the early-exit draft
