@@ -12,33 +12,54 @@ body (`short` and `long` iterations) with one value sync each and
 returns (t_long - t_short) / (long - short): the round trip, dispatch,
 and compile-cache constants cancel, leaving per-iteration device time.
 
-The scan body feeds a scalar derived from each iteration's output back
-into the next iteration's input (x + sum*0), so iterations are
-data-dependent: XLA cannot hoist the computation out of the loop or
-dead-code-eliminate it, and the added elementwise op is one add over
-one input leaf — noise next to anything worth benchmarking.
+Making the scan body un-hoistable (round-3 finding, measured on the
+100k fused layer; ground truth = an activation-carry loop at 1.10 ms):
+
+  * Perturbing ONE input leaf is not enough: the original helper bumped
+    the FIRST float leaf, which for the fused layer is a fold-eliminated
+    attention bias — a DEAD input. The body was loop-invariant, XLA
+    hoisted it, and the sweep read 0.000 ms/iter (3e17 "edges/s").
+    The perturbation must hit every leaf that might feed the output, so
+    the body now bumps EVERY small float leaf.
+  * The bump must not be algebraically foldable: `* 0.0` is simplified
+    away under --xla_allow_excess_precision; `* 1e-38` survives (it is
+    numerically nil against normal-scale inputs but not provably zero).
+  * The carry must be derived from ALL float output leaves, not just the
+    first — a partial dependence lets XLA dead-code the unused outputs'
+    compute (pallas_call bodies are opaque, but pure-XLA functions are
+    sliceable).
+  * Big leaves (features, edge tables) are NOT bumped: a [10M, 128]
+    elementwise add per iteration costs an extra HBM pass comparable to
+    the kernel under test, and doubling a 2.6 GB buffer in the carry
+    OOMs the 10M row. Params-sized leaves (<= 1M elements) are bumped;
+    if none exist, the smallest float leaf is used regardless of size.
 """
 
 from __future__ import annotations
 
 import time
 
+_SMALL = 1_000_000  # elements; leaves above this are never perturbed
 
-def _perturbable_index(leaves):
-    """First float leaf (any numeric leaf as fallback): the carry is
-    folded into it to chain iterations."""
+
+def _perturb_indices(leaves):
+    """Indices of the float leaves to fold the carry into: every float
+    leaf with <= _SMALL elements, else the single smallest float leaf,
+    else the smallest integer leaf (tokens-only functions)."""
     import jax.numpy as jnp
 
-    fallback = None
-    for i, x in enumerate(leaves):
-        if hasattr(x, "dtype"):
-            if jnp.issubdtype(x.dtype, jnp.floating):
-                return i
-            if fallback is None and jnp.issubdtype(x.dtype, jnp.integer):
-                fallback = i
-    if fallback is None:
-        raise ValueError("device_time needs at least one numeric array arg")
-    return fallback
+    floats = [i for i, x in enumerate(leaves)
+              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+    small = [i for i in floats if leaves[i].size <= _SMALL]
+    if small:
+        return small
+    if floats:
+        return [min(floats, key=lambda i: leaves[i].size)]
+    ints = [i for i, x in enumerate(leaves)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer)]
+    if ints:
+        return [min(ints, key=lambda i: leaves[i].size)]
+    raise ValueError("device_time needs at least one numeric array arg")
 
 
 def _make_loop(f, args, n_iters):
@@ -46,22 +67,21 @@ def _make_loop(f, args, n_iters):
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    pi = _perturbable_index(leaves)
+    pis = _perturb_indices(leaves)
 
     @jax.jit
     def loop(*flat):
         def body(carry, _):
             cur = list(flat)
-            cur[pi] = cur[pi] + carry.astype(cur[pi].dtype)
+            for i in pis:
+                cur[i] = cur[i] + carry.astype(cur[i].dtype)
             out = f(*jax.tree_util.tree_unflatten(treedef, cur))
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            # 1e-38-scaled: numerically nil (vanishes in f32 rounding when
-            # added to any normal-scale input) but NOT algebraically
-            # foldable — this toolchain compiles with
-            # --xla_allow_excess_precision, under which a *0.0 chain gets
-            # simplified away and the whole body DCE'd (measured: the
-            # scale sweep read 0.0 ms/layer)
-            return jnp.sum(leaf.astype(jnp.float32)) * 1e-38, None
+            s = jnp.zeros((), jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(out):
+                if hasattr(leaf, "dtype") and jnp.issubdtype(
+                        leaf.dtype, jnp.inexact):
+                    s = s + jnp.sum(leaf.astype(jnp.float32))
+            return carry + s * 1e-38, None
 
         out, _ = jax.lax.scan(
             body, jnp.zeros((), jnp.float32), None, length=n_iters)
@@ -70,19 +90,29 @@ def _make_loop(f, args, n_iters):
     return lambda: float(loop(*leaves))
 
 
-def device_time(f, *args, short=3, long=23):
+def device_time(f, *args, short=10, long=110, repeats=3):
     """Per-iteration device seconds for f(*args), overhead-cancelled.
 
     f must be a jit-compatible pure function of array pytrees.
+
+    Median of `repeats` (t_long - t_short) pairs: a single 20-iteration
+    difference sits inside the tunnel's multi-ms fetch jitter (measured
+    spread 0.54-1.26 ms/iter on a 1.1 ms kernel); 100 iterations of
+    signal x median-of-3 pins it.
     """
     f_s = _make_loop(f, args, short)
     f_l = _make_loop(f, args, long)
     f_s()   # compile + warm
     f_l()
-    t0 = time.perf_counter()
-    f_s()
-    t_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    f_l()
-    t_l = time.perf_counter() - t0
-    return max(t_l - t_s, 1e-9) / (long - short)
+    diffs = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        f_s()
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        f_l()
+        t_l = time.perf_counter() - t0
+        diffs.append(t_l - t_s)
+    diffs.sort()
+    med = diffs[len(diffs) // 2]
+    return max(med, 1e-9) / (long - short)

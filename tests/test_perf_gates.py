@@ -54,11 +54,14 @@ def test_layer_create_and_forward_cpu_gate():
 
     f = jax.jit(lambda p, x: ruvector_layer_apply(p, cfg, x, graph))
     jax.block_until_ready(f(params, feats))        # compile
-    t0 = time.perf_counter()
+    # min over iterations, not mean: the gate bounds the code's capability
+    # (catastrophic-regression catch); a mean soaks up scheduler noise when
+    # the shared box is under load (e.g. concurrent bench host threads)
+    fwd_ms = float("inf")
     for _ in range(5):
-        out = f(params, feats)
-    jax.block_until_ready(out)
-    fwd_ms = (time.perf_counter() - t0) / 5 * 1e3
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(params, feats))
+        fwd_ms = min(fwd_ms, (time.perf_counter() - t0) * 1e3)
     assert fwd_ms < g["layer_forward_10k_ms_max"], f"forward {fwd_ms:.2f}ms"
 
 
