@@ -87,13 +87,19 @@ def main():
             float(f_short(params, q, k, v))            # compile + warm
             float(f_long(params, q, k, v))
             q2 = q + 0.01
-            t0 = time.perf_counter()
-            float(f_short(params, q2, k, v))
-            t_short = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(f_long(params, q2, k, v))
-            t_long = time.perf_counter() - t0
-            dt = max(t_long - t_short, 1e-9) / (long_ - short)
+            # median-of-3 difference pairs: one pair sits inside the
+            # tunnel's multi-ms fetch jitter for microsecond mechanisms
+            diffs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f_short(params, q2, k, v))
+                t_short = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(f_long(params, q2, k, v))
+                t_long = time.perf_counter() - t0
+                diffs.append(t_long - t_short)
+            diffs.sort()
+            dt = max(diffs[1], 1e-9) / (long_ - short)
             us = dt * 1e6
             entry = {"us_per_call": round(us, 1), "dim": d,
                      "host_loop": False}
@@ -141,14 +147,18 @@ def main():
                 return jnp.sum(x)
             return jax.jit(chain)
 
-        short, long_ = 5, 55
+        short, long_ = 10, 210
         g_short, g_long = make_cgt_chain(short), make_cgt_chain(long_)
         float(g_short(xb)); float(g_long(xb))
-        t0 = time.perf_counter(); float(g_short(xb + 0.01))
-        t_s = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(g_long(xb + 0.01))
-        t_l = time.perf_counter() - t0
-        us = max(t_l - t_s, 1e-9) / (long_ - short) * 1e6
+        diffs = []
+        for _ in range(3):
+            t0 = time.perf_counter(); float(g_short(xb + 0.01))
+            t_s = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(g_long(xb + 0.01))
+            t_l = time.perf_counter() - t0
+            diffs.append(t_l - t_s)
+        diffs.sort()
+        us = max(diffs[1], 1e-9) / (long_ - short) * 1e6
         results["cgt_batch32"] = {
             "us_per_call": round(us, 1), "dim": 64, "batch": 32,
             "host_loop": False,
