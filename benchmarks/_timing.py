@@ -42,14 +42,22 @@ import time
 _SMALL = 1_000_000  # elements; leaves above this are never perturbed
 
 
-def _perturb_indices(leaves):
+def _perturb_indices(leaves, no_perturb=()):
     """Indices of the float leaves to fold the carry into: every float
     leaf with <= _SMALL elements, else the single smallest float leaf,
-    else the smallest integer leaf (tokens-only functions)."""
+    else the smallest integer leaf (tokens-only functions).
+
+    CONSTRAINT: perturbation adds ~1e-33 to every selected leaf, so a
+    leaf consumed through exact-zero comparisons (mask == 0, gate > 0)
+    would flip branches and the harness would time DIFFERENT compute.
+    Callers pass such leaves' flat indices in `no_perturb`.
+    """
     import jax.numpy as jnp
 
     floats = [i for i, x in enumerate(leaves)
-              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+              if hasattr(x, "dtype")
+              and jnp.issubdtype(x.dtype, jnp.floating)
+              and i not in no_perturb]
     small = [i for i in floats if leaves[i].size <= _SMALL]
     if small:
         return small
@@ -62,12 +70,12 @@ def _perturb_indices(leaves):
     raise ValueError("device_time needs at least one numeric array arg")
 
 
-def _make_loop(f, args, n_iters):
+def _make_loop(f, args, n_iters, no_perturb=()):
     import jax
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    pis = _perturb_indices(leaves)
+    pis = _perturb_indices(leaves, no_perturb)
 
     @jax.jit
     def loop(*flat):
@@ -76,10 +84,22 @@ def _make_loop(f, args, n_iters):
             for i in pis:
                 cur[i] = cur[i] + carry.astype(cur[i].dtype)
             out = f(*jax.tree_util.tree_unflatten(treedef, cur))
+            out_leaves = [leaf for leaf in jax.tree_util.tree_leaves(out)
+                          if hasattr(leaf, "dtype")]
+            inexact = [leaf for leaf in out_leaves
+                       if jnp.issubdtype(leaf.dtype, jnp.inexact)]
             s = jnp.zeros((), jnp.float32)
-            for leaf in jax.tree_util.tree_leaves(out):
-                if hasattr(leaf, "dtype") and jnp.issubdtype(
-                        leaf.dtype, jnp.inexact):
+            for leaf in inexact:
+                s = s + jnp.sum(leaf.astype(jnp.float32))
+            if not inexact:
+                # All-integer outputs (e.g. tokens-only): a zero carry is
+                # provably constant and XLA hoists/DCEs the body — the
+                # exact 0.000 ms failure mode. Chain through the integers.
+                if not out_leaves:
+                    raise ValueError(
+                        "device_time: benched function returned no array "
+                        "leaves; the scan body would be dead code")
+                for leaf in out_leaves:
                     s = s + jnp.sum(leaf.astype(jnp.float32))
             return carry + s * 1e-38, None
 
@@ -90,18 +110,21 @@ def _make_loop(f, args, n_iters):
     return lambda: float(loop(*leaves))
 
 
-def device_time(f, *args, short=10, long=110, repeats=3):
+def device_time(f, *args, short=10, long=110, repeats=3, no_perturb=()):
     """Per-iteration device seconds for f(*args), overhead-cancelled.
 
     f must be a jit-compatible pure function of array pytrees.
+    `no_perturb`: flat-leaf indices of args that must NOT receive the
+    chaining perturbation (mask-like leaves consumed via exact-zero
+    comparisons — see _perturb_indices).
 
     Median of `repeats` (t_long - t_short) pairs: a single 20-iteration
     difference sits inside the tunnel's multi-ms fetch jitter (measured
     spread 0.54-1.26 ms/iter on a 1.1 ms kernel); 100 iterations of
     signal x median-of-3 pins it.
     """
-    f_s = _make_loop(f, args, short)
-    f_l = _make_loop(f, args, long)
+    f_s = _make_loop(f, args, short, no_perturb)
+    f_l = _make_loop(f, args, long, no_perturb)
     f_s()   # compile + warm
     f_l()
     diffs = []

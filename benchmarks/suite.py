@@ -403,7 +403,10 @@ def main():
     if os.path.exists(spec_path):
         with open(spec_path) as f:
             sp = json.load(f)
-        if sp.get("backend") == jax.devices()[0].platform:
+        keys = ("measured_acceptance", "measured_speedup_vs_greedy",
+                "speculative_tokens_per_s", "token_identical_to_greedy")
+        if (sp.get("backend") == jax.devices()[0].platform
+                and all(k in sp for k in keys)):
             results["spec_trained_acceptance"] = sp["measured_acceptance"]
             results["spec_trained_speedup_vs_greedy"] = (
                 sp["measured_speedup_vs_greedy"])
@@ -411,6 +414,10 @@ def main():
                 sp["speculative_tokens_per_s"])
             results["spec_trained_token_identical"] = (
                 sp["token_identical_to_greedy"])
+            # Provenance: lets a stale same-backend artifact from an
+            # earlier round be detected instead of silently relabeled.
+            results["spec_trained_artifact_mtime"] = int(
+                os.path.getmtime(spec_path))
 
     results["backend"] = jax.devices()[0].platform
     print(json.dumps(results, indent=2))

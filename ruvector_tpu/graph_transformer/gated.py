@@ -85,16 +85,25 @@ class GatedGraphTransformerConfig:
     # fraction of partitions (rounded up to >=1); drifted partitions
     # beyond the budget keep their stale mask and queue for next step
     max_resolve_frac: float = 1 / 16
+    # staleness control (round 4): drifted-but-deferred partitions age
+    # (steps since last re-solve while flagged); budget selection orders
+    # by age first, so no flagged partition starves — staleness is
+    # bounded by ceil(flagged / budget) steps. max_gate_age > 0 adds a
+    # hard bound: a partition whose mask is older than this re-solves
+    # even without signature drift (0 = pure hysteresis, the reference's
+    # semantics — gating.rs hysteresis band).
+    max_gate_age: int = 0
     # rematerialize each layer in the backward pass: shrinks the saved-
     # residual plumbing that overruns the remote TPU compiler on
     # 1M-node backward programs (and cuts activation memory ~L-fold)
     remat: bool = False
     compute_dtype: str = "float32"
-    # fused Pallas gated-MHA kernel for the FORWARD paths (step/init):
-    # 'auto' uses it on TPU when shapes tile (D%128==0, B%8==0); 'always'
-    # forces it (tests run it in interpret mode); 'never' disables. The
-    # differentiable loss path always uses the XLA attention (the kernel
-    # has no autodiff rule).
+    # fused Pallas gated-MHA kernel: 'auto' uses it on TPU when shapes
+    # tile (D%128==0, B%8==0); 'always' forces it (tests run it in
+    # interpret mode); 'never' disables. Round 4: the kernel has a
+    # recompute-backward custom_vjp, so the differentiable loss path
+    # uses it too — training no longer round-trips [*, B, B] logits
+    # through HBM.
     fused_gate_attn: str = "auto"
 
     @property
@@ -383,7 +392,8 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
         keeps.append(keep)
         sigs.append(_gate_signature(pooled, cfg.eps))
         x = _layer_with_keep(p, cfg, x, bdg, keep, fused=True)
-    return {"keep": jnp.stack(keeps), "sig": jnp.stack(sigs)}
+    return {"keep": jnp.stack(keeps), "sig": jnp.stack(sigs),
+            "age": jnp.zeros((len(params), nb), jnp.int32)}
 
 
 def gated_graph_transformer_step(
@@ -404,7 +414,10 @@ def gated_graph_transformer_step(
         max_resolve = max(1, int(nb * cfg.max_resolve_frac))
     max_resolve = min(max_resolve, nb)
     x = fpad.reshape(nb, b, -1)
-    new_keep, new_sig, resolved = [], [], jnp.zeros((), jnp.int32)
+    new_keep, new_sig, new_age = [], [], []
+    resolved = jnp.zeros((), jnp.int32)
+    # age defaults cover pre-round-4 states (pure-hysteresis semantics)
+    ages = state.get("age", jnp.zeros((len(params), nb), jnp.int32))
     for li, p in enumerate(params):
         h = layer_norm_apply(p["ln1"], x)
         pooled = _pooled_logits(h, bdg.node_pad, p["wq"], p["wk"], cfg)
@@ -412,22 +425,47 @@ def gated_graph_transformer_step(
         prev_sig = state["sig"][li]
         drift = jnp.abs(sig - prev_sig)
         flagged = drift > cfg.hysteresis_band * (jnp.abs(prev_sig) + 1e-6)
-        score = jnp.where(flagged, drift, -1.0)
-        _, idx = jax.lax.top_k(score, max_resolve)
-        sel = jnp.take(flagged, idx)                       # [k] bool
-        sub = jnp.take(pooled, idx, axis=0)                # [k, B, B]
-        keep_k = jax.vmap(
-            lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(sub)
-        old_k = jnp.take(state["keep"][li], idx, axis=0)
-        keep_k = jnp.where(sel[:, None, None], keep_k, old_k)
-        keep_l = state["keep"][li].at[idx].set(keep_k)
-        sig_l = prev_sig.at[idx].set(
-            jnp.where(sel, jnp.take(sig, idx), jnp.take(prev_sig, idx)))
+        age = ages[li] + 1
+        if cfg.max_gate_age > 0:
+            # hard staleness bound: refresh even without signature drift
+            flagged = flagged | (age >= cfg.max_gate_age)
+
+        def solve(keep_prev, sig_prev, age):
+            # oldest-first among flagged partitions: a persistently-
+            # drifted partition cannot starve behind louder ones, so
+            # deferred staleness is bounded by ceil(flagged/budget) steps
+            score = jnp.where(flagged,
+                              age.astype(jnp.float32) * 1e6 + drift, -1.0)
+            _, idx = jax.lax.top_k(score, max_resolve)
+            sel = jnp.take(flagged, idx)                   # [k] bool
+            sub = jnp.take(pooled, idx, axis=0)            # [k, B, B]
+            keep_k = jax.vmap(
+                lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(sub)
+            old_k = jnp.take(keep_prev, idx, axis=0)
+            keep_k = jnp.where(sel[:, None, None], keep_k, old_k)
+            keep_l = keep_prev.at[idx].set(keep_k)
+            sig_l = sig_prev.at[idx].set(
+                jnp.where(sel, jnp.take(sig, idx), jnp.take(sig_prev, idx)))
+            age_l = age.at[idx].set(
+                jnp.where(sel, 0, jnp.take(age, idx)))
+            return keep_l, sig_l, age_l, jnp.sum(sel.astype(jnp.int32))
+
+        def reuse(keep_prev, sig_prev, age):
+            return keep_prev, sig_prev, age, jnp.zeros((), jnp.int32)
+
+        # zero drift -> skip the whole batched push-relabel program
+        # (round 3 ran it unconditionally: the steady-state forward paid
+        # a full max_resolve-partition solve per layer for nothing)
+        keep_l, sig_l, age_l, nres = jax.lax.cond(
+            jnp.any(flagged), solve, reuse,
+            state["keep"][li], prev_sig, age)
         new_keep.append(keep_l)
         new_sig.append(sig_l)
-        resolved = resolved + jnp.sum(sel)
+        new_age.append(age_l)
+        resolved = resolved + nres
         x = _layer_with_keep(p, cfg, x, bdg, keep_l, fused=True)
-    new_state = {"keep": jnp.stack(new_keep), "sig": jnp.stack(new_sig)}
+    new_state = {"keep": jnp.stack(new_keep), "sig": jnp.stack(new_sig),
+                 "age": jnp.stack(new_age)}
     return x.reshape(nb * b, -1), new_state, resolved
 
 
@@ -441,7 +479,7 @@ def gated_graph_transformer_apply_with_masks(
 
     def layer(p, x, keep):
         return _layer_with_keep(p, cfg, x, bdg,
-                                jax.lax.stop_gradient(keep))
+                                jax.lax.stop_gradient(keep), fused=True)
 
     if cfg.remat:
         layer = jax.checkpoint(layer)

@@ -16,12 +16,15 @@ per-head D/H-wide lane slices never appear and every matmul is a
 well-tiled [B, D] x [D, *] op. Scores never touch HBM; per layer the
 kernel reads X + the gate mask and writes only the [nB, B, D] output.
 
-FORWARD-ONLY: pallas_call has no autodiff rule here, so training
-(gated_graph_transformer_loss_with_masks) keeps the XLA path; the
-hysteresis step/init/apply paths — where config 5's serving time goes —
-use this kernel on TPU. Parity with the XLA path is pinned in
-tests/test_gated_graph_transformer.py (head-folding reassociates the
-f32 products, so equality is to ~1e-4, not bit-exact).
+Round 4: the kernel has a custom_vjp with a flash-style RECOMPUTE
+backward (per block+head, scores/softmax are re-derived in VMEM on the
+backward pass — nothing [B, B]-shaped is ever saved to HBM), so the
+training path (gated_graph_transformer_loss_with_masks) runs it too:
+round 3's XLA loss path paid ~8 GB/layer of logit round-trips at 1M
+nodes. dA/dWvo accumulate across the sequential TPU grid into
+constant-index output blocks. Gradient parity with the XLA attention
+is pinned in tests/test_gated_graph_transformer.py (head-folding
+reassociates f32 products, so equality is to ~1e-4, not bit-exact).
 
 Reference semantics: ruvector-attn-mincut/src/gating.rs:70-102 (gate
 mask applied to the logit matrix before softmax); the eps-guarded
@@ -77,21 +80,9 @@ def _make_kernel(heads: int, compute_bf16: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("compute_bf16",))
-def gated_block_attention(x, keep, pad, A, Wvo, *, compute_bf16: bool):
-    """Per-partition gated MHA over the block-dense layout.
-
-    x:    [nB, B, D]  pre-norm features (f32)
-    keep: [nB, B, B]  gate mask (bool/float; broadcast across heads)
-    pad:  [nB, B]     1 for real nodes
-    A:    [H, D, D]   Wq_h @ Wk_h^T * scale (head-folded, pre-scaled)
-    Wvo:  [H, D, D]   Wv_h @ Wo_h (value+output projection folded)
-    returns [nB, B, D] f32 == _attention_with_keep(...) to ~1e-4.
-    """
+def _fwd_pallas(x, keep_io, pad3, A, Wvo, compute_bf16):
     nb, b, d = x.shape
     h = A.shape[0]
-    keep_io = keep.astype(jnp.bfloat16)    # 0/1 exact; halves mask traffic
-
     in_specs = [
         pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -118,7 +109,170 @@ def gated_block_attention(x, keep, pad, A, Wvo, *, compute_bf16: bool):
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=nb * b * h * b),
         interpret=jax.default_backend() != "tpu",
-    )(x, keep_io, pad[:, None, :], A, Wvo)
+    )(x, keep_io, pad3, A, Wvo)
+
+
+def _make_bwd_kernel(heads: int, compute_bf16: bool):
+    """Recompute backward: scores/softmax re-derived per (block, head) in
+    VMEM — the flash-attention trick — so nothing [B, B]-shaped is saved
+    or read from HBM. dA/dWvo accumulate into constant-index output
+    blocks across the (sequential) TPU grid."""
+
+    def kernel(x_ref, keep_ref, pad_ref, A_ref, Wvo_ref, g_ref,
+               dx_ref, dA_ref, dWvo_ref):
+        f32 = jnp.float32
+        cdt = jnp.bfloat16 if compute_bf16 else f32
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _init():
+            dA_ref[...] = jnp.zeros_like(dA_ref)
+            dWvo_ref[...] = jnp.zeros_like(dWvo_ref)
+
+        X = x_ref[0].astype(f32)                       # [B, D]
+        pad_row = pad_ref[0].astype(f32)               # [1, B]
+        pad = pad_row.T                                # [B, 1]
+        valid = pad * pad_row
+        mask = keep_ref[0].astype(f32) * valid
+        # fold the forward's final `out * pad` into the cotangent
+        g = g_ref[0].astype(f32) * pad                 # [B, D]
+
+        XT = X.astype(cdt).T                           # [D, B] cdt
+        dX = jnp.zeros_like(X)
+        for h in range(heads):
+            A_h = A_ref[h]
+            W_h = Wvo_ref[h]
+            # --- recompute forward intermediates (exactly as _make_kernel)
+            q = jax.lax.dot_general(
+                X, A_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)            # [B, D]
+            s = jax.lax.dot_general(
+                q.astype(cdt), XT, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)            # [B, B]
+            s = jnp.where(mask > 0, s, -1e30)
+            smax = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
+            ph = jnp.exp(s - smax) * (mask > 0)
+            denom = jnp.maximum(jnp.sum(ph, axis=-1, keepdims=True), 1e-10)
+            p = ph / denom
+            y = jax.lax.dot_general(
+                X.astype(cdt), W_h.astype(cdt), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)            # [B, D]
+            # --- backward (out_h = p @ y) ---
+            dp = jax.lax.dot_general(                  # dp[i,j] = g[i]·y[j]
+                g, y, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            dy = jax.lax.dot_general(                  # dy[j] = Σ_i p[i,j] g[i]
+                p, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dWvo_ref[h] += jax.lax.dot_general(
+                X, dy, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dX = dX + jax.lax.dot_general(             # d(X@W) wrt X
+                dy, W_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            # softmax vjp: masked/fully-masked rows have p == 0 -> ds == 0,
+            # matching the eps-guarded forward's zero gradient there
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq = jax.lax.dot_general(                  # s = q @ X^T
+                ds, X, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dX = dX + jax.lax.dot_general(             # dX_j += Σ_i ds[i,j] q[i]
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dA_ref[h] += jax.lax.dot_general(          # q = X @ A
+                X, dq, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dX = dX + jax.lax.dot_general(
+                dq, A_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        dx_ref[0] = dX.astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _bwd_pallas(x, keep_io, pad3, A, Wvo, g, compute_bf16):
+    nb, b, d = x.shape
+    h = A.shape[0]
+    in_specs = [
+        pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, b), lambda k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, b), lambda k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    flops = 2 * nb * b * h * (6 * d + 5 * b) * d
+    bytes_accessed = (2 * x.size * 4 + keep_io.size * 2
+                      + nb * b * d * 4 + 2 * h * d * d * 4)
+    return pl.pallas_call(
+        _make_bwd_kernel(h, compute_bf16),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, b, d), x.dtype),
+            jax.ShapeDtypeStruct((h, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, d, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed,
+            transcendentals=nb * b * h * b),
+        interpret=jax.default_backend() != "tpu",
+    )(x, keep_io, pad3, A, Wvo, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gated_attn(x, keep_io, pad3, A, Wvo, compute_bf16):
+    return _fwd_pallas(x, keep_io, pad3, A, Wvo, compute_bf16)
+
+
+def _gated_attn_fwd(x, keep_io, pad3, A, Wvo, compute_bf16):
+    out = _fwd_pallas(x, keep_io, pad3, A, Wvo, compute_bf16)
+    return out, (x, keep_io, pad3, A, Wvo)
+
+
+def _gated_attn_bwd(compute_bf16, res, g):
+    x, keep_io, pad3, A, Wvo = res
+    dx, dA, dWvo = _bwd_pallas(x, keep_io, pad3, A, Wvo, g, compute_bf16)
+    # keep/pad are discrete gates — zero cotangents (stop_gradient
+    # upstream drops them; the broadcasts are free in XLA)
+    return (dx, jnp.zeros_like(keep_io), jnp.zeros_like(pad3),
+            dA.astype(A.dtype), dWvo.astype(Wvo.dtype))
+
+
+_gated_attn.defvjp(_gated_attn_fwd, _gated_attn_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_bf16",))
+def gated_block_attention(x, keep, pad, A, Wvo, *, compute_bf16: bool):
+    """Per-partition gated MHA over the block-dense layout.
+
+    x:    [nB, B, D]  pre-norm features (f32)
+    keep: [nB, B, B]  gate mask (bool/float; broadcast across heads)
+    pad:  [nB, B]     1 for real nodes
+    A:    [H, D, D]   Wq_h @ Wk_h^T * scale (head-folded, pre-scaled)
+    Wvo:  [H, D, D]   Wv_h @ Wo_h (value+output projection folded)
+    returns [nB, B, D] f32 == _attention_with_keep(...) to ~1e-4.
+
+    Differentiable: a custom_vjp recomputes scores in VMEM on the
+    backward pass and returns (dx, dA, dWvo); keep/pad get zeros.
+    """
+    keep_io = keep.astype(jnp.bfloat16)    # 0/1 exact; halves mask traffic
+    return _gated_attn(x, keep_io, pad[:, None, :], A, Wvo, compute_bf16)
 
 
 def fold_gated_attention_params(p, cfg):

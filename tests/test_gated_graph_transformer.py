@@ -346,3 +346,107 @@ def test_fused_gate_attention_matches_xla_path():
     assert outs["never"][2] == outs["always"][2] == 0
     np.testing.assert_allclose(outs["never"][0], outs["always"][0],
                                atol=2e-4, rtol=1e-4)
+
+
+# --- round 4: fused-kernel backward + gate staleness control ---
+
+def test_fused_kernel_grads_match_xla_path():
+    """The gated kernel's custom_vjp (in-VMEM recompute backward) must
+    produce the same parameter gradients as the XLA attention path.
+    Shapes chosen to satisfy _use_fused_attn's tiling (D=128); interpret
+    mode on CPU."""
+    import dataclasses
+
+    from ruvector_tpu.graph import build_block_dense
+    from ruvector_tpu.graph_transformer.gated import (
+        gate_state_init,
+        gated_graph_transformer_loss_with_masks,
+    )
+
+    rng = np.random.default_rng(11)
+    blk, nblocks, deg, d = 8, 4, 3, 128
+    n = blk * nblocks
+    idx = ((rng.integers(0, n, (n, deg)) % blk)
+           + (np.arange(n)[:, None] // blk) * blk).astype(np.int32)
+    mask = np.ones((n, deg), np.float32)
+    ew = rng.uniform(0.1, 1, (n, deg)).astype(np.float32)
+    bdg = build_block_dense(idx, mask, ew, block=blk, table_pad=8)
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+
+    cfg_x = GatedGraphTransformerConfig(
+        dim=d, num_heads=4, num_layers=2, fused_gate_attn="never")
+    cfg_k = dataclasses.replace(cfg_x, fused_gate_attn="always")
+    params = gated_graph_transformer_init(jax.random.key(0), cfg_x)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+    state = gate_state_init(params, cfg_x, fpad, bdg)
+    tgt = jnp.zeros_like(fpad)
+
+    l_x, g_x = jax.value_and_grad(gated_graph_transformer_loss_with_masks)(
+        params, cfg_x, fpad, bdg, state["keep"], tgt)
+    l_k, g_k = jax.value_and_grad(gated_graph_transformer_loss_with_masks)(
+        params, cfg_k, fpad, bdg, state["keep"], tgt)
+    np.testing.assert_allclose(float(l_k), float(l_x), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_x)):
+        scale = max(np.abs(np.asarray(b)).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale, rtol=2e-3)
+
+
+def test_gate_age_tracks_deferred_resolves():
+    """Ages reset on re-solve, grow while a partition stays deferred, and
+    the oldest-first budget prevents starvation (every flagged partition
+    is eventually solved under a budget of 1). band=0 so any signature
+    change flags — LayerNorm keeps signatures so stable that a 0.5-noise
+    feature perturbation stays inside the default 5% band."""
+    import dataclasses
+
+    from ruvector_tpu.graph_transformer.gated import (
+        gated_graph_transformer_step,
+    )
+
+    params, cfg, fpad, bdg, state = _state_setup()
+    assert "age" in state and int(np.asarray(state["age"]).max()) == 0
+    cfg0 = dataclasses.replace(cfg, hysteresis_band=0.0)
+
+    fpad2 = fpad + 0.5 * jnp.asarray(
+        np.random.default_rng(3).normal(size=fpad.shape).astype(np.float32))
+    fpad2 = fpad2 * bdg.node_pad.reshape(-1)[:, None]
+
+    solved = np.zeros((cfg.num_layers, bdg.n_blocks), bool)
+    s = state
+    for it in range(2 * bdg.n_blocks + 2):
+        out, s, nres = gated_graph_transformer_step(
+            params, cfg0, fpad2, bdg, s, max_resolve=1)
+        assert int(nres) <= cfg.num_layers
+        newly = np.asarray(s["age"]) == 0
+        solved |= newly
+    # with budget 1/layer/step and oldest-first ordering every partition
+    # of every layer must have been refreshed (layer 1 re-flags while
+    # layer 0's masks settle, hence the 2x horizon)
+    assert solved.all(), solved.sum(axis=1)
+
+
+def test_max_gate_age_forces_refresh_without_drift():
+    """max_gate_age bounds staleness even at zero signature drift."""
+    import dataclasses
+
+    from ruvector_tpu.graph_transformer.gated import (
+        gated_graph_transformer_step,
+    )
+
+    params, cfg, fpad, bdg, state = _state_setup()
+    cfg_b = dataclasses.replace(cfg, max_gate_age=3)
+    s = state
+    res_per_step = []
+    for it in range(4):
+        out, s, nres = gated_graph_transformer_step(
+            params, cfg_b, fpad, bdg, s, max_resolve=bdg.n_blocks)
+        res_per_step.append(int(nres))
+        assert int(np.asarray(s["age"]).max()) <= 3
+    # steps 1-2: pure reuse (no drift, under the age bound);
+    # step 3: every partition hits the bound and re-solves
+    assert res_per_step[0] == 0 and res_per_step[1] == 0
+    assert res_per_step[2] == cfg.num_layers * bdg.n_blocks
+    # the forced re-solve on identical input must not change masks
+    np.testing.assert_array_equal(np.asarray(s["keep"]),
+                                  np.asarray(state["keep"]))
