@@ -1,0 +1,136 @@
+"""Round-4 at-scale artifact for the GLOBAL dynamic min-cut maintainer.
+
+VERDICT r3 ask #3: "Scale global dynamic min-cut 50x ... a 500k-1M-node
+stream artifact with first query <=10s, >=5k updates/s sustained, still
+brute-force fuzz-pinned at small n" (the fuzz pins live in
+tests/test_global_mincut.py and tests/test_native.py and are unchanged).
+
+What changed since round 3 (both backends, same exact semantics):
+
+1. Full recompute: Stoer-Wagner's O(V) phases -> exact NOI
+   (Nagamochi-Ono-Ibaraki) scan-contraction. Each maximum-adjacency
+   scan contracts EVERY consecutive pair whose scan value reaches the
+   current upper bound (NI scan-value lemma) plus Padberg-Rinaldi
+   heavy edges, so clustered graphs collapse in a handful of O(E log V)
+   scans. Measured at 20k nodes: 38.1 s (r3) -> ~0.05 s.
+2. Decrease repairs: escalating ball certificate. Max-flow restricted
+   to a BFS ball around the edge is a valid LOWER bound on the u-v min
+   cut, so local flow >= lambda certifies no-change without touching
+   the rest of the graph; the full Dinic runs only when a 2048-node
+   ball stays inconclusive (cap 128 first: the common intra-cluster
+   case certifies at ~1/20 the cost).
+
+Reference: ruvector-mincut/src/lib.rs:1-57 (the subpolynomial
+link-cut/Euler machinery exists to avoid exactly these two costs; this
+design makes both near-local and stays exact).
+
+Writes GLOBAL_MINCUT_SCALE_r04.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from ruvector_tpu.native import GlobalIncrementalMinCut, available
+
+assert available, "native runtime required for the scale artifact"
+
+
+def build_clustered(inc, rng, n_cl, cluster, p_chord=0.3,
+                    bridge_lo=0.05, bridge_hi=0.3):
+    live = {}
+
+    def ins(u, v, w):
+        inc.insert_edge(u, v, w)
+        live[(min(u, v), max(u, v))] = w
+
+    for c in range(n_cl):
+        base = c * cluster
+        for i in range(1, cluster):
+            ins(base + i - 1, base + i, float(rng.uniform(0.8, 1.2)))
+        for _ in range(int(cluster * p_chord)):
+            a, b = rng.integers(0, cluster, 2)
+            if a != b:
+                ins(base + a, base + b, float(rng.uniform(0.5, 1.0)))
+    for c in range(1, n_cl):
+        u = (c - 1) * cluster + int(rng.integers(cluster))
+        v = c * cluster + int(rng.integers(cluster))
+        ins(u, v, float(rng.uniform(bridge_lo, bridge_hi)))
+    ins(int(rng.integers(cluster)),
+        (n_cl - 1) * cluster + int(rng.integers(cluster)),
+        float(rng.uniform(bridge_lo, bridge_hi)))
+    return live
+
+
+def scale_row(n_cl, cluster, stream_steps, query_every, seed=0):
+    n = n_cl * cluster
+    rng = np.random.default_rng(seed)
+    inc = GlobalIncrementalMinCut(n)
+    t0 = time.time()
+    live = build_clustered(inc, rng, n_cl, cluster)
+    grow_s = time.time() - t0
+    n_edges = len(live)
+
+    t0 = time.time()
+    cut0 = inc.cut_value()
+    first_query_s = time.time() - t0
+
+    keys = list(live.keys())
+    t0 = time.time()
+    for step in range(stream_steps):
+        k = keys[int(rng.integers(len(keys)))]
+        w = live[k] * float(rng.uniform(0.9, 1.1))
+        inc.reweight_edge(k[0], k[1], w)
+        live[k] = w
+        if step % query_every == 0:
+            inc.cut_value()
+    stream_s = time.time() - t0
+    final = inc.cut_value()
+
+    return {
+        "n": n, "edges": n_edges,
+        "grow_s": round(grow_s, 2),
+        "grow_inserts_per_s": round(n_edges / max(grow_s, 1e-9)),
+        "first_query_s": round(first_query_s, 3),
+        "cut_after_growth": round(cut0, 4),
+        "stream_updates": stream_steps,
+        "query_every": query_every,
+        "stream_s": round(stream_s, 2),
+        "stream_updates_per_s": round(stream_steps / max(stream_s, 1e-9)),
+        "final_cut": round(final, 4),
+        "stats": inc.stats(),
+    }
+
+
+def main():
+    out = {
+        "config": "global dynamic min-cut at scale, round 4 "
+                  "(NOI recompute + escalating ball-certificate repairs)",
+        "r03_20k": {"first_query_s": 38.097, "stream_updates_per_s": 823},
+    }
+    print("20k row...", flush=True)
+    out["scale_20k"] = scale_row(400, 50, 100_000, 1, seed=0)
+    print(json.dumps(out["scale_20k"]), flush=True)
+    print("500k row...", flush=True)
+    out["scale_500k"] = scale_row(10_000, 50, 100_000, 1, seed=1)
+    print(json.dumps(out["scale_500k"]), flush=True)
+    print("1M row...", flush=True)
+    out["scale_1m"] = scale_row(10_000, 100, 50_000, 1, seed=2)
+    print(json.dumps(out["scale_1m"]), flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "GLOBAL_MINCUT_SCALE_r04.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

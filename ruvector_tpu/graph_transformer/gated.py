@@ -263,23 +263,44 @@ def gated_graph_transformer_loss(params, cfg, fpad, bdg, targets):
 # Temporal gate reuse (round 3): hysteresis state + incremental re-solve
 # ---------------------------------------------------------------------------
 
+def _qk_proj(h, wq, wk, cfg):
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    q = jnp.einsum("nbd,de->nbe", h, wq,
+                   preferred_element_type=jnp.float32).astype(cdt)
+    k = jnp.einsum("nbd,de->nbe", h, wk,
+                   preferred_element_type=jnp.float32).astype(cdt)
+    return q, k
+
+
+def _pooled_from_qk(q, k, node_pad, cfg):
+    lg = jnp.einsum("nqd,nkd->nqk", q, k,
+                    preferred_element_type=jnp.float32)
+    lg = lg * (1.0 / (cfg.head_dim ** 0.5) / cfg.num_heads)
+    valid = node_pad[:, :, None] * node_pad[:, None, :]
+    return jnp.where(valid > 0, lg, -1.0)
+
+
 def _pooled_logits(h, node_pad, wq, wk, cfg):
     """Head-mean logits for one layer in one einsum: since heads are
     disjoint slices of the projected dim, sum_h q_h.k_h == (hWq).(hWk)
     over the full dim, so the pooled [nB, B, B] matrix never needs the
     per-head [nB, H, B, B] tensor. Padding entries are -1.0, matching
     _gated_attention_block's pooled path exactly."""
-    scale = 1.0 / (cfg.head_dim ** 0.5)
-    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    q = jnp.einsum("nbd,de->nbe", h, wq,
-                   preferred_element_type=jnp.float32).astype(cdt)
-    k = jnp.einsum("nbd,de->nbe", h, wk,
-                   preferred_element_type=jnp.float32).astype(cdt)
-    lg = jnp.einsum("nqd,nkd->nqk", q, k,
-                    preferred_element_type=jnp.float32)
-    lg = lg * (scale / cfg.num_heads)
-    valid = node_pad[:, :, None] * node_pad[:, None, :]
-    return jnp.where(valid > 0, lg, -1.0)
+    q, k = _qk_proj(h, wq, wk, cfg)
+    return _pooled_from_qk(q, k, node_pad, cfg)
+
+
+def _signature_fused(q, k, node_pad, cfg):
+    """Signature via the Pallas reduction kernel — no [nB, B, B] HBM
+    tensor. Must be used consistently by init AND step (its reduction
+    order differs from _gate_signature's, so mixing the two would read
+    as spurious drift)."""
+    from ruvector_tpu.ops.pallas.gated_block_attn import block_gate_signature
+
+    rsum, rcnt = block_gate_signature(
+        q, k, node_pad, eps=cfg.eps,
+        scale=1.0 / (cfg.head_dim ** 0.5) / cfg.num_heads)
+    return jnp.sum(rsum, axis=1) / jnp.maximum(jnp.sum(rcnt, axis=1), 1.0)
 
 
 def _gate_signature(pooled, eps):
@@ -379,18 +400,30 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
             "stateless apply for per_head mode")
     nb, b = bdg.n_blocks, bdg.block
     x = fpad.reshape(nb, b, -1)
+    fused = _use_fused_attn(cfg, b, x.shape[-1])
     keeps, sigs = [], []
     for p in params:
         h = layer_norm_apply(p["ln1"], x)
-        pooled = _pooled_logits(h, bdg.node_pad, p["wq"], p["wk"], cfg)
+        q, k = _qk_proj(h, p["wq"], p["wk"], cfg)
         c = max(cc for cc in range(1, min(cfg.gate_chunk, nb) + 1)
                 if nb % cc == 0)
+
+        def rc(t):
+            return t.reshape(nb // c, c, *t.shape[1:])
+
+        # pooled logits are (re)built per chunk inside the map body —
+        # the full [nB, B, B] tensor never exists in HBM
         keep = jax.lax.map(
-            lambda lg: jax.vmap(
-                lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(lg),
-            pooled.reshape(nb // c, c, b, b)).reshape(nb, b, b)
+            lambda args: jax.vmap(
+                lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
+                _pooled_from_qk(*args, cfg)),
+            (rc(q), rc(k), rc(bdg.node_pad))).reshape(nb, b, b)
         keeps.append(keep)
-        sigs.append(_gate_signature(pooled, cfg.eps))
+        if fused:
+            sigs.append(_signature_fused(q, k, bdg.node_pad, cfg))
+        else:
+            sigs.append(_gate_signature(
+                _pooled_from_qk(q, k, bdg.node_pad, cfg), cfg.eps))
         x = _layer_with_keep(p, cfg, x, bdg, keep, fused=True)
     return {"keep": jnp.stack(keeps), "sig": jnp.stack(sigs),
             "age": jnp.zeros((len(params), nb), jnp.int32)}
@@ -418,10 +451,15 @@ def gated_graph_transformer_step(
     resolved = jnp.zeros((), jnp.int32)
     # age defaults cover pre-round-4 states (pure-hysteresis semantics)
     ages = state.get("age", jnp.zeros((len(params), nb), jnp.int32))
+    fused = _use_fused_attn(cfg, b, x.shape[-1])
     for li, p in enumerate(params):
         h = layer_norm_apply(p["ln1"], x)
-        pooled = _pooled_logits(h, bdg.node_pad, p["wq"], p["wk"], cfg)
-        sig = _gate_signature(pooled, cfg.eps)
+        q, k = _qk_proj(h, p["wq"], p["wk"], cfg)
+        if fused:
+            sig = _signature_fused(q, k, bdg.node_pad, cfg)
+        else:
+            sig = _gate_signature(
+                _pooled_from_qk(q, k, bdg.node_pad, cfg), cfg.eps)
         prev_sig = state["sig"][li]
         drift = jnp.abs(sig - prev_sig)
         flagged = drift > cfg.hysteresis_band * (jnp.abs(prev_sig) + 1e-6)
@@ -438,7 +476,12 @@ def gated_graph_transformer_step(
                               age.astype(jnp.float32) * 1e6 + drift, -1.0)
             _, idx = jax.lax.top_k(score, max_resolve)
             sel = jnp.take(flagged, idx)                   # [k] bool
-            sub = jnp.take(pooled, idx, axis=0)            # [k, B, B]
+            # pooled logits only for the selected partitions — the full
+            # [nB, B, B] tensor is never materialized (round 3 built and
+            # carried ~1 GB/layer through HBM at 1M nodes)
+            sub = _pooled_from_qk(
+                jnp.take(q, idx, axis=0), jnp.take(k, idx, axis=0),
+                jnp.take(bdg.node_pad, idx, axis=0), cfg)  # [k, B, B]
             keep_k = jax.vmap(
                 lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(sub)
             old_k = jnp.take(keep_prev, idx, axis=0)

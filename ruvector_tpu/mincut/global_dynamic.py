@@ -85,6 +85,153 @@ def stoer_wagner(adj: dict[tuple[int, int], float], nodes: list[int]
     return best, best_side, phases
 
 
+def noi_mincut(adj: dict[tuple[int, int], float], nodes: list[int]
+               ) -> tuple[float, set, list[tuple[float, set]]]:
+    """Exact global min cut via Nagamochi-Ono-Ibaraki scan-contraction.
+
+    Same contract as stoer_wagner (value, side, candidate cuts) but each
+    maximum-adjacency scan contracts EVERY consecutive pair (v_{i-1},
+    v_i) whose scan value r(v_i) >= lambda-hat — by the NI scan-value
+    lemma lambda(v_{i-1}, v_i) >= r(v_i), so no cut better than the
+    current bound separates them (and simultaneous contraction is safe:
+    contraction never lowers pairwise connectivity). Plus the
+    Padberg-Rinaldi rule: any edge of weight >= lambda-hat contracts.
+    Clustered graphs collapse in a handful of scans (each O(E log V))
+    instead of Stoer-Wagner's O(V) phases — this is what takes the
+    500k-node first query from hours to seconds. Worst case (e.g. a
+    uniform cycle) degrades to one contraction per scan = Stoer-Wagner.
+
+    Reference capability: ruvector-mincut/src/lib.rs:1-57 (the
+    subpolynomial machinery exists to avoid exactly this full-solve
+    cost; we make the full solve itself near-linear on real graphs).
+    """
+    import heapq
+
+    m = len(nodes)
+    if m < 2:
+        return 0.0, set(), []
+    idx = {v: i for i, v in enumerate(nodes)}
+    g: list[dict[int, float]] = [{} for _ in range(m)]
+    for (u, v), ww in adj.items():
+        i, j = idx.get(u), idx.get(v)
+        if i is None or j is None or i == j:
+            continue
+        g[i][j] = g[i].get(j, 0.0) + ww
+        g[j][i] = g[j].get(i, 0.0) + ww
+    merged: list[list[int]] = [[v] for v in nodes]
+    alive = [True] * m
+    alive_cnt = m
+
+    best, best_side = np.inf, []
+    cands: list[tuple[float, set]] = []
+
+    def consider(val, side_nodes):
+        nonlocal best, best_side
+        if not (0 < len(side_nodes) < m):   # proper cuts only
+            return
+        cands.append((val, set(side_nodes)))
+        if val < best - 1e-15:
+            best, best_side = val, list(side_nodes)
+
+    for i in range(m):
+        consider(sum(g[i].values()), merged[i])
+
+    parent = list(range(m))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    while alive_cnt > 1:
+        start = next(i for i in range(m) if alive[i])
+        conn = [0.0] * m
+        in_a = [False] * m
+        heap = [(0.0, start)]
+        order, rvals = [], []
+        while heap:
+            negc, x = heapq.heappop(heap)
+            if in_a[x] or not alive[x]:
+                continue
+            in_a[x] = True
+            order.append(x)
+            rvals.append(-negc)
+            for y, ww in g[x].items():
+                if alive[y] and not in_a[y]:
+                    conn[y] += ww
+                    heapq.heappush(heap, (-conn[y], y))
+        # cut of the phase: the last scanned group vs the rest
+        cop = rvals[-1]
+        consider(cop, merged[order[-1]])
+        lam = best
+        # batch-contract: consecutive scan pairs with r >= lam, the
+        # final pair (always safe once lam <= cop), PR1 heavy edges, and
+        # the PR2 degree rule (2 w(u,v) >= d(u): any cut separating u,v
+        # can be replaced by a no-worse one that doesn't, except the
+        # singleton {u} — recorded first). PR2 collapses path interiors
+        # in one sweep regardless of lambda-hat.
+        for i in range(1, len(order)):
+            if rvals[i] >= lam - 1e-12:
+                a, b = find(order[i - 1]), find(order[i])
+                if a != b:
+                    parent[a] = b
+        a, b = find(order[-2]), find(order[-1])
+        if a != b:
+            parent[a] = b
+        for i in range(m):
+            if not alive[i]:
+                continue
+            du, wmax, vmax = 0.0, -1.0, -1
+            for j, ww in g[i].items():
+                if not alive[j]:
+                    continue
+                du += ww
+                if ww > wmax:
+                    wmax, vmax = ww, j
+                if ww >= lam - 1e-12:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[ra] = rb
+            if vmax >= 0 and 2.0 * wmax >= du - 1e-12:
+                consider(du, merged[i])
+                ra, rb = find(i), find(vmax)
+                if ra != rb:
+                    parent[ra] = rb
+        # full O(E) rebuild onto group roots (g stores both directions,
+        # so iterating every alive node's map reproduces both)
+        groups: dict[int, list[int]] = {}
+        for i in range(m):
+            if alive[i]:
+                groups.setdefault(find(i), []).append(i)
+        new_g: dict[int, dict[int, float]] = {r: {} for r in groups}
+        for i in range(m):
+            if not alive[i]:
+                continue
+            ri = find(i)
+            tgt = new_g[ri]
+            for j, ww in g[i].items():
+                rj = find(j)
+                if rj != ri:
+                    tgt[rj] = tgt.get(rj, 0.0) + ww
+        for root, members in groups.items():
+            if len(members) > 1:
+                mg: list[int] = []
+                for x in members:
+                    mg.extend(merged[x])
+                    if x != root:
+                        alive[x] = False
+                        alive_cnt -= 1
+                        merged[x] = []
+                merged[root] = mg
+                consider(sum(new_g[root].values()), mg)
+        for i in range(m):
+            g[i] = new_g[i] if alive[i] else {}
+
+    cands.sort(key=lambda c: c[0])
+    return float(best), set(best_side), cands[:32]
+
+
 class GlobalDynamicMinCut:
     """Exact global min-cut maintainer under insert/delete/reweight.
 
@@ -158,8 +305,8 @@ class GlobalDynamicMinCut:
             self._pool = [[0.0, side]]
             self._dirty = False
             return
-        val, sset, phases = stoer_wagner(self.weights,
-                                         [int(a) for a in active])
+        val, sset, phases = noi_mincut(self.weights,
+                                       [int(a) for a in active])
         self._value = float(val)
         side = np.zeros(self.n, bool)
         side[list(sset)] = True

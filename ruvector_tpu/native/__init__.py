@@ -299,10 +299,11 @@ class GlobalIncrementalMinCut:
             cap = k
 
     def stats(self) -> dict:
-        out = np.zeros(4, np.int64)
+        out = np.zeros(5, np.int64)
         _lib.gmc_stats(self._h, out)
         return {"updates": int(out[0]), "o1_updates": int(out[1]),
-                "flow_repairs": int(out[2]), "full_recomputes": int(out[3])}
+                "flow_repairs": int(out[2]), "full_recomputes": int(out[3]),
+                "ball_certified": int(out[4])}
 
 
 def bdense_build(nbr: np.ndarray, mask: np.ndarray, ew: np.ndarray,

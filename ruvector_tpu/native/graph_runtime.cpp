@@ -697,71 +697,117 @@ namespace gmc {
 
 constexpr double EPS = 1e-12;
 
-// compact Dinic for the repair flows (built fresh per repair on the
-// active subgraph; repairs touch the u-v cut structure only)
+// compact Dinic for the repair flows (built fresh per repair). Round 4:
+// CSR arc storage (two xor-paired directed arcs per undirected edge)
+// instead of vector<vector> — the per-repair construction over a
+// 640k-edge graph was ~300 ms of allocator churn and dominated the rare
+// full-graph fallback — and an ITERATIVE blocking-flow walk: augmenting
+// paths on ring-of-clusters graphs run hundreds of thousands of hops,
+// which overflows a recursive DFS stack.
 struct Dinic {
-    struct E { int32_t to, rev; double cap; };
-    std::vector<std::vector<E>> g;
-    explicit Dinic(int32_t n) : g(n) {}
+    int32_t n;
+    std::vector<int32_t> eu, ev;
+    std::vector<double> ec;
+    std::vector<int32_t> off, adj, arc_to;
+    std::vector<double> cap;
+    bool built = false;
+    explicit Dinic(int32_t n_) : n(n_) {}
     void add(int32_t u, int32_t v, double c) {
-        g[u].push_back({v, (int32_t)g[v].size(), c});
-        g[v].push_back({u, (int32_t)g[u].size() - 1, c});  // undirected
+        eu.push_back(u); ev.push_back(v); ec.push_back(c);
+    }
+    void build() {
+        size_t m = eu.size();
+        cap.resize(2 * m); arc_to.resize(2 * m);
+        off.assign(n + 1, 0);
+        for (size_t k = 0; k < m; ++k) { ++off[eu[k] + 1]; ++off[ev[k] + 1]; }
+        for (int32_t i = 0; i < n; ++i) off[i + 1] += off[i];
+        adj.resize(2 * m);
+        std::vector<int32_t> cur(off.begin(), off.end() - 1);
+        for (size_t k = 0; k < m; ++k) {
+            arc_to[2 * k] = ev[k]; arc_to[2 * k + 1] = eu[k];
+            cap[2 * k] = ec[k]; cap[2 * k + 1] = ec[k];   // undirected
+            adj[cur[eu[k]]++] = (int32_t)(2 * k);
+            adj[cur[ev[k]]++] = (int32_t)(2 * k + 1);
+        }
+        built = true;
     }
     std::vector<int32_t> level;
     bool bfs(int32_t s, int32_t t) {
-        level.assign(g.size(), -1);
+        if (!built) build();
+        level.assign(n, -1);
+        std::vector<int32_t> q;
+        q.reserve(n);
+        q.push_back(s);
         level[s] = 0;
-        std::queue<int32_t> q;
-        q.push(s);
-        while (!q.empty()) {
-            int32_t u = q.front(); q.pop();
-            for (auto& e : g[u])
-                if (e.cap > EPS && level[e.to] < 0) {
-                    level[e.to] = level[u] + 1;
-                    q.push(e.to);
-                }
-        }
-        return level[t] >= 0;
-    }
-    double dfs(int32_t u, int32_t t, double f, std::vector<size_t>& it) {
-        if (u == t) return f;
-        for (; it[u] < g[u].size(); ++it[u]) {
-            E& e = g[u][it[u]];
-            if (e.cap > EPS && level[e.to] == level[u] + 1) {
-                double d = dfs(e.to, t, std::min(f, e.cap), it);
-                if (d > EPS) {
-                    e.cap -= d;
-                    g[e.to][e.rev].cap += d;
-                    return d;
+        for (size_t h = 0; h < q.size(); ++h) {
+            int32_t u = q[h];
+            for (int32_t p = off[u]; p < off[u + 1]; ++p) {
+                int32_t a = adj[p], v2 = arc_to[a];
+                if (cap[a] > EPS && level[v2] < 0) {
+                    level[v2] = level[u] + 1;
+                    q.push_back(v2);
                 }
             }
         }
-        return 0.0;
+        return level[t] >= 0;
     }
     // stop_above: early-exit once the accumulated flow reaches it — the
     // caller only needs to know whether the min cut is BELOW that bound
     // (the residual is then not a max-flow residual; don't derive cuts)
     double max_flow(int32_t s, int32_t t, double stop_above = 1e300) {
+        if (!built) build();
         double fl = 0.0;
+        std::vector<int32_t> it(n);
+        std::vector<int32_t> apath, npath;
         while (fl < stop_above && bfs(s, t)) {
-            std::vector<size_t> it(g.size(), 0);
+            for (int32_t i = 0; i < n; ++i) it[i] = off[i];
+            apath.clear();
+            npath.assign(1, s);
             while (fl < stop_above) {
-                double f = dfs(s, t, 1e300, it);
-                if (f <= EPS) break;
-                fl += f;
+                int32_t u = npath.back();
+                if (u == t) {
+                    double f = 1e300;
+                    for (int32_t a : apath) f = std::min(f, cap[a]);
+                    for (int32_t a : apath) { cap[a] -= f; cap[a ^ 1] += f; }
+                    fl += f;
+                    size_t i = 0;
+                    while (i < apath.size() && cap[apath[i]] > EPS) ++i;
+                    apath.resize(i);
+                    npath.resize(i + 1);
+                    continue;
+                }
+                bool advanced = false;
+                for (; it[u] < off[u + 1]; ++it[u]) {
+                    int32_t a = adj[it[u]];
+                    int32_t v2 = arc_to[a];
+                    if (cap[a] > EPS && level[v2] == level[u] + 1) {
+                        apath.push_back(a);
+                        npath.push_back(v2);
+                        advanced = true;
+                        break;
+                    }
+                }
+                if (!advanced) {
+                    if (u == s) break;        // blocked: next phase
+                    level[u] = -1;            // prune the dead end
+                    apath.pop_back();
+                    npath.pop_back();
+                }
             }
         }
         return fl;
     }
     std::vector<uint8_t> reachable(int32_t s) {
-        std::vector<uint8_t> r(g.size(), 0);
-        std::queue<int32_t> q;
-        q.push(s);
+        std::vector<uint8_t> r(n, 0);
+        std::vector<int32_t> q;
+        q.push_back(s);
         r[s] = 1;
-        while (!q.empty()) {
-            int32_t u = q.front(); q.pop();
-            for (auto& e : g[u])
-                if (e.cap > EPS && !r[e.to]) { r[e.to] = 1; q.push(e.to); }
+        for (size_t h = 0; h < q.size(); ++h) {
+            int32_t u = q[h];
+            for (int32_t p = off[u]; p < off[u + 1]; ++p) {
+                int32_t a = adj[p], v2 = arc_to[a];
+                if (cap[a] > EPS && !r[v2]) { r[v2] = 1; q.push_back(v2); }
+            }
         }
         return r;
     }
@@ -895,6 +941,184 @@ struct Solver {
         }
     }
 
+    // --- exact NOI (Nagamochi-Ono-Ibaraki) global min cut ---------------
+    // One maximum-adjacency scan per round; by the NI scan-value lemma
+    // lambda(v_{i-1}, v_i) >= r(v_i), so every consecutive pair with
+    // r >= lambda-hat contracts (simultaneous contraction is safe:
+    // contracting one pair never lowers another pair's connectivity),
+    // plus the Padberg-Rinaldi rule w(e) >= lambda-hat. Clustered
+    // graphs collapse in a handful of O(E log V) scans — this replaces
+    // Stoer-Wagner's O(V) phases for the full recompute (38 s at 20k
+    // nodes in round 3 -> well under a second). Worst case (uniform
+    // cycle) degrades to one contraction per scan = Stoer-Wagner.
+    // Mirrors mincut/global_dynamic.noi_mincut (the fuzz-pinned
+    // reference). Ref capability: ruvector-mincut/src/lib.rs:1-57.
+    void noi_mincut(const std::vector<int32_t>& nodes, double& best,
+                    std::vector<uint8_t>& best_side,
+                    std::vector<Cand>& cands) {
+        int32_t m = (int32_t)nodes.size();
+        std::vector<int32_t> id(n, -1);
+        for (int32_t i = 0; i < m; ++i) id[nodes[i]] = i;
+        std::vector<std::unordered_map<int32_t, double>> g(m);
+        for (int32_t i = 0; i < m; ++i)
+            for (auto& kv : nbr[nodes[i]]) {
+                int32_t j = id[kv.first];
+                if (j >= 0 && j != i && kv.second > EPS)
+                    g[i][j] += kv.second;
+            }
+        std::vector<std::vector<int32_t>> merged(m);
+        for (int32_t i = 0; i < m; ++i) merged[i] = {nodes[i]};
+        std::vector<uint8_t> alive(m, 1);
+        int32_t alive_cnt = m;
+
+        best = 1e300;
+        std::vector<int32_t> best_members;
+        // bounded candidate set: (value, member list) copies, worst-first
+        const size_t K = 24;
+        std::vector<std::pair<double, std::vector<int32_t>>> cbuf;
+        auto consider = [&](double val, const std::vector<int32_t>& mem) {
+            if (mem.empty() || (int32_t)mem.size() >= m) return;
+            if (val < best - 1e-15) { best = val; best_members = mem; }
+            if (cbuf.size() < K) {
+                cbuf.push_back({val, mem});
+                std::push_heap(cbuf.begin(), cbuf.end());
+            } else if (val < cbuf.front().first) {
+                std::pop_heap(cbuf.begin(), cbuf.end());
+                cbuf.back() = {val, mem};
+                std::push_heap(cbuf.begin(), cbuf.end());
+            }
+        };
+        for (int32_t i = 0; i < m; ++i) {
+            double d = 0.0;
+            for (auto& kv : g[i]) d += kv.second;
+            consider(d, merged[i]);
+        }
+
+        std::vector<int32_t> parent(m);
+        for (int32_t i = 0; i < m; ++i) parent[i] = i;
+        auto find = [&](int32_t a) {
+            while (parent[a] != a) { parent[a] = parent[parent[a]]; a = parent[a]; }
+            return a;
+        };
+
+        std::vector<double> conn(m);
+        std::vector<uint8_t> in_a(m);
+        while (alive_cnt > 1) {
+            int32_t start = -1;
+            for (int32_t i = 0; i < m; ++i)
+                if (alive[i]) { start = i; break; }
+            std::fill(conn.begin(), conn.end(), 0.0);
+            std::fill(in_a.begin(), in_a.end(), 0);
+            std::priority_queue<std::pair<double, int32_t>> pq;
+            pq.push({0.0, start});
+            std::vector<int32_t> order;
+            std::vector<double> rvals;
+            order.reserve(alive_cnt);
+            while (!pq.empty()) {
+                auto [cw, x] = pq.top();
+                pq.pop();
+                if (in_a[x] || !alive[x] || cw < conn[x] - 1e-15) continue;
+                in_a[x] = 1;
+                order.push_back(x);
+                rvals.push_back(cw);
+                for (auto& kv : g[x])
+                    if (alive[kv.first] && !in_a[kv.first]) {
+                        conn[kv.first] += kv.second;
+                        pq.push({conn[kv.first], kv.first});
+                    }
+            }
+            if (order.size() < 2) break;  // disconnected (caller guards)
+            double cop = rvals.back();
+            consider(cop, merged[order.back()]);
+            double lam = best;
+            auto uni = [&](int32_t a, int32_t b) {
+                int32_t ra = find(a), rb = find(b);
+                if (ra != rb) parent[ra] = rb;
+            };
+            for (size_t i = 1; i < order.size(); ++i)
+                if (rvals[i] >= lam - 1e-12) uni(order[i - 1], order[i]);
+            uni(order[order.size() - 2], order.back());
+            for (int32_t i = 0; i < m; ++i) {
+                if (!alive[i]) continue;
+                // PR1: a >= lambda-hat edge crosses no better cut.
+                // PR2 (Padberg-Rinaldi degree rule): if 2 w(u,v) >= d(u)
+                // then any cut separating u,v can be replaced by a
+                // no-worse cut that doesn't — except the singleton {u},
+                // which is recorded first. Batch-safe: d(u) is invariant
+                // under contractions of other pairs and w(u, group(v))
+                // only grows. This collapses path/chain interiors in one
+                // sweep regardless of lambda-hat — the clustered 500k
+                // first query was 22 s on NI pairs alone.
+                double du = 0.0, wmax = -1.0;
+                int32_t vmax = -1;
+                for (auto& kv : g[i]) {
+                    if (!alive[kv.first]) continue;
+                    du += kv.second;
+                    if (kv.second > wmax) { wmax = kv.second; vmax = kv.first; }
+                    if (kv.second >= lam - 1e-12) uni(i, kv.first);
+                }
+                if (vmax >= 0 && 2.0 * wmax >= du - 1e-12) {
+                    consider(du, merged[i]);
+                    uni(i, vmax);
+                }
+            }
+            // full O(E) rebuild onto group roots (g holds both
+            // directions, so iterating every alive node reproduces both)
+            std::unordered_map<int32_t, std::vector<int32_t>> groups;
+            for (int32_t i = 0; i < m; ++i)
+                if (alive[i]) groups[find(i)].push_back(i);
+            std::unordered_map<int32_t,
+                               std::unordered_map<int32_t, double>> new_g;
+            for (auto& kv : groups) new_g[kv.first] = {};
+            for (int32_t i = 0; i < m; ++i) {
+                if (!alive[i]) continue;
+                int32_t ri = find(i);
+                auto& tgt = new_g[ri];
+                for (auto& e : g[i]) {
+                    int32_t rj = find(e.first);
+                    if (rj != ri) tgt[rj] += e.second;
+                }
+            }
+            for (auto& kv : groups) {
+                int32_t root = kv.first;
+                auto& members = kv.second;
+                if (members.size() > 1) {
+                    std::vector<int32_t> mg;
+                    for (int32_t x : members) {
+                        mg.insert(mg.end(), merged[x].begin(),
+                                  merged[x].end());
+                        if (x != root) {
+                            alive[x] = 0;
+                            --alive_cnt;
+                            merged[x].clear();
+                            merged[x].shrink_to_fit();
+                        }
+                    }
+                    merged[root] = std::move(mg);
+                    double d = 0.0;
+                    for (auto& e : new_g[root]) d += e.second;
+                    consider(d, merged[root]);
+                }
+            }
+            for (int32_t i = 0; i < m; ++i) {
+                if (alive[i]) g[i] = std::move(new_g[find(i)]);
+                else g[i].clear();
+            }
+        }
+
+        best_side.assign(n, 0);
+        for (int32_t x : best_members) best_side[x] = 1;
+        std::sort(cbuf.begin(), cbuf.end(),
+                  [](auto& a, auto& b) { return a.first < b.first; });
+        for (auto& c : cbuf) {
+            Cand cd;
+            cd.v = c.first;
+            cd.side.assign(n, 0);
+            for (int32_t x : c.second) cd.side[x] = 1;
+            cands.push_back(std::move(cd));
+        }
+    }
+
     void full_recompute() {
         ++st_rec;
         pool.clear();
@@ -934,12 +1158,11 @@ struct Solver {
         double best;
         std::vector<uint8_t> best_side;
         std::vector<Cand> phases;
-        stoer_wagner(act, best, best_side, phases);
+        noi_mincut(act, best, best_side, phases);
         value_ = best;
         side_ = best_side;
         pool.push_back({value_, side_});
-        std::sort(phases.begin(), phases.end(),
-                  [](const Cand& a, const Cand& b) { return a.v < b.v; });
+        // phases arrive value-sorted from noi_mincut
         for (auto& p : phases) {
             if ((int)pool.size() >= pool_size) break;
             bool dup = false;
@@ -949,23 +1172,57 @@ struct Solver {
         }
     }
 
+    // --- persistent flow scaffold (round 4) ------------------------------
+    // The full-graph Dinic fallback rebuilt its graph from the weight
+    // hash map per repair (~300 ms of the ~470 ms at 500k nodes). The
+    // master CSR is built once; deletes and reweights patch pristine
+    // arc capacities in O(1) (cap 0 == absent — exact), so only a
+    // BRAND-NEW edge invalidates it. Per repair: one capacity memcpy +
+    // the flow itself.
+    Dinic master{0};
+    std::vector<double> cap0;
+    std::unordered_map<int64_t, int32_t> edge_arc;
+    bool master_valid = false;
+
+    void master_patch(int64_t k, double ww) {
+        if (!master_valid) return;
+        auto it = edge_arc.find(k);
+        if (it == edge_arc.end()) { master_valid = false; return; }
+        cap0[2 * it->second] = cap0[2 * it->second + 1] = ww;
+    }
+
+    void ensure_master() {
+        if (master_valid) return;
+        master = Dinic(n);
+        edge_arc.clear();
+        edge_arc.reserve(w.size() * 2);
+        int32_t k = 0;
+        for (auto& kv : w) {
+            if (kv.second <= EPS) continue;
+            int32_t a = (int32_t)(kv.first / n), b = (int32_t)(kv.first % n);
+            edge_arc[kv.first] = k++;
+            master.add(a, b, kv.second);
+        }
+        master.build();
+        cap0 = master.cap;
+        // the edge list is only needed for (re)build; drop ~24 B/edge
+        master.eu.clear(); master.eu.shrink_to_fit();
+        master.ev.clear(); master.ev.shrink_to_fit();
+        master.ec.clear(); master.ec.shrink_to_fit();
+        master_valid = true;
+    }
+
     void st_cut(int32_t u, int32_t v, double& flow,
                 std::vector<uint8_t>& side, double stop_above = 1e300) {
-        auto act = active_nodes();
-        std::vector<int32_t> id(n, -1);
-        for (size_t i = 0; i < act.size(); ++i) id[act[i]] = (int32_t)i;
-        Dinic d((int32_t)act.size());
-        for (auto& kv : w) {
-            int32_t a = (int32_t)(kv.first / n), b = (int32_t)(kv.first % n);
-            if (kv.second > EPS) d.add(id[a], id[b], kv.second);
-        }
-        flow = d.max_flow(id[u], id[v], stop_above);
+        ensure_master();
+        master.cap = cap0;
+        flow = master.max_flow(u, v, stop_above);
         ++st_flow;
         if (flow >= stop_above) { side.assign(n, 0); return; }
-        auto r = d.reachable(id[u]);
+        auto r = master.reachable(u);
         side.assign(n, 0);
-        for (size_t i = 0; i < act.size(); ++i)
-            if (r[i]) side[act[i]] = 1;
+        for (int32_t i = 0; i < n; ++i)
+            if (r[i] && deg[i] > EPS) side[i] = 1;
     }
 
     void promote(int from_idx) {
@@ -1083,6 +1340,68 @@ struct Solver {
         }
     }
 
+    // --- ball certificate (round 4) --------------------------------------
+    // Exact LOCAL lower bound on lambda_G'(u, v): max-flow restricted to
+    // the subgraph induced on a BFS ball around {u, v} never exceeds the
+    // true u-v min cut (subgraph flows are valid flows), so local flow
+    // >= value_ certifies "no u-v-separating cut dropped below the
+    // optimum" without touching the other 99.9% of a 500k-node graph.
+    // If the ball exhausts the whole component the local answer IS the
+    // exact repair. Returns true when the repair is fully handled.
+    int64_t st_ball = 0;
+    bool ball_repair(int32_t u, int32_t v) {
+        // escalate: a tiny ball certifies the common intra-cluster case
+        // (any local path of capacity >= lambda suffices) at ~1/20 the
+        // cost; the big ball catches genuinely weak neighborhoods
+        return ball_repair_cap(u, v, 128) || ball_repair_cap(u, v, 2048);
+    }
+    bool ball_repair_cap(int32_t u, int32_t v, size_t cap) {
+        std::vector<int32_t> ball;
+        std::unordered_map<int32_t, int32_t> id;
+        ball.reserve(cap + 8);
+        std::queue<int32_t> q;
+        auto push = [&](int32_t x) {
+            if (id.emplace(x, (int32_t)ball.size()).second) {
+                ball.push_back(x);
+                q.push(x);
+            }
+        };
+        push(u);
+        push(v);
+        bool whole = true;
+        while (!q.empty()) {
+            int32_t x = q.front();
+            q.pop();
+            for (auto& kv : nbr[x]) {
+                if (kv.second <= EPS) continue;
+                if (id.count(kv.first)) continue;
+                if (ball.size() >= cap) { whole = false; break; }
+                push(kv.first);
+            }
+            if (!whole) break;
+        }
+        Dinic d((int32_t)ball.size());
+        for (size_t i = 0; i < ball.size(); ++i)
+            for (auto& kv : nbr[ball[i]]) {
+                auto it = id.find(kv.first);
+                if (it != id.end() && kv.second > EPS
+                        && ball[i] < kv.first)
+                    d.add((int32_t)i, it->second, kv.second);
+            }
+        double flow = d.max_flow(id[u], id[v],
+                                 whole ? 1e300 : value_ - EPS);
+        if (flow >= value_ - EPS) { ++st_ball; return true; }  // certified
+        if (!whole) return false;           // inconclusive -> full Dinic
+        // ball == whole component: the local cut is the exact repair
+        auto r = d.reachable(id[u]);
+        std::vector<uint8_t> side(n, 0);
+        for (size_t i = 0; i < ball.size(); ++i)
+            if (r[i]) side[ball[i]] = 1;
+        ++st_flow;
+        after_st_repair(flow, side);
+        return true;
+    }
+
     void decrease_repair(int32_t u, int32_t v, double delta) {
         if (dirty) return;
         bool u_off = deg[u] <= EPS, v_off = deg[v] <= EPS;
@@ -1097,6 +1416,7 @@ struct Solver {
             ++st_o1;
             return;
         }
+        if (ball_repair(u, v)) return;
         // early-exit bound: we only need to know if the u-v cut dropped
         // below the current optimum (flow >= value_ proves no change)
         double flow;
@@ -1112,6 +1432,7 @@ struct Solver {
             return;
         int64_t k = key(u, v, n);
         w[k] += ww;
+        master_patch(k, w[k]);
         nbr[u][v] += ww;
         nbr[v][u] += ww;
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
@@ -1135,6 +1456,7 @@ struct Solver {
         if (it == w.end()) return;
         double ww = it->second;
         w.erase(it);
+        master_patch(k, 0.0);   // cap 0 == absent: master stays valid
         nbr[u].erase(v);
         nbr[v].erase(u);
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
@@ -1155,6 +1477,7 @@ struct Solver {
         double delta = ww - it->second;
         if (std::abs(delta) < 1e-15) return;
         it->second = ww;
+        master_patch(k, ww);
         nbr[u][v] = ww;
         nbr[v][u] = ww;
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
@@ -1214,12 +1537,13 @@ int64_t gmc_cut_edges(void* h, int32_t* u_out, int32_t* v_out,
     }
     return cnt;
 }
-void gmc_stats(void* h, int64_t* out4) {
+void gmc_stats(void* h, int64_t* out5) {
     auto* sv = (gmc::Solver*)h;
-    out4[0] = sv->st_updates;
-    out4[1] = sv->st_o1;
-    out4[2] = sv->st_flow;
-    out4[3] = sv->st_rec;
+    out5[0] = sv->st_updates;
+    out5[1] = sv->st_o1;
+    out5[2] = sv->st_flow;
+    out5[3] = sv->st_rec;
+    out5[4] = sv->st_ball;   // ball-certified decrease repairs (round 4)
 }
 
 }  // extern "C"

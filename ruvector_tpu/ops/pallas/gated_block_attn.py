@@ -57,8 +57,11 @@ def _make_kernel(heads: int, compute_bf16: bool):
 
         out = jnp.zeros_like(X)
         for h in range(heads):
+            # bf16 mode runs the A matmul on bf16 operands too (f32
+            # accumulate): the f32 MXU pass was ~1/3 of kernel time
             q = jax.lax.dot_general(
-                X, A_ref[h], (((1,), (0,)), ((), ())),
+                X.astype(cdt), A_ref[h].astype(cdt),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)            # [B, D] (scale folded)
             s = jax.lax.dot_general(
                 q.astype(cdt), XT, (((1,), (0,)), ((), ())),
@@ -144,7 +147,7 @@ def _make_bwd_kernel(heads: int, compute_bf16: bool):
             W_h = Wvo_ref[h]
             # --- recompute forward intermediates (exactly as _make_kernel)
             q = jax.lax.dot_general(
-                X, A_h, (((1,), (0,)), ((), ())),
+                X.astype(cdt), A_h.astype(cdt), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)            # [B, D]
             s = jax.lax.dot_general(
                 q.astype(cdt), XT, (((1,), (0,)), ((), ())),
@@ -273,6 +276,63 @@ def gated_block_attention(x, keep, pad, A, Wvo, *, compute_bf16: bool):
     """
     keep_io = keep.astype(jnp.bfloat16)    # 0/1 exact; halves mask traffic
     return _gated_attn(x, keep_io, pad[:, None, :], A, Wvo, compute_bf16)
+
+
+def _make_sig_kernel(eps: float, scale: float):
+    def kernel(q_ref, k_ref, pad_ref, rsum_ref, rcnt_ref):
+        f32 = jnp.float32
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32) * scale          # [B, B]
+        pad_row = pad_ref[0].astype(f32)                 # [1, B]
+        valid = pad_row.T * pad_row
+        pos = (s > eps) & (valid > 0)
+        clamped = jnp.where(pos, s, 0.0)
+        rsum_ref[0] = jnp.sum(clamped, axis=1)
+        rcnt_ref[0] = jnp.sum(pos.astype(f32), axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "scale"))
+def block_gate_signature(q, k, pad, *, eps: float, scale: float):
+    """Per-partition gate-signature reduction without HBM logits.
+
+    q, k: [nB, B, D] projected features (f32 or bf16); pad: [nB, B].
+    Computes the pooled logits s = (q @ k^T) * scale per block IN VMEM
+    and returns (rsum, rcnt) [nB, B] f32 — row sums/counts of the
+    eps-clamped positive entries. The per-partition signature is then
+    rsum.sum(1) / max(rcnt.sum(1), 1) (graph_transformer/gated.py
+    _gate_signature semantics, gating.rs:70-102's lambda proxy) — the
+    [nB, B, B] tensor that round 3 materialized (~1 GB/layer at 1M
+    nodes) never exists.
+    """
+    nb, b, d = q.shape
+    in_specs = [
+        pl.BlockSpec((1, b, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        _make_sig_kernel(eps, scale),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((nb, b), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, b), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * b * b * d,
+            bytes_accessed=q.size * q.dtype.itemsize * 2 + nb * b * 8,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, pad[:, None, :])
 
 
 def fold_gated_attention_params(p, cfg):
