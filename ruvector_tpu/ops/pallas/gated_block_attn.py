@@ -279,7 +279,7 @@ def gated_block_attention(x, keep, pad, A, Wvo, *, compute_bf16: bool):
 
 
 def _make_sig_kernel(eps: float, scale: float):
-    def kernel(q_ref, k_ref, pad_ref, rsum_ref, rcnt_ref):
+    def kernel(q_ref, k_ref, pad_ref, out_ref):
         f32 = jnp.float32
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
@@ -288,8 +288,13 @@ def _make_sig_kernel(eps: float, scale: float):
         valid = pad_row.T * pad_row
         pos = (s > eps) & (valid > 0)
         clamped = jnp.where(pos, s, 0.0)
-        rsum_ref[0] = jnp.sum(clamped, axis=1)
-        rcnt_ref[0] = jnp.sum(pos.astype(f32), axis=1)
+        # rows 0/1 of an 8-sublane-padded output (Mosaic needs the last
+        # two block dims tileable; a [1, B] block is rejected, and .at[]
+        # scatter has no TPU lowering — concatenate instead)
+        rsum = jnp.sum(clamped, axis=1)[None, :]
+        rcnt = jnp.sum(pos.astype(f32), axis=1)[None, :]
+        out_ref[0] = jnp.concatenate(
+            [rsum, rcnt, jnp.zeros((6, s.shape[0]), f32)], axis=0)
 
     return kernel
 
@@ -316,23 +321,20 @@ def block_gate_signature(q, k, pad, *, eps: float, scale: float):
         pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_specs = [
-        pl.BlockSpec((1, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _make_sig_kernel(eps, scale),
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((nb, b), jnp.float32),
-                   jax.ShapeDtypeStruct((nb, b), jnp.float32)],
+        out_specs=pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * b * b * d,
-            bytes_accessed=q.size * q.dtype.itemsize * 2 + nb * b * 8,
+            bytes_accessed=q.size * q.dtype.itemsize * 2 + nb * b * 32,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
     )(q, k, pad[:, None, :])
+    return out[:, 0], out[:, 1]
 
 
 def fold_gated_attention_params(p, cfg):
