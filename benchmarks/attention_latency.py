@@ -71,8 +71,6 @@ def main():
         # difference timing: T(long) - T(short) cancels the fixed
         # dispatch+fetch overhead of the dev tunnel (~tens of ms), leaving
         # pure per-iteration device time
-        short, long_ = 10, 510
-
         def make_chain(iters):
             def chain(params, q, k, v):
                 def body(x, _):
@@ -83,28 +81,34 @@ def main():
             return jax.jit(chain)
 
         try:
-            f_short, f_long = make_chain(short), make_chain(long_)
-            float(f_short(params, q, k, v))            # compile + warm
-            float(f_long(params, q, k, v))
+            # escalate the iteration count until the long-short signal
+            # clears the tunnel's fetch jitter (multi-ms): round 3 read
+            # 0.0 us for 8/18 mechanisms because 500 iterations of a
+            # sub-us kernel is less signal than the noise floor
+            short = 10
             q2 = q + 0.01
-            # median-of-3 difference pairs: one pair sits inside the
-            # tunnel's multi-ms fetch jitter for microsecond mechanisms
-            diffs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(f_short(params, q2, k, v))
-                t_short = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                float(f_long(params, q2, k, v))
-                t_long = time.perf_counter() - t0
-                diffs.append(t_long - t_short)
-            diffs.sort()
-            dt = max(diffs[1], 1e-9) / (long_ - short)
-            us = dt * 1e6
-            entry = {"us_per_call": round(us, 1), "dim": d,
-                     "host_loop": False}
-            if us < 2.0:
-                entry["note"] = "below tunnel timing noise (~2us)"
+            us = 0.0
+            for long_ in (510, 5_010, 50_010):
+                f_short, f_long = make_chain(short), make_chain(long_)
+                float(f_short(params, q, k, v))        # compile + warm
+                float(f_long(params, q, k, v))
+                # median-of-3 difference pairs
+                diffs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(f_short(params, q2, k, v))
+                    t_short = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    float(f_long(params, q2, k, v))
+                    t_long = time.perf_counter() - t0
+                    diffs.append(t_long - t_short)
+                diffs.sort()
+                med = max(diffs[1], 1e-9)
+                us = med / (long_ - short) * 1e6
+                if med > 0.02:          # >=20 ms of signal: jitter-proof
+                    break
+            entry = {"us_per_call": round(us, 2), "dim": d,
+                     "host_loop": False, "amortized_iters": long_}
             results[name] = entry
         except Exception:
             # host-stage mechanism: per-call timing (includes host work)
@@ -167,9 +171,19 @@ def main():
     except Exception as e:
         results["cgt_batch32"] = {"error": str(e)[:120]}
 
+    # reference target: <100 us per mechanism @ 100 tokens
+    # (benches/attention_latency.rs). Asserted per row; batch rows are
+    # judged per sequence.
+    for name, e in results.items():
+        if "us_per_call" in e:
+            per_seq = e["us_per_call"] / e.get("batch", 1)
+            e["meets_target_100us"] = bool(per_seq < 100.0)
     payload = {"tokens": s, "batch": b,
                "backend": jax.devices()[0].platform,
                "reference_target_us": 100,
+               "all_meet_target": all(
+                   e.get("meets_target_100us", False)
+                   for e in results.values() if "error" not in e),
                "mechanisms": results}
     print(json.dumps(payload, indent=1))
     if args.json:

@@ -88,7 +88,11 @@ def main():
     t0 = time.time()
     state = init_fn(params, fpad, bdg)
     float(jnp.sum(state["sig"]))          # value fetch = real sync
-    t_init = time.time() - t0
+    t_init_cold = time.time() - t0        # includes XLA compile
+    t0 = time.time()
+    state = init_fn(params, fpad, bdg)
+    float(jnp.sum(state["sig"]))
+    t_init = time.time() - t0             # pure device execution
 
     max_resolve = max(1, bdg.n_blocks // 16)
 

@@ -1,0 +1,146 @@
+"""GATE_STALENESS_r04.json — output quality under sustained drift with a
+budget-capped gate refresh (VERDICT r4 ask #5).
+
+Round 3 pinned init==stateless, zero-drift reuse and the budget cap, but
+nothing bounded what a STALE mask costs: under sustained feature drift
+the budget (nB/16 per layer per step) refreshes the oldest flagged
+partitions first, so every mask's age is bounded by
+ceil(flagged/budget) steps — this bench measures what that staleness
+does to the OUTPUT.
+
+Protocol (250k-node clustered graph, 2 layers, bf16 compute):
+  drive `steps` drift steps (feature perturbation each step); at each
+  step run BOTH
+    - the budgeted incremental step (gated_graph_transformer_step), and
+    - a fresh full solve at the same features (gate_state_init ==
+      zero-staleness oracle),
+  and record relative output divergence ||out_budget - out_fresh|| /
+  ||out_fresh||, the mask-disagreement fraction, and the age
+  distribution. Repeated for max_gate_age=0 (pure hysteresis) and
+  max_gate_age=8 (hard bound) to show the bound engaging.
+
+Pass bound asserted in the artifact: median relative divergence
+<= 0.05 and p100 <= 0.15 with the hard age bound on — i.e. a
+budget-stale mask costs at most a few percent of output, and the knob
+to tighten it exists. Ref semantics: gating.rs:70-102 hysteresis.
+
+Run: python benchmarks/gate_staleness.py [--nodes N] [--steps K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from scale_sweep_r02 import gen_cluster_graph  # noqa: E402
+
+BLOCK = 256
+DEGREE = 16
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=249_856)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--drift", type=float, default=0.05)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from ruvector_tpu.graph import build_block_dense
+    from ruvector_tpu.graph_transformer.gated import (
+        GatedGraphTransformerConfig,
+        gate_state_init,
+        gated_graph_transformer_init,
+        gated_graph_transformer_step,
+    )
+
+    n, d = args.nodes, args.dim
+    feats, idx, mask, ew = gen_cluster_graph(n, d, DEGREE)
+    bdg = build_block_dense(
+        jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(ew), block=BLOCK)
+    nb = bdg.n_blocks
+
+    rows = {}
+    for age_bound in (0, 8):
+        cfg = GatedGraphTransformerConfig(
+            dim=d, num_layers=2, compute_dtype="bfloat16",
+            max_gate_age=age_bound)
+        params = gated_graph_transformer_init(jax.random.key(0), cfg)
+        fpad0 = bdg.pad_features(jnp.asarray(feats))
+
+        init_fn = jax.jit(lambda p, f: gate_state_init(p, cfg, f, bdg))
+        step_fn = jax.jit(
+            lambda p, f, s: gated_graph_transformer_step(
+                p, cfg, f, bdg, s, max_resolve=max(1, nb // 16)))
+
+        state = init_fn(params, fpad0)
+
+        divs, mask_dis, ages_max, resolved = [], [], [], []
+        key = jax.random.key(7)
+        fpad = fpad0
+        for t in range(args.steps):
+            key, sub = jax.random.split(key)
+            fpad = fpad + args.drift * jax.random.normal(
+                sub, fpad.shape, fpad.dtype)
+            out_b, state, nres = step_fn(params, fpad, state)
+            fresh = init_fn(params, fpad)           # zero-staleness oracle
+            # oracle output under fresh masks = one stateless init pass;
+            # its final x IS the fresh-mask forward, but gate_state_init
+            # returns state only — run the step against the fresh state
+            # with zero budget consumed (no drift vs itself)
+            out_f, _, _ = step_fn(params, fpad, fresh)
+            num = float(jnp.linalg.norm(out_b - out_f))
+            den = float(jnp.linalg.norm(out_f)) + 1e-9
+            divs.append(num / den)
+            mask_dis.append(float(jnp.mean(
+                state["keep"] != fresh["keep"])))
+            ages_max.append(int(jnp.max(state["age"])))
+            resolved.append(int(nres))
+
+        divs_np = np.asarray(divs)
+        rows[f"max_gate_age_{age_bound}"] = {
+            "steps": args.steps,
+            "drift_sigma": args.drift,
+            "rel_output_divergence_median": round(
+                float(np.median(divs_np)), 5),
+            "rel_output_divergence_p100": round(float(divs_np.max()), 5),
+            "mask_disagreement_frac_median": round(
+                float(np.median(mask_dis)), 5),
+            "max_age_seen": max(ages_max),
+            "resolved_per_step": resolved[:8] + ["..."],
+            "bound_ok": bool(np.median(divs_np) <= 0.05
+                             and divs_np.max() <= 0.15),
+        }
+        print(json.dumps({f"max_gate_age_{age_bound}":
+                          rows[f"max_gate_age_{age_bound}"]}), flush=True)
+
+    payload = {
+        "config": "gated GT staleness under sustained drift, "
+                  f"{n} nodes, budget nB/16, 2 layers, bf16",
+        "backend": jax.devices()[0].platform,
+        "partitions": nb,
+        "rows": rows,
+    }
+    out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "GATE_STALENESS_r04.json")
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,14 @@ def main():
     pooled = _pooled_logits(h, pad, p["wq"], p["wk"], cfg)
     t("signature", lambda pl_: _gate_signature(pl_, cfg.eps), pooled)
 
+    from ruvector_tpu.graph_transformer.gated import (  # noqa: E402
+        _fold_sig_params,
+        _signature_fused_x,
+    )
+    A_sig = _fold_sig_params(p, cfg)
+    t("signature_x",
+      lambda hh: _signature_fused_x(hh, A_sig, pad, cfg), h)
+
     sub = pooled[:max_resolve]
     t("gate_solve",
       lambda ss: jax.vmap(

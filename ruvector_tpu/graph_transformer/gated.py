@@ -303,6 +303,39 @@ def _signature_fused(q, k, node_pad, cfg):
     return jnp.sum(rsum, axis=1) / jnp.maximum(jnp.sum(rcnt, axis=1), 1.0)
 
 
+def _fold_sig_params(p, cfg):
+    """A_sig = Wq @ Wk^T / (sqrt(dh) * H): the head-mean pooled-logit
+    matrix folded so signature AND selected-partition pooled logits read
+    the pre-norm features directly — the per-step q/k projections
+    (2x [nB, B, D] HBM write+read per layer) existed only to feed drift
+    detection."""
+    return (p["wq"] @ p["wk"].T) * (
+        1.0 / (cfg.head_dim ** 0.5) / cfg.num_heads)
+
+
+def _signature_fused_x(h, A_sig, node_pad, cfg):
+    from ruvector_tpu.ops.pallas.gated_block_attn import (
+        block_gate_signature_x,
+    )
+
+    rsum, rcnt = block_gate_signature_x(
+        h, node_pad, A_sig, eps=cfg.eps,
+        compute_bf16=cfg.compute_dtype == "bfloat16")
+    return jnp.sum(rsum, axis=1) / jnp.maximum(jnp.sum(rcnt, axis=1), 1.0)
+
+
+def _pooled_from_x(h_sel, pad_sel, A_sig):
+    """Pooled (head-mean) logits for a subset of partitions, straight
+    from pre-norm features: X (Wq Wk^T / (sqrt(dh) H)) X^T with -1.0 on
+    padding — _pooled_from_qk's output by the A-folded association."""
+    qs = jnp.einsum("kbd,de->kbe", h_sel, A_sig,
+                    preferred_element_type=jnp.float32)
+    lg = jnp.einsum("kqd,kjd->kqj", qs, h_sel,
+                    preferred_element_type=jnp.float32)
+    valid = pad_sel[:, :, None] * pad_sel[:, None, :]
+    return jnp.where(valid > 0, lg, -1.0)
+
+
 def _gate_signature(pooled, eps):
     """Per-partition lambda proxy: mean positive clamped logit — the same
     statistic the gate thresholds against (gating.rs:70-102)."""
@@ -404,7 +437,6 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
     keeps, sigs = [], []
     for p in params:
         h = layer_norm_apply(p["ln1"], x)
-        q, k = _qk_proj(h, p["wq"], p["wk"], cfg)
         c = max(cc for cc in range(1, min(cfg.gate_chunk, nb) + 1)
                 if nb % cc == 0)
 
@@ -412,18 +444,22 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
             return t.reshape(nb // c, c, *t.shape[1:])
 
         # pooled logits are (re)built per chunk inside the map body —
-        # the full [nB, B, B] tensor never exists in HBM
+        # the full [nB, B, B] tensor never exists in HBM. The A-folded
+        # form (X A_sig X^T) skips the q/k projections entirely; it is
+        # the SAME function the step's solve path uses, so budget-capped
+        # re-solves reproduce init masks exactly.
+        A_sig = _fold_sig_params(p, cfg)
         keep = jax.lax.map(
             lambda args: jax.vmap(
                 lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
-                _pooled_from_qk(*args, cfg)),
-            (rc(q), rc(k), rc(bdg.node_pad))).reshape(nb, b, b)
+                _pooled_from_x(args[0], args[1], A_sig)),
+            (rc(h), rc(bdg.node_pad))).reshape(nb, b, b)
         keeps.append(keep)
         if fused:
-            sigs.append(_signature_fused(q, k, bdg.node_pad, cfg))
+            sigs.append(_signature_fused_x(h, A_sig, bdg.node_pad, cfg))
         else:
             sigs.append(_gate_signature(
-                _pooled_from_qk(q, k, bdg.node_pad, cfg), cfg.eps))
+                _pooled_from_x(h, bdg.node_pad, A_sig), cfg.eps))
         x = _layer_with_keep(p, cfg, x, bdg, keep, fused=True)
     return {"keep": jnp.stack(keeps), "sig": jnp.stack(sigs),
             "age": jnp.zeros((len(params), nb), jnp.int32)}
@@ -454,12 +490,12 @@ def gated_graph_transformer_step(
     fused = _use_fused_attn(cfg, b, x.shape[-1])
     for li, p in enumerate(params):
         h = layer_norm_apply(p["ln1"], x)
-        q, k = _qk_proj(h, p["wq"], p["wk"], cfg)
+        A_sig = _fold_sig_params(p, cfg)
         if fused:
-            sig = _signature_fused(q, k, bdg.node_pad, cfg)
+            sig = _signature_fused_x(h, A_sig, bdg.node_pad, cfg)
         else:
             sig = _gate_signature(
-                _pooled_from_qk(q, k, bdg.node_pad, cfg), cfg.eps)
+                _pooled_from_x(h, bdg.node_pad, A_sig), cfg.eps)
         prev_sig = state["sig"][li]
         drift = jnp.abs(sig - prev_sig)
         flagged = drift > cfg.hysteresis_band * (jnp.abs(prev_sig) + 1e-6)
@@ -479,9 +515,9 @@ def gated_graph_transformer_step(
             # pooled logits only for the selected partitions — the full
             # [nB, B, B] tensor is never materialized (round 3 built and
             # carried ~1 GB/layer through HBM at 1M nodes)
-            sub = _pooled_from_qk(
-                jnp.take(q, idx, axis=0), jnp.take(k, idx, axis=0),
-                jnp.take(bdg.node_pad, idx, axis=0), cfg)  # [k, B, B]
+            sub = _pooled_from_x(
+                jnp.take(h, idx, axis=0),
+                jnp.take(bdg.node_pad, idx, axis=0), A_sig)  # [k, B, B]
             keep_k = jax.vmap(
                 lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(sub)
             old_k = jnp.take(keep_prev, idx, axis=0)

@@ -42,50 +42,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(heads: int, compute_bf16: bool):
+    """A_ref/Wvo_ref arrive head-CONCATENATED: [D, H*D]. The per-head
+    q/y projections then batch into ONE [B, D] x [D, H*D] matmul each
+    (the round-3 per-head loop issued 4x as many small MXU ops with a
+    serial q->s->softmax->av dependency chain per head; with q/y hoisted
+    the heads' score/softmax/AV pipelines are independent and Mosaic
+    overlaps head h's VPU softmax with head h+1's MXU score matmul)."""
+
     def kernel(x_ref, keep_ref, pad_ref, A_ref, Wvo_ref, out_ref):
         f32 = jnp.float32
         cdt = jnp.bfloat16 if compute_bf16 else f32
         X = x_ref[0].astype(f32)                       # [B, D]
+        d = X.shape[1]
         # pad rides a [1, B] row (a [B, 1] unit-lane operand tile-pads
         # 128x in HBM); transpose to the column form in VMEM
         pad_row = pad_ref[0].astype(f32)               # [1, B]
         pad = pad_row.T                                # [B, 1]
         # valid pairs = pad outer product; gate mask is shared across heads
         valid = pad * pad_row                          # [B, B]
-        mask = keep_ref[0].astype(f32) * valid
-        XT = X.astype(cdt).T                           # [D, B] cdt
+        keepb = (keep_ref[0].astype(f32) * valid) > 0
+        Xc = X.astype(cdt)
+        XT = Xc.T                                      # [D, B] cdt
+
+        # bf16 mode runs the MXU passes on bf16 operands (f32 accumulate)
+        q = jax.lax.dot_general(
+            Xc, A_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                # [B, H*D]
+        y = jax.lax.dot_general(
+            Xc, Wvo_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                # [B, H*D]
 
         out = jnp.zeros_like(X)
         for h in range(heads):
-            # bf16 mode runs the A matmul on bf16 operands too (f32
-            # accumulate): the f32 MXU pass was ~1/3 of kernel time
-            q = jax.lax.dot_general(
-                X.astype(cdt), A_ref[h].astype(cdt),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)            # [B, D] (scale folded)
+            q_h = q[:, h * d:(h + 1) * d]              # aligned lane slice
+            y_h = y[:, h * d:(h + 1) * d]
             s = jax.lax.dot_general(
-                q.astype(cdt), XT, (((1,), (0,)), ((), ())),
+                q_h.astype(cdt), XT, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)            # [B, B]
-            # masked eps-guarded softmax (ops/segment.masked_softmax)
-            s = jnp.where(mask > 0, s, -1e30)
+            # masked eps-guarded softmax (ops/segment.masked_softmax);
+            # normalization deferred to the [B, D] output (one fewer
+            # [B, B] VPU pass)
+            s = jnp.where(keepb, s, -1e30)
             smax = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
-            p = jnp.exp(s - smax) * (mask > 0)
-            p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-10)
-            y = jax.lax.dot_general(
-                X.astype(cdt), Wvo_ref[h].astype(cdt),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)            # [B, D]
+            pu = jnp.exp(s - smax) * keepb
+            inv = 1.0 / jnp.maximum(
+                jnp.sum(pu, axis=-1, keepdims=True), 1e-10)
             out = out + jax.lax.dot_general(
-                p.astype(cdt), y.astype(cdt), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
+                pu.astype(cdt), y_h.astype(cdt), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32) * inv
         out_ref[0] = (out * pad).astype(out_ref.dtype)
 
     return kernel
 
 
-def _fwd_pallas(x, keep_io, pad3, A, Wvo, compute_bf16):
+def _fwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16):
     nb, b, d = x.shape
-    h = A.shape[0]
+    h = A_cat.shape[1] // d
     in_specs = [
         pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -93,9 +105,9 @@ def _fwd_pallas(x, keep_io, pad3, A, Wvo, compute_bf16):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, b), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+        pl.BlockSpec((d, h * d), lambda k: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+        pl.BlockSpec((d, h * d), lambda k: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     flops = 2 * nb * b * h * (2 * d + 2 * b) * d
@@ -112,7 +124,7 @@ def _fwd_pallas(x, keep_io, pad3, A, Wvo, compute_bf16):
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=nb * b * h * b),
         interpret=jax.default_backend() != "tpu",
-    )(x, keep_io, pad3, A, Wvo)
+    )(x, keep_io, pad3, A_cat, Wvo_cat)
 
 
 def _make_bwd_kernel(heads: int, compute_bf16: bool):
@@ -133,69 +145,76 @@ def _make_bwd_kernel(heads: int, compute_bf16: bool):
             dWvo_ref[...] = jnp.zeros_like(dWvo_ref)
 
         X = x_ref[0].astype(f32)                       # [B, D]
+        d = X.shape[1]
         pad_row = pad_ref[0].astype(f32)               # [1, B]
         pad = pad_row.T                                # [B, 1]
         valid = pad * pad_row
-        mask = keep_ref[0].astype(f32) * valid
+        keepb = (keep_ref[0].astype(f32) * valid) > 0
         # fold the forward's final `out * pad` into the cotangent
         g = g_ref[0].astype(f32) * pad                 # [B, D]
 
-        XT = X.astype(cdt).T                           # [D, B] cdt
+        Xc = X.astype(cdt)
+        XT = Xc.T                                      # [D, B] cdt
+        # recompute the forward's batched projections (as _make_kernel)
+        q = jax.lax.dot_general(
+            Xc, A_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                # [B, H*D]
+        y = jax.lax.dot_general(
+            Xc, Wvo_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                # [B, H*D]
+
         dX = jnp.zeros_like(X)
+        dq_parts, dy_parts = [], []
         for h in range(heads):
-            A_h = A_ref[h]
-            W_h = Wvo_ref[h]
-            # --- recompute forward intermediates (exactly as _make_kernel)
-            q = jax.lax.dot_general(
-                X.astype(cdt), A_h.astype(cdt), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)            # [B, D]
+            q_h = q[:, h * d:(h + 1) * d]
+            y_h = y[:, h * d:(h + 1) * d]
             s = jax.lax.dot_general(
-                q.astype(cdt), XT, (((1,), (0,)), ((), ())),
+                q_h.astype(cdt), XT, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)            # [B, B]
-            s = jnp.where(mask > 0, s, -1e30)
+            s = jnp.where(keepb, s, -1e30)
             smax = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
-            ph = jnp.exp(s - smax) * (mask > 0)
-            denom = jnp.maximum(jnp.sum(ph, axis=-1, keepdims=True), 1e-10)
-            p = ph / denom
-            y = jax.lax.dot_general(
-                X.astype(cdt), W_h.astype(cdt), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)            # [B, D]
-            # --- backward (out_h = p @ y) ---
+            pu = jnp.exp(s - smax) * keepb
+            denom = jnp.maximum(jnp.sum(pu, axis=-1, keepdims=True), 1e-10)
+            p = pu / denom
+            # --- backward (out_h = p @ y_h) ---
             dp = jax.lax.dot_general(                  # dp[i,j] = g[i]·y[j]
-                g, y, (((1,), (1,)), ((), ())),
+                g, y_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)
-            dy = jax.lax.dot_general(                  # dy[j] = Σ_i p[i,j] g[i]
+            dy_parts.append(jax.lax.dot_general(       # dy[j] = Σ_i p[i,j] g[i]
                 p, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            dWvo_ref[h] += jax.lax.dot_general(
-                X, dy, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            dX = dX + jax.lax.dot_general(             # d(X@W) wrt X
-                dy, W_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
+                preferred_element_type=f32))
             # softmax vjp: masked/fully-masked rows have p == 0 -> ds == 0,
             # matching the eps-guarded forward's zero gradient there
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dq = jax.lax.dot_general(                  # s = q @ X^T
+            dq_parts.append(jax.lax.dot_general(       # s = q_h @ X^T
                 ds, X, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
+                preferred_element_type=f32))
             dX = dX + jax.lax.dot_general(             # dX_j += Σ_i ds[i,j] q[i]
-                ds, q, (((0,), (0,)), ((), ())),
+                ds, q_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
-            dA_ref[h] += jax.lax.dot_general(          # q = X @ A
-                X, dq, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            dX = dX + jax.lax.dot_general(
-                dq, A_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
+        dQ = jnp.concatenate(dq_parts, axis=1)         # [B, H*D]
+        dY = jnp.concatenate(dy_parts, axis=1)
+        # batched parameter/input grads — one [D, H*D]-shaped matmul each
+        dA_ref[...] += jax.lax.dot_general(            # X^T @ dQ
+            X, dQ, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dWvo_ref[...] += jax.lax.dot_general(
+            X, dY, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dX = dX + jax.lax.dot_general(                 # dQ @ A_cat^T
+            dQ, A_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        dX = dX + jax.lax.dot_general(
+            dY, Wvo_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
         dx_ref[0] = dX.astype(dx_ref.dtype)
 
     return kernel
 
 
-def _bwd_pallas(x, keep_io, pad3, A, Wvo, g, compute_bf16):
+def _bwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, g, compute_bf16):
     nb, b, d = x.shape
-    h = A.shape[0]
+    h = A_cat.shape[1] // d
     in_specs = [
         pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -203,9 +222,9 @@ def _bwd_pallas(x, keep_io, pad3, A, Wvo, g, compute_bf16):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, b), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+        pl.BlockSpec((d, h * d), lambda k: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+        pl.BlockSpec((d, h * d), lambda k: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -213,9 +232,9 @@ def _bwd_pallas(x, keep_io, pad3, A, Wvo, g, compute_bf16):
     out_specs = [
         pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+        pl.BlockSpec((d, h * d), lambda k: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, d, d), lambda k: (0, 0, 0),
+        pl.BlockSpec((d, h * d), lambda k: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     flops = 2 * nb * b * h * (6 * d + 5 * b) * d
@@ -228,33 +247,34 @@ def _bwd_pallas(x, keep_io, pad3, A, Wvo, g, compute_bf16):
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((nb, b, d), x.dtype),
-            jax.ShapeDtypeStruct((h, d, d), jnp.float32),
-            jax.ShapeDtypeStruct((h, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, h * d), jnp.float32),
+            jax.ShapeDtypeStruct((d, h * d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=nb * b * h * b),
         interpret=jax.default_backend() != "tpu",
-    )(x, keep_io, pad3, A, Wvo, g)
+    )(x, keep_io, pad3, A_cat, Wvo_cat, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _gated_attn(x, keep_io, pad3, A, Wvo, compute_bf16):
-    return _fwd_pallas(x, keep_io, pad3, A, Wvo, compute_bf16)
+def _gated_attn(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16):
+    return _fwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16)
 
 
-def _gated_attn_fwd(x, keep_io, pad3, A, Wvo, compute_bf16):
-    out = _fwd_pallas(x, keep_io, pad3, A, Wvo, compute_bf16)
-    return out, (x, keep_io, pad3, A, Wvo)
+def _gated_attn_fwd(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16):
+    out = _fwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16)
+    return out, (x, keep_io, pad3, A_cat, Wvo_cat)
 
 
 def _gated_attn_bwd(compute_bf16, res, g):
-    x, keep_io, pad3, A, Wvo = res
-    dx, dA, dWvo = _bwd_pallas(x, keep_io, pad3, A, Wvo, g, compute_bf16)
+    x, keep_io, pad3, A_cat, Wvo_cat = res
+    dx, dA, dWvo = _bwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, g,
+                               compute_bf16)
     # keep/pad are discrete gates — zero cotangents (stop_gradient
     # upstream drops them; the broadcasts are free in XLA)
     return (dx, jnp.zeros_like(keep_io), jnp.zeros_like(pad3),
-            dA.astype(A.dtype), dWvo.astype(Wvo.dtype))
+            dA.astype(A_cat.dtype), dWvo.astype(Wvo_cat.dtype))
 
 
 _gated_attn.defvjp(_gated_attn_fwd, _gated_attn_bwd)
@@ -272,10 +292,17 @@ def gated_block_attention(x, keep, pad, A, Wvo, *, compute_bf16: bool):
     returns [nB, B, D] f32 == _attention_with_keep(...) to ~1e-4.
 
     Differentiable: a custom_vjp recomputes scores in VMEM on the
-    backward pass and returns (dx, dA, dWvo); keep/pad get zeros.
+    backward pass and returns (dx, dA, dWvo); keep/pad get zeros. The
+    head axis is concatenated onto lanes OUTSIDE the custom_vjp (the
+    kernels batch the per-head projections into [D, H*D] matmuls);
+    autodiff maps the [D, H*D] cotangents back to [H, D, D].
     """
+    hh, d, _ = A.shape
+    A_cat = jnp.transpose(A, (1, 0, 2)).reshape(d, hh * d)
+    Wvo_cat = jnp.transpose(Wvo, (1, 0, 2)).reshape(d, hh * d)
     keep_io = keep.astype(jnp.bfloat16)    # 0/1 exact; halves mask traffic
-    return _gated_attn(x, keep_io, pad[:, None, :], A, Wvo, compute_bf16)
+    return _gated_attn(x, keep_io, pad[:, None, :], A_cat, Wvo_cat,
+                       compute_bf16)
 
 
 def _make_sig_kernel(eps: float, scale: float):
@@ -334,6 +361,66 @@ def block_gate_signature(q, k, pad, *, eps: float, scale: float):
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
     )(q, k, pad[:, None, :])
+    return out[:, 0], out[:, 1]
+
+
+def _make_sig_x_kernel(eps: float, compute_bf16: bool):
+    def kernel(x_ref, pad_ref, As_ref, out_ref):
+        f32 = jnp.float32
+        cdt = jnp.bfloat16 if compute_bf16 else f32
+        X = x_ref[0].astype(cdt)                         # [B, D]
+        qs = jax.lax.dot_general(
+            X, As_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                  # [B, D]
+        s = jax.lax.dot_general(
+            qs.astype(cdt), X.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                  # [B, B]
+        pad_row = pad_ref[0].astype(f32)                 # [1, B]
+        valid = pad_row.T * pad_row
+        pos = (s > eps) & (valid > 0)
+        clamped = jnp.where(pos, s, 0.0)
+        rsum = jnp.sum(clamped, axis=1)[None, :]
+        rcnt = jnp.sum(pos.astype(f32), axis=1)[None, :]
+        out_ref[0] = jnp.concatenate(
+            [rsum, rcnt, jnp.zeros((6, s.shape[0]), f32)], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "compute_bf16"))
+def block_gate_signature_x(x, pad, A_sig, *, eps: float,
+                           compute_bf16: bool):
+    """Gate-signature reduction STRAIGHT from pre-norm features.
+
+    x: [nB, B, D]; pad: [nB, B]; A_sig: [D, D] = Wq @ Wk^T / (sqrt(dh)*H)
+    (the head-mean score matrix folded like the attention kernel's A).
+    Computes s = (x @ A_sig) @ x^T per block in VMEM and reduces to
+    (rsum, rcnt) [nB, B] — unlike block_gate_signature this never needs
+    the projected q/k tensors, which cost a 2x[nB, B, D] HBM write +
+    read per layer per step (~2 GB at 1M nodes) purely for drift
+    detection. Semantics: gating.rs:70-102's lambda proxy.
+    """
+    nb, b, d = x.shape
+    in_specs = [
+        pl.BlockSpec((1, b, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        _make_sig_x_kernel(eps, compute_bf16),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * b * d * (b + d),
+            bytes_accessed=x.size * x.dtype.itemsize + nb * b * 32,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(x, pad[:, None, :], A_sig)
     return out[:, 0], out[:, 1]
 
 
