@@ -38,26 +38,41 @@ def spmm_pallas(
 
     flat_idx = nbr_idx.reshape(-1).astype(jnp.int32)
 
+    # sflag memory (DMA semaphores) is 2KB: one semaphore per in-flight
+    # row copy caps the wave at 256 rows (tile_b*m semaphores = 4KB
+    # fails AOT compile). Rows are gathered in waves of <=256 with a
+    # full issue/wait barrier between waves.
+    n_rows = tile_b * m
+    wave = min(n_rows, 256)
+    assert n_rows % wave == 0
+
     def kernel(idx_pref, w_ref, feat_ref, out_ref, gathered, sems):
         i = pl.program_id(0)
-        base = i * tile_b * m
-        n_rows = tile_b * m
+        base = i * n_rows
 
-        def issue(r, carry):
-            pltpu.make_async_copy(
-                feat_ref.at[idx_pref[base + r]], gathered.at[r], sems.at[r]
-            ).start()
+        def one_wave(wv, carry):
+            off = wv * wave
+
+            def issue(r, c):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_pref[base + off + r]],
+                    gathered.at[off + r], sems.at[r]
+                ).start()
+                return c
+
+            jax.lax.fori_loop(0, wave, issue, None)
+
+            def wait(r, c):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_pref[base + off + r]],
+                    gathered.at[off + r], sems.at[r]
+                ).wait()
+                return c
+
+            jax.lax.fori_loop(0, wave, wait, None)
             return carry
 
-        jax.lax.fori_loop(0, n_rows, issue, None)
-
-        def wait(r, carry):
-            pltpu.make_async_copy(
-                feat_ref.at[idx_pref[base + r]], gathered.at[r], sems.at[r]
-            ).wait()
-            return carry
-
-        jax.lax.fori_loop(0, n_rows, wait, None)
+        jax.lax.fori_loop(0, n_rows // wave, one_wave, None)
 
         g = gathered[:].reshape(tile_b, m, d)
         # batched weighted reduce (Mosaic has no batched-dot lowering;
@@ -76,7 +91,7 @@ def spmm_pallas(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile_b * m, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((tile_b * m,)),
+            pltpu.SemaphoreType.DMA((wave,)),
         ],
     )
 

@@ -138,3 +138,32 @@ def test_padded_csr_roundtrip():
         s2 = set(zip(np.asarray(g2.nbr_idx[i])[m2].tolist(),
                      np.round(np.asarray(g2.edge_weight[i])[m2], 5).tolist()))
         assert s1 == s2
+
+
+def test_spmm_bucketed_matches_csr_on_power_law():
+    """Degree-bucketed SpMM == segment-sum CSR on a zipf-degree graph
+    (ops/spmm_bucketed.py — the unbounded-degree general path)."""
+    import numpy as np
+
+    from ruvector_tpu.graph.csr import CSRGraph
+    from ruvector_tpu.ops.spmm_bucketed import (
+        build_bucket_plan,
+        spmm_bucketed,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d = 400, 24
+    deg = np.minimum(rng.zipf(1.8, n) * 2, 64).astype(np.int64)
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    dst = rng.integers(0, n, src.size).astype(np.int64)
+    w = rng.uniform(0.1, 1.0, src.size).astype(np.float32)
+    csr = CSRGraph.from_edges(src, dst, w, n)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    plan = build_bucket_plan(csr)
+    got = spmm_bucketed(plan, x)
+    ref = spmm_csr(csr, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    # padding waste bounded: total padded cells < 2x live edges
+    cells = sum(r.shape[0] * c for r, c in zip(plan.rows, plan.caps))
+    assert cells < 2 * src.size
