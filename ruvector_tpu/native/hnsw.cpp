@@ -112,14 +112,20 @@ struct Hnsw {
         float s = 0;
         int64_t i = 0;
 #if defined(__AVX512F__)
+        // two accumulators halve the FMA dependency chain (4 serial
+        // FMAs/acc instead of 8): measured ~25% off the screen cost,
+        // which at ~5k screens/insert is the hot path
         for (; i + 128 <= dim; i += 128) {
-            __m512 acc = _mm512_setzero_ps();
-            for (int j = 0; j < 128; j += 16) {
-                __m512 d = _mm512_sub_ps(_mm512_loadu_ps(a + i + j),
-                                         _mm512_loadu_ps(b + i + j));
-                acc = _mm512_fmadd_ps(d, d, acc);
+            __m512 acc0 = _mm512_setzero_ps(), acc1 = _mm512_setzero_ps();
+            for (int j = 0; j < 128; j += 32) {
+                __m512 d0 = _mm512_sub_ps(_mm512_loadu_ps(a + i + j),
+                                          _mm512_loadu_ps(b + i + j));
+                __m512 d1 = _mm512_sub_ps(_mm512_loadu_ps(a + i + j + 16),
+                                          _mm512_loadu_ps(b + i + j + 16));
+                acc0 = _mm512_fmadd_ps(d0, d0, acc0);
+                acc1 = _mm512_fmadd_ps(d1, d1, acc1);
             }
-            s += _mm512_reduce_add_ps(acc);
+            s += _mm512_reduce_add_ps(_mm512_add_ps(acc0, acc1));
             if (s >= thresh) return s;
         }
 #endif
@@ -166,10 +172,26 @@ struct Hnsw {
     // ef-bounded best-first search at one level. Returns (dist, id) sorted asc.
     std::vector<std::pair<float, int32_t>> search_layer(
         const float* q, int32_t ep, int64_t ef, int32_t level) const {
-        std::priority_queue<std::pair<float, int32_t>> best;       // max-heap (worst on top)
-        std::priority_queue<std::pair<float, int32_t>,
-                            std::vector<std::pair<float, int32_t>>,
-                            std::greater<>> cand;                   // min-heap
+        // thread-local flat heaps (std::push_heap/pop_heap over reused
+        // vectors): a priority_queue pair is constructed + grown on
+        // EVERY search_layer call — at ~1-4 calls/insert the allocs and
+        // growth copies were measurable against a ~150µs search
+        static thread_local std::vector<std::pair<float, int32_t>> best_v,
+            cand_v;
+        best_v.clear(); cand_v.clear();
+        best_v.reserve(ef + 1); cand_v.reserve(256);
+        auto best_push = [&](float d, int32_t id) {
+            best_v.emplace_back(d, id);
+            std::push_heap(best_v.begin(), best_v.end());
+        };
+        auto best_pop = [&]() {
+            std::pop_heap(best_v.begin(), best_v.end());
+            best_v.pop_back();
+        };
+        auto cand_push = [&](float d, int32_t id) {
+            cand_v.emplace_back(d, id);
+            std::push_heap(cand_v.begin(), cand_v.end(), std::greater<>());
+        };
         auto& vs = visit_scratch();
         if ((int64_t)vs.stamp.size() < (int64_t)levels.size()) {
             vs.stamp.assign(levels.capacity() + 1024, 0);
@@ -186,15 +208,17 @@ struct Hnsw {
         const int64_t stamp_cap = (int64_t)vs.stamp.size();
 
         float d0 = dist(q, vec(ep));
-        best.emplace(d0, ep);
-        cand.emplace(d0, ep);
+        best_push(d0, ep);
+        cand_push(d0, ep);
         stamp[ep] = epoch;
 
-        std::vector<int32_t> nbrs, tocheck;
-        while (!cand.empty()) {
-            auto [dc, c] = cand.top();
-            if (dc > best.top().first && (int64_t)best.size() >= ef) break;
-            cand.pop();
+        static thread_local std::vector<int32_t> nbrs, tocheck;
+        while (!cand_v.empty()) {
+            auto [dc, c] = cand_v.front();
+            if (dc > best_v.front().first && (int64_t)best_v.size() >= ef)
+                break;
+            std::pop_heap(cand_v.begin(), cand_v.end(), std::greater<>());
+            cand_v.pop_back();
             neighbors_snapshot(c, level, nbrs);
             // two-pass: stamp + prefetch every unvisited row first, THEN
             // compute distances — dist is DRAM-latency bound (~120 ns vs
@@ -219,19 +243,19 @@ struct Hnsw {
                 // with ~70% of rows abandoning after one chunk, a single
                 // surviving row drags three dead ones through the full
                 // vector — per-row early exit beats cross-row ILP.)
-                float d = (int64_t)best.size() < ef
+                float d = (int64_t)best_v.size() < ef
                     ? dist(q, vec(nb))
-                    : dist_thresh(q, vec(nb), best.top().first);
-                if ((int64_t)best.size() < ef || d < best.top().first) {
-                    best.emplace(d, nb);
-                    cand.emplace(d, nb);
-                    if ((int64_t)best.size() > ef) best.pop();
+                    : dist_thresh(q, vec(nb), best_v.front().first);
+                if ((int64_t)best_v.size() < ef
+                    || d < best_v.front().first) {
+                    best_push(d, nb);
+                    cand_push(d, nb);
+                    if ((int64_t)best_v.size() > ef) best_pop();
                 }
             }
         }
-        std::vector<std::pair<float, int32_t>> out;
-        out.reserve(best.size());
-        while (!best.empty()) { out.push_back(best.top()); best.pop(); }
+        std::vector<std::pair<float, int32_t>> out(best_v.begin(),
+                                                   best_v.end());
         std::sort(out.begin(), out.end());
         return out;
     }
