@@ -62,13 +62,22 @@ def main():
     )
 
     n, d = args.nodes - args.nodes % BLOCK, args.dim
+    # >2M nodes: bf16 edge tables + features (the 10M-node f32 tables
+    # alone are ~10GB of HBM; bf16 halves every big buffer and the layer
+    # computes in bf16 anyway — same protocol as scale_sweep_r03)
+    big = n > 2_000_000
     t0 = time.time()
     feats, idx, mask, ew = gen_cluster_graph(n, d, DEGREE)
     t_gen = time.time() - t0
     t0 = time.time()
-    bdg = build_block_dense(idx, mask, ew, block=BLOCK, dtype=np.float32)
+    bdg = build_block_dense(idx, mask, ew, block=BLOCK,
+                            dtype=jnp.bfloat16 if big else np.float32)
     t_build = time.time() - t0
     del idx, mask, ew
+    if big:
+        import ml_dtypes
+
+        feats = feats.astype(ml_dtypes.bfloat16)
 
     cfg = GatedGraphTransformerConfig(
         dim=d, num_heads=4, num_layers=args.layers, gate_chunk=128,
@@ -189,10 +198,12 @@ def main():
         "backend": jax.devices()[0].platform,
         "nodes": n, "dim": d, "layers": args.layers, "heads": 4,
         "partition": BLOCK, "partitions": bdg.n_blocks,
+        "io": "bf16" if big else "f32",
         "hysteresis_band": cfg.hysteresis_band,
         "max_resolve_per_step": max_resolve,
         "gen_s": round(t_gen, 1), "build_s": round(t_build, 1),
         "gate_init_s": round(t_init, 1),
+        "gate_init_compile_s": round(t_init_cold - t_init, 1),
         "forward_steady_ms": round(fwd_steady_s * 1e3, 2),
         "forward_drift_ms": round(fwd_drift_s * 1e3, 2),
         "resolved_per_drift_step": resolved,
