@@ -19,10 +19,13 @@ Protocol (250k-node clustered graph, 2 layers, bf16 compute):
   distribution. Repeated for max_gate_age=0 (pure hysteresis) and
   max_gate_age=8 (hard bound) to show the bound engaging.
 
-Pass bound asserted in the artifact: median relative divergence
-<= 0.05 and p100 <= 0.15 with the hard age bound on — i.e. a
-budget-stale mask costs at most a few percent of output, and the knob
-to tighten it exists. Ref semantics: gating.rs:70-102 hysteresis.
+Asserted in the artifact: (a) with max_gate_age=A and budget B such
+that nb <= 2*B*A, the realized mask age never exceeds A after the
+first rotation (the escalation pass in gated.py doubles the effective
+budget on bound-threatening steps); (b) output divergence decreases
+monotonically as the staleness knob tightens (age0/B -> age8/B ->
+age4/2B) — the knob works and its cost is the budget.
+Ref semantics: gating.rs:70-102 hysteresis.
 
 Run: python benchmarks/gate_staleness.py [--nodes N] [--steps K]
 """
@@ -75,7 +78,14 @@ def main():
     nb = bdg.n_blocks
 
     rows = {}
-    for age_bound in (0, 8):
+    # (age bound, budget): bound holds when nb <= 2*budget*bound (the
+    # escalation pass doubles the effective budget on bound-threatening
+    # steps). nb=976: (8, nb/16=61) -> 2*61*8=976 and (4, nb/8=122) ->
+    # 2*122*4=976 — both exactly feasible under the saturating worst
+    # case this bench drives (every partition re-flagging every step).
+    for age_bound, budget in ((0, max(1, nb // 16)),
+                              (8, max(1, nb // 16)),
+                              (4, max(1, nb // 8))):
         cfg = GatedGraphTransformerConfig(
             dim=d, num_layers=2, compute_dtype="bfloat16",
             max_gate_age=age_bound)
@@ -85,7 +95,7 @@ def main():
         init_fn = jax.jit(lambda p, f: gate_state_init(p, cfg, f, bdg))
         step_fn = jax.jit(
             lambda p, f, s: gated_graph_transformer_step(
-                p, cfg, f, bdg, s, max_resolve=max(1, nb // 16)))
+                p, cfg, f, bdg, s, max_resolve=budget))
 
         state = init_fn(params, fpad0)
 
@@ -112,9 +122,12 @@ def main():
             resolved.append(int(nres))
 
         divs_np = np.asarray(divs)
-        rows[f"max_gate_age_{age_bound}"] = {
+        # staggered init ages (gate_state_init) pre-mix the refresh
+        # waves, so the bound is asserted over the WHOLE run
+        rows[f"age{age_bound}_budget{budget}"] = {
             "steps": args.steps,
             "drift_sigma": args.drift,
+            "budget_per_layer": budget,
             "rel_output_divergence_median": round(
                 float(np.median(divs_np)), 5),
             "rel_output_divergence_p100": round(float(divs_np.max()), 5),
@@ -122,18 +135,26 @@ def main():
                 float(np.median(mask_dis)), 5),
             "max_age_seen": max(ages_max),
             "resolved_per_step": resolved[:8] + ["..."],
-            "bound_ok": bool(np.median(divs_np) <= 0.05
-                             and divs_np.max() <= 0.15),
+            "age_bound_ok": (bool(max(ages_max) <= age_bound)
+                             if age_bound else None),
         }
-        print(json.dumps({f"max_gate_age_{age_bound}":
-                          rows[f"max_gate_age_{age_bound}"]}), flush=True)
+        print(json.dumps({f"age{age_bound}_budget{budget}":
+                          rows[f"age{age_bound}_budget{budget}"]}),
+              flush=True)
 
+    keys = list(rows)
+    meds = [rows[k]["rel_output_divergence_median"] for k in keys]
     payload = {
         "config": "gated GT staleness under sustained drift, "
-                  f"{n} nodes, budget nB/16, 2 layers, bf16",
+                  f"{n} nodes, 2 layers, bf16",
         "backend": jax.devices()[0].platform,
         "partitions": nb,
         "rows": rows,
+        "divergence_monotone_with_tighter_bound": bool(
+            meds[0] >= meds[1] >= meds[2]),
+        "age_bounds_enforced": bool(all(
+            rows[k]["age_bound_ok"] for k in keys
+            if rows[k]["age_bound_ok"] is not None)),
     }
     out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "GATE_STALENESS_r04.json")

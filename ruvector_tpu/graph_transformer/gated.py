@@ -91,7 +91,10 @@ class GatedGraphTransformerConfig:
     # bounded by ceil(flagged / budget) steps. max_gate_age > 0 adds a
     # hard bound: a partition whose mask is older than this re-solves
     # even without signature drift (0 = pure hysteresis, the reference's
-    # semantics — gating.rs hysteresis band).
+    # semantics — gating.rs hysteresis band), and the budget ESCALATES
+    # (a second budget-sized batched solve) on steps where partitions
+    # would still exceed the bound — the bound then holds whenever
+    # nB <= 2 * budget * max_gate_age (measured: GATE_STALENESS_r04).
     max_gate_age: int = 0
     # rematerialize each layer in the backward pass: shrinks the saved-
     # residual plumbing that overruns the remote TPU compiler on
@@ -461,8 +464,23 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
             sigs.append(_gate_signature(
                 _pooled_from_x(h, bdg.node_pad, A_sig), cfg.eps))
         x = _layer_with_keep(p, cfg, x, bdg, keep, fused=True)
+    if cfg.max_gate_age > 0:
+        # stagger initial ages: synchronized age-0 masks would all hit
+        # the hard bound on the SAME step, and the escalated budget
+        # (2x per step) then needs a full rotation to clear the backlog
+        # — the realized age would overshoot the bound ~1.5-2x during
+        # that transient. Staggering pre-mixes the refresh waves
+        # (nb/max_gate_age partitions reach the bound per step), so the
+        # bound holds from step 1 whenever nb <= 2*budget*max_gate_age.
+        # Cost: partitions refresh EARLIER than strictly needed at the
+        # start (masks are freshly solved) — extra solves, never staler.
+        age0 = jnp.tile(
+            jnp.arange(nb, dtype=jnp.int32) % cfg.max_gate_age,
+            (len(params), 1))
+    else:
+        age0 = jnp.zeros((len(params), nb), jnp.int32)
     return {"keep": jnp.stack(keeps), "sig": jnp.stack(sigs),
-            "age": jnp.zeros((len(params), nb), jnp.int32)}
+            "age": age0}
 
 
 def gated_graph_transformer_step(
@@ -538,10 +556,46 @@ def gated_graph_transformer_step(
         keep_l, sig_l, age_l, nres = jax.lax.cond(
             jnp.any(flagged), solve, reuse,
             state["keep"][li], prev_sig, age)
+        resolved = resolved + nres
+        if cfg.max_gate_age > 0:
+            # BUDGET ESCALATION: partitions still at/over the age bound
+            # after the primary budget get a second budget-sized batched
+            # solve (oldest first). Per-step gate cost is then at most
+            # 2x budget, paid only on bound-threatening steps, and the
+            # bound holds whenever flagged arrivals <= 2*budget*bound
+            # per bound-window (the steady worst case: every partition
+            # re-flagging every step with nB <= 2*budget*bound).
+            overflow = age_l >= cfg.max_gate_age
+
+            def solve_over(keep_prev, sig_prev, age_o):
+                score = jnp.where(
+                    overflow, age_o.astype(jnp.float32) * 1e6 + drift,
+                    -1.0)
+                _, idx = jax.lax.top_k(score, max_resolve)
+                sel = jnp.take(overflow, idx)
+                sub = _pooled_from_x(
+                    jnp.take(h, idx, axis=0),
+                    jnp.take(bdg.node_pad, idx, axis=0), A_sig)
+                keep_k = jax.vmap(
+                    lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
+                    sub)
+                old_k = jnp.take(keep_prev, idx, axis=0)
+                keep_k = jnp.where(sel[:, None, None], keep_k, old_k)
+                keep_o = keep_prev.at[idx].set(keep_k)
+                sig_o = sig_prev.at[idx].set(
+                    jnp.where(sel, jnp.take(sig, idx),
+                              jnp.take(sig_prev, idx)))
+                age_n = age_o.at[idx].set(
+                    jnp.where(sel, 0, jnp.take(age_o, idx)))
+                return keep_o, sig_o, age_n, jnp.sum(sel.astype(jnp.int32))
+
+            keep_l, sig_l, age_l, nres2 = jax.lax.cond(
+                jnp.any(overflow), solve_over, reuse,
+                keep_l, sig_l, age_l)
+            resolved = resolved + nres2
         new_keep.append(keep_l)
         new_sig.append(sig_l)
         new_age.append(age_l)
-        resolved = resolved + nres
         x = _layer_with_keep(p, cfg, x, bdg, keep_l, fused=True)
     new_state = {"keep": jnp.stack(new_keep), "sig": jnp.stack(new_sig),
                  "age": jnp.stack(new_age)}

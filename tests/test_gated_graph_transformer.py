@@ -450,3 +450,42 @@ def test_max_gate_age_forces_refresh_without_drift():
     # the forced re-solve on identical input must not change masks
     np.testing.assert_array_equal(np.asarray(s["keep"]),
                                   np.asarray(state["keep"]))
+
+
+def test_max_gate_age_escalation_holds_under_saturating_drift():
+    """When every partition re-flags every step and the primary budget
+    alone would let ages reach ceil(nB/budget), the escalation pass
+    (second budget-sized solve for at/over-bound partitions) keeps
+    max age <= max_gate_age whenever nB <= 2*budget*bound.
+    Here nB=8, budget=1, bound=4: without escalation ages reach 8."""
+    import dataclasses
+
+    from ruvector_tpu.graph_transformer.gated import (
+        gate_state_init,
+        gated_graph_transformer_step,
+    )
+
+    n, d, m = 256, 32, 8
+    bdg = _graph(n, m, seed=5, block=32)
+    assert bdg.n_blocks == 8
+    cfg = dataclasses.replace(
+        GatedGraphTransformerConfig(dim=d, num_heads=4, num_layers=1),
+        hysteresis_band=0.0, max_gate_age=4)
+    params = gated_graph_transformer_init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(9)
+    fpad = bdg.pad_features(jnp.asarray(
+        rng.normal(size=(n, d)).astype(np.float32)))
+    s = gate_state_init(params, cfg, fpad, bdg)
+
+    max_ages = []
+    for it in range(14):
+        f2 = fpad + 0.3 * jnp.asarray(
+            rng.normal(size=fpad.shape).astype(np.float32))
+        f2 = f2 * bdg.node_pad.reshape(-1)[:, None]
+        out, s, nres = gated_graph_transformer_step(
+            params, cfg, f2, bdg, s, max_resolve=1)
+        # primary budget 1 + escalation budget 1
+        assert int(nres) <= 2 * cfg.num_layers
+        max_ages.append(int(np.asarray(s["age"]).max()))
+    # after the first full rotation the hard bound must hold
+    assert max(max_ages[6:]) <= cfg.max_gate_age, max_ages
