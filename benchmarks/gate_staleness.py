@@ -116,8 +116,10 @@ def main():
             num = float(jnp.linalg.norm(out_b - out_f))
             den = float(jnp.linalg.norm(out_f)) + 1e-9
             divs.append(num / den)
-            mask_dis.append(float(jnp.mean(
-                state["keep"] != fresh["keep"])))
+            # masks are bit-packed: bit-disagreement via popcount(xor)
+            mask_dis.append(float(jnp.sum(jax.lax.population_count(
+                state["keep"] ^ fresh["keep"])) / (
+                state["keep"].size * 32)))
             ages_max.append(int(jnp.max(state["age"])))
             resolved.append(int(nres))
 

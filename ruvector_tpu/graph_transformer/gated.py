@@ -339,6 +339,35 @@ def _pooled_from_x(h_sel, pad_sel, A_sig):
     return jnp.where(valid > 0, lg, -1.0)
 
 
+def pack_keep(keep):
+    """[..., B, B] bool -> [..., ceil(B/32), B] uint32: row i of the mask
+    lives in word i//32, bit i%32 (sublane-packed — at B=256 the packed
+    block is an exactly-tiled (8, 256) uint32 operand). 32x smaller: the
+    10M-node mask state is 0.32 GB packed vs 10.2 GB as bf16."""
+    b = keep.shape[-2]
+    w = -(-b // 32)
+    if w * 32 != b:
+        keep = jnp.concatenate(
+            [keep, jnp.zeros((*keep.shape[:-2], w * 32 - b,
+                              keep.shape[-1]), keep.dtype)], axis=-2)
+    bits = keep.reshape(*keep.shape[:-2], w, 32, keep.shape[-1])
+    shifts = jnp.arange(32, dtype=jnp.uint32).reshape(
+        *([1] * (bits.ndim - 2)), 32, 1)
+    return jnp.sum(bits.astype(jnp.uint32) << shifts, axis=-2,
+                   dtype=jnp.uint32)
+
+
+def unpack_keep(kp, b=None):
+    """Inverse of pack_keep: [..., W, B] uint32 -> [..., B, B] bool."""
+    w = kp.shape[-2]
+    b = b if b is not None else kp.shape[-1]
+    shifts = jnp.arange(32, dtype=jnp.uint32).reshape(
+        *([1] * (kp.ndim - 1)), 32, 1)
+    bits = (kp[..., :, None, :] >> shifts) & jnp.uint32(1)
+    full = bits.reshape(*kp.shape[:-2], w * 32, kp.shape[-1])
+    return full[..., :b, :].astype(bool)
+
+
 def _gate_signature(pooled, eps):
     """Per-partition lambda proxy: mean positive clamped logit — the same
     statistic the gate thresholds against (gating.rs:70-102)."""
@@ -406,15 +435,20 @@ def _use_fused_attn(cfg, b, d):
         and d % 128 == 0 and b % 8 == 0)
 
 
-def _layer_with_keep(p, cfg, x, bdg, keep, attn_chunk=512, fused=False):
+def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
+    """keep_p: BIT-PACKED gate masks [nB, ceil(B/32), B] uint32
+    (pack_keep). The fused kernel unpacks per block in VMEM; the XLA
+    fallback unpacks here (test shapes only — at scale the fused path
+    is what runs, and the [nB, B, B] bool never exists in HBM)."""
     pad = bdg.node_pad
     h = layer_norm_apply(p["ln1"], x)
     if fused and _use_fused_attn(cfg, bdg.block, x.shape[-1]):
         A, Wvo = fold_gated_attention_params(p, cfg)
         x = x + gated_block_attention(
-            h, keep, pad, A, Wvo,
+            h, keep_p, pad, A, Wvo,
             compute_bf16=cfg.compute_dtype == "bfloat16")
     else:
+        keep = unpack_keep(keep_p, bdg.block)
         x = x + _attention_with_keep(h, pad, keep, p, cfg, attn_chunk)
     g = layer_norm_apply(p["ln_g"], x)
     x = x + _neighbor_mix(g, bdg, p["w_gnn"]) * pad[..., None]
@@ -428,7 +462,8 @@ def _layer_with_keep(p, cfg, x, bdg, keep, attn_chunk=512, fused=False):
 def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
     """Solve every partition's gate once (chunked lax.map to bound the
     [c, B, B] push-relabel buffers) and record the signatures. Returns
-    {"keep": [L, nB, B, B] bool, "sig": [L, nB] f32}."""
+    {"keep": [L, nB, ceil(B/32), B] uint32 (bit-packed, pack_keep),
+    "sig": [L, nB] f32, "age": [L, nB] i32}."""
     if cfg.gate_mode != "pooled":
         raise ValueError(
             "temporal gate reuse operates on the pooled (head-mean) gate "
@@ -452,11 +487,13 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
         # the SAME function the step's solve path uses, so budget-capped
         # re-solves reproduce init masks exactly.
         A_sig = _fold_sig_params(p, cfg)
+        # pack INSIDE the chunked map: the full [nB, B, B] bool never
+        # exists in HBM (at 10M nodes it is 5.1 GB; packed it is 0.16)
         keep = jax.lax.map(
-            lambda args: jax.vmap(
+            lambda args: pack_keep(jax.vmap(
                 lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
-                _pooled_from_x(args[0], args[1], A_sig)),
-            (rc(h), rc(bdg.node_pad))).reshape(nb, b, b)
+                _pooled_from_x(args[0], args[1], A_sig))),
+            (rc(h), rc(bdg.node_pad))).reshape(nb, -(-b // 32), b)
         keeps.append(keep)
         if fused:
             sigs.append(_signature_fused_x(h, A_sig, bdg.node_pad, cfg))
@@ -536,8 +573,8 @@ def gated_graph_transformer_step(
             sub = _pooled_from_x(
                 jnp.take(h, idx, axis=0),
                 jnp.take(bdg.node_pad, idx, axis=0), A_sig)  # [k, B, B]
-            keep_k = jax.vmap(
-                lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(sub)
+            keep_k = pack_keep(jax.vmap(
+                lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(sub))
             old_k = jnp.take(keep_prev, idx, axis=0)
             keep_k = jnp.where(sel[:, None, None], keep_k, old_k)
             keep_l = keep_prev.at[idx].set(keep_k)
@@ -576,9 +613,9 @@ def gated_graph_transformer_step(
                 sub = _pooled_from_x(
                     jnp.take(h, idx, axis=0),
                     jnp.take(bdg.node_pad, idx, axis=0), A_sig)
-                keep_k = jax.vmap(
+                keep_k = pack_keep(jax.vmap(
                     lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
-                    sub)
+                    sub))
                 old_k = jnp.take(keep_prev, idx, axis=0)
                 keep_k = jnp.where(sel[:, None, None], keep_k, old_k)
                 keep_o = keep_prev.at[idx].set(keep_k)
@@ -605,8 +642,9 @@ def gated_graph_transformer_step(
 def gated_graph_transformer_apply_with_masks(
     params, cfg: GatedGraphTransformerConfig, fpad, bdg, keep_masks,
 ):
-    """Differentiable forward under FIXED gate masks ([L, nB, B, B] from
-    the gate state). No push-relabel anywhere — safe to grad at 1M."""
+    """Differentiable forward under FIXED bit-packed gate masks
+    ([L, nB, ceil(B/32), B] uint32 from the gate state). No push-relabel
+    anywhere — safe to grad at 1M."""
     nb, b = bdg.n_blocks, bdg.block
     x = fpad.reshape(nb, b, -1)
 

@@ -41,6 +41,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def keep_words(b: int) -> int:
+    """Packed-mask row words for block size b (rows packed 32/word)."""
+    return -(-b // 32)
+
+
+def _unpack_bits(kp, b):
+    """[ceil(B/32), B] uint32 -> [B, B] float bits.
+
+    The gate mask travels HBM->VMEM bit-PACKED along SUBLANES (row i
+    lives in word i//32, bit i%32): a [B/32, B] uint32 block is an
+    exactly-tiled (8, 128k)-shaped operand at B=256 — no padding — and
+    the row-major [W, 32, B] -> [W*32, B] merge is a free reshape (the
+    minor dim is untouched). 32x less mask traffic than the bf16 mask
+    round 3 shipped, and the only layout whose 10M-node state fits HBM."""
+    w = kp.shape[0]
+    bits = (kp[:, None, :] >> jax.lax.broadcasted_iota(
+        jnp.uint32, (w, 32, kp.shape[1]), 1)) & jnp.uint32(1)
+    # Mosaic has no uint32->f32 cast; return bool (compare lowers fine)
+    return bits.reshape(w * 32, kp.shape[1])[:b] > 0
+
+
 def _make_kernel(heads: int, compute_bf16: bool):
     """A_ref/Wvo_ref arrive head-CONCATENATED: [D, H*D]. The per-head
     q/y projections then batch into ONE [B, D] x [D, H*D] matmul each
@@ -60,7 +81,7 @@ def _make_kernel(heads: int, compute_bf16: bool):
         pad = pad_row.T                                # [B, 1]
         # valid pairs = pad outer product; gate mask is shared across heads
         valid = pad * pad_row                          # [B, B]
-        keepb = (keep_ref[0].astype(f32) * valid) > 0
+        keepb = _unpack_bits(keep_ref[0], X.shape[0]) & (valid > 0)
         Xc = X.astype(cdt)
         XT = Xc.T                                      # [D, B] cdt
 
@@ -101,7 +122,7 @@ def _fwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16):
     in_specs = [
         pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, b), lambda k: (k, 0, 0),
+        pl.BlockSpec((1, keep_words(b), b), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, b), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -111,7 +132,7 @@ def _fwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16):
                      memory_space=pltpu.VMEM),
     ]
     flops = 2 * nb * b * h * (2 * d + 2 * b) * d
-    bytes_accessed = (x.size * x.dtype.itemsize + keep_io.size * 2
+    bytes_accessed = (x.size * x.dtype.itemsize + keep_io.size * 4
                       + nb * b * d * 4)
     return pl.pallas_call(
         _make_kernel(h, compute_bf16),
@@ -149,7 +170,7 @@ def _make_bwd_kernel(heads: int, compute_bf16: bool):
         pad_row = pad_ref[0].astype(f32)               # [1, B]
         pad = pad_row.T                                # [B, 1]
         valid = pad * pad_row
-        keepb = (keep_ref[0].astype(f32) * valid) > 0
+        keepb = _unpack_bits(keep_ref[0], X.shape[0]) & (valid > 0)
         # fold the forward's final `out * pad` into the cotangent
         g = g_ref[0].astype(f32) * pad                 # [B, D]
 
@@ -218,7 +239,7 @@ def _bwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, g, compute_bf16):
     in_specs = [
         pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, b, b), lambda k: (k, 0, 0),
+        pl.BlockSpec((1, keep_words(b), b), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, b), lambda k: (k, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -238,7 +259,7 @@ def _bwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, g, compute_bf16):
                      memory_space=pltpu.VMEM),
     ]
     flops = 2 * nb * b * h * (6 * d + 5 * b) * d
-    bytes_accessed = (2 * x.size * 4 + keep_io.size * 2
+    bytes_accessed = (2 * x.size * 4 + keep_io.size * 4
                       + nb * b * d * 4 + 2 * h * d * d * 4)
     return pl.pallas_call(
         _make_bwd_kernel(h, compute_bf16),
@@ -268,12 +289,15 @@ def _gated_attn_fwd(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16):
 
 
 def _gated_attn_bwd(compute_bf16, res, g):
+    import numpy as np
+
     x, keep_io, pad3, A_cat, Wvo_cat = res
     dx, dA, dWvo = _bwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, g,
                                compute_bf16)
-    # keep/pad are discrete gates — zero cotangents (stop_gradient
-    # upstream drops them; the broadcasts are free in XLA)
-    return (dx, jnp.zeros_like(keep_io), jnp.zeros_like(pad3),
+    # keep is an integer (bit-packed) input: its tangent type is float0.
+    # pad is a discrete gate — zero cotangent (stop_gradient upstream).
+    return (dx, np.zeros(keep_io.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(pad3),
             dA.astype(A_cat.dtype), dWvo.astype(Wvo_cat.dtype))
 
 
@@ -281,27 +305,31 @@ _gated_attn.defvjp(_gated_attn_fwd, _gated_attn_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_bf16",))
-def gated_block_attention(x, keep, pad, A, Wvo, *, compute_bf16: bool):
+def gated_block_attention(x, keep_packed, pad, A, Wvo, *,
+                          compute_bf16: bool):
     """Per-partition gated MHA over the block-dense layout.
 
-    x:    [nB, B, D]  pre-norm features (f32)
-    keep: [nB, B, B]  gate mask (bool/float; broadcast across heads)
-    pad:  [nB, B]     1 for real nodes
-    A:    [H, D, D]   Wq_h @ Wk_h^T * scale (head-folded, pre-scaled)
-    Wvo:  [H, D, D]   Wv_h @ Wo_h (value+output projection folded)
+    x:           [nB, B, D]         pre-norm features (f32)
+    keep_packed: [nB, ceil(B/32), B] uint32 bit-packed gate mask (row i
+                 in word i//32 bit i%32; graph_transformer/gated.py
+                 pack_keep) — 32x less HBM traffic than a bf16 mask and
+                 the only layout whose 10M-node state fits HBM
+    pad:         [nB, B]        1 for real nodes
+    A:           [H, D, D]      Wq_h @ Wk_h^T * scale (head-folded)
+    Wvo:         [H, D, D]      Wv_h @ Wo_h (value+output folded)
     returns [nB, B, D] f32 == _attention_with_keep(...) to ~1e-4.
 
     Differentiable: a custom_vjp recomputes scores in VMEM on the
-    backward pass and returns (dx, dA, dWvo); keep/pad get zeros. The
-    head axis is concatenated onto lanes OUTSIDE the custom_vjp (the
-    kernels batch the per-head projections into [D, H*D] matmuls);
-    autodiff maps the [D, H*D] cotangents back to [H, D, D].
+    backward pass and returns (dx, dA, dWvo); keep (integer) gets a
+    float0 tangent and pad zeros. The head axis is concatenated onto
+    lanes OUTSIDE the custom_vjp (the kernels batch the per-head
+    projections into [D, H*D] matmuls); autodiff maps the [D, H*D]
+    cotangents back to [H, D, D].
     """
     hh, d, _ = A.shape
     A_cat = jnp.transpose(A, (1, 0, 2)).reshape(d, hh * d)
     Wvo_cat = jnp.transpose(Wvo, (1, 0, 2)).reshape(d, hh * d)
-    keep_io = keep.astype(jnp.bfloat16)    # 0/1 exact; halves mask traffic
-    return _gated_attn(x, keep_io, pad[:, None, :], A_cat, Wvo_cat,
+    return _gated_attn(x, keep_packed, pad[:, None, :], A_cat, Wvo_cat,
                        compute_bf16)
 
 
