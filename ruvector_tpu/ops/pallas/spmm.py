@@ -9,6 +9,15 @@ N·M·D·4 bytes; this kernel reads N·M·D·4 once).
 Neighbor indices arrive via PrefetchScalarGridSpec so DMA addresses are
 known before the kernel body runs; row DMAs are issued back-to-back and
 waited together (the DMA engines pipeline them).
+
+MEASURED NEGATIVE RESULT (kept as the documented justification for the
+layout-transform design): each neighbor row is one 512B DMA descriptor,
+and descriptor issue rate (~7M/s) bounds the kernel at ~7M edges/s —
+30x below the plain XLA gather and 200x below block-dense. Two hard
+capacity walls compound it: DMA semaphores live in 2KB sflag memory
+(<=256 in-flight copies) and the scalar-prefetch operand must fit 1MB
+SMEM (<=~250k edges per call). TPU SpMM wants layout transforms
+(graph/block_dense.py, ops/spmm_bucketed.py), not gather fusion.
 """
 
 from __future__ import annotations
