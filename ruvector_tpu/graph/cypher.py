@@ -15,9 +15,12 @@ Supported subset (the working core of the reference's README):
   CREATE (n:Label {..}), (a)-[:TYPE {..}]->(b)
   MERGE (...) [ON CREATE SET ...] [ON MATCH SET ...]
   SET n.k = v / DELETE n / r
-Out of scope (documented): hyperedge patterns (hyperedges load/store via
-PropertyGraph CRUD + JSONL; the nom parser's hyperedge pattern syntax
-has no ruvector-cli example exercising it).
+Hyperedge patterns (round 4): MATCH (a)-[r:TYPE]->(b, c, d) matches a
+stored N-ary hyperedge (parser.rs:259-284 grammar — whose own test the
+reference marks "not yet implemented"; execution here is real): distinct
+members must match every node pattern (injective, subset semantics —
+the hyperedge may have more members), r binds the Hyperedge. MATCH-only;
+create hyperedges via PropertyGraph.add_hyperedge.
 
 Execution: label-indexed scan for the first node pattern, then relation
 expansion honoring direction / type / variable-length bounds, row
@@ -107,6 +110,26 @@ class PathPattern:
 
 
 @dataclasses.dataclass
+class HyperPattern:
+    """N-ary relationship pattern (parser.rs:259-284 / ast.rs
+    HyperedgePattern): (a)-[r:TYPE]->(b, c, d). Matches a stored
+    hyperedge of the given type whose member set contains DISTINCT
+    nodes matching the source and every target pattern (the hyperedge
+    may have additional members — subset semantics; members are an
+    unordered set per hyperedge.rs, so direction is syntax only)."""
+
+    var: str | None           # binds the Hyperedge object
+    types: list[str]
+    props: dict
+    source: NodePattern
+    targets: list[NodePattern]
+
+    @property
+    def arity(self) -> int:  # ast.rs HyperedgePattern::arity
+        return len(self.targets) + 1
+
+
+@dataclasses.dataclass
 class ReturnItem:
     expr: "Expr"
     alias: str | None
@@ -135,6 +158,9 @@ class Query:
     # `next_stage`; with_where filters the projected rows first
     next_stage: "Query | None" = None
     with_where: "Expr | None" = None
+    # hyperedge patterns: (a)-[r:TYPE]->(b, c, d) — matched against the
+    # graph's N-ary hyperedges after the binary path patterns bind
+    hyper_matches: list = dataclasses.field(default_factory=list)
 
 
 # expressions: nested tuples ('lit', v) ('var', name) ('prop', var, key)
@@ -149,6 +175,7 @@ class _Parser:
     def __init__(self, tokens: list[Token]):
         self.toks = tokens
         self.i = 0
+        self.hypers: list[HyperPattern] = []
 
     # -- token helpers ----------------------------------------------------
     def peek(self, k: int = 0) -> Token | None:
@@ -192,27 +219,46 @@ class _Parser:
                     matches.append(self.path_pattern())
             elif t.text == "OPTIONAL":
                 self.expect("MATCH")
+                nh = len(self.hypers)
                 optionals.append(self.path_pattern())
                 while self.accept(","):
                     optionals.append(self.path_pattern())
+                if len(self.hypers) != nh:
+                    raise CypherSyntaxError(
+                        "hyperedge patterns are not supported in "
+                        "OPTIONAL MATCH")
             elif t.text == "WITH":
                 distinct = self.accept("DISTINCT")
                 items = [self.return_item()]
                 while self.accept(","):
                     items.append(self.return_item())
                 w_where = self.expr() if self.accept("WHERE") else None
+                # stage boundary: this stage's hyper patterns stay here;
+                # the recursive parse() accumulates the next stage's own
+                stage_hypers, self.hypers = self.hypers, []
                 rest = self.parse()
                 return Query(matches, where, items, distinct, [], None,
                              None, creates, deletes, sets, merges,
-                             optionals, rest, w_where)
+                             optionals, rest, w_where,
+                             hyper_matches=stage_hypers)
             elif t.text == "WHERE":
                 where = self.expr()
             elif t.text == "CREATE":
+                nh = len(self.hypers)
                 creates.append(self.path_pattern())
                 while self.accept(","):
                     creates.append(self.path_pattern())
+                if len(self.hypers) != nh:
+                    raise CypherSyntaxError(
+                        "hyperedge patterns are MATCH-only; create "
+                        "hyperedges via PropertyGraph.add_hyperedge")
             elif t.text == "MERGE":
+                nh = len(self.hypers)
                 pat = self.path_pattern()
+                if len(self.hypers) != nh:
+                    raise CypherSyntaxError(
+                        "hyperedge patterns are MATCH-only; create "
+                        "hyperedges via PropertyGraph.add_hyperedge")
                 on_create, on_match = [], []
                 while self.peek() is not None \
                         and self.peek().text == "ON":
@@ -261,7 +307,7 @@ class _Parser:
                 raise CypherSyntaxError(f"unexpected {t.text!r}")
         return Query(matches, where, returns, distinct, order_by,
                      skip, limit, creates, deletes, sets, merges,
-                     optionals)
+                     optionals, hyper_matches=self.hypers)
 
     def set_item(self) -> tuple[str, str, Expr]:
         var = self.next().text
@@ -293,12 +339,45 @@ class _Parser:
         nodes = [self.node_pattern()]
         rels: list[RelPattern] = []
         while self.peek() is not None and self.peek().text in ("-", "<-"):
-            rels.append(self.rel_pattern())
-            nodes.append(self.node_pattern())
+            rel = self.rel_pattern()
+            group = self.node_group()
+            if len(group) > 1:
+                # hyperedge pattern (a)-[r:TYPE]->(b, c, d): N-ary,
+                # terminal (parser.rs:259-284 returns immediately too)
+                if not rel.types:
+                    raise CypherSyntaxError(
+                        "hyperedge pattern requires a relationship type")
+                if rel.max_hops != 1:
+                    raise CypherSyntaxError(
+                        "hyperedge pattern cannot be variable-length")
+                nxt = self.peek()
+                if nxt is not None and nxt.text in ("-", "<-"):
+                    raise CypherSyntaxError(
+                        "hyperedge pattern must end its path")
+                self.hypers.append(HyperPattern(
+                    rel.var, rel.types, rel.props, nodes[-1], group))
+                break
+            rels.append(rel)
+            nodes.append(group[0])
         return PathPattern(nodes, rels)
+
+    def node_group(self) -> list[NodePattern]:
+        """( content (, content)* ) — one node pattern, or a hyperedge
+        target group."""
+        self.expect("(")
+        group = [self._node_content()]
+        while self.accept(","):
+            group.append(self._node_content())
+        self.expect(")")
+        return group
 
     def node_pattern(self) -> NodePattern:
         self.expect("(")
+        pat = self._node_content()
+        self.expect(")")
+        return pat
+
+    def _node_content(self) -> NodePattern:
         var = None
         labels: list[str] = []
         props: dict = {}
@@ -309,7 +388,6 @@ class _Parser:
             labels.append(self.next().text)
         if self.peek() is not None and self.peek().text == "{":
             props = self.prop_map()
-        self.expect(")")
         return NodePattern(var, labels, props)
 
     def rel_pattern(self) -> RelPattern:
@@ -597,6 +675,54 @@ class CypherEngine:
                         r2[rel.var] = edge_bind
                     stack.append((k + 1, dst, r2))
 
+    def _match_hyper(self, hp: HyperPattern, row: dict):
+        """Yield rows binding a stored hyperedge to an N-ary pattern:
+        DISTINCT members must match the source and every target pattern
+        (injective assignment; the hyperedge may have extra members).
+        Var-consistent with prior bindings; hp.var binds the Hyperedge."""
+        pats = [hp.source] + list(hp.targets)
+        seen_ids = set()
+        hes = []
+        for t in hp.types:
+            for he in self.g.hyperedges_by_type(t):
+                if he.id not in seen_ids:
+                    seen_ids.add(he.id)
+                    hes.append(he)
+        for he in hes:
+            if any(he.properties.get(k) != v for k, v in hp.props.items()):
+                continue
+            if hp.var is not None and hp.var in row:
+                bound = row[hp.var]
+                if getattr(bound, "id", None) != he.id:
+                    continue
+            members = [m for m in
+                       (self.g.get_node(n) for n in dict.fromkeys(he.nodes))
+                       if m is not None]
+            if len(members) < len(pats):
+                continue
+
+            def assign(k: int, r: dict, used: frozenset):
+                if k == len(pats):
+                    if hp.var is not None and hp.var not in r:
+                        r = {**r, hp.var: he}
+                    yield dict(r)
+                    return
+                pat = pats[k]
+                for m in members:
+                    if m.id in used or not _node_matches(m, pat):
+                        continue
+                    if pat.var is not None and pat.var in r:
+                        if getattr(r[pat.var], "id", None) != m.id:
+                            continue
+                        r2 = r
+                    elif pat.var is not None:
+                        r2 = {**r, pat.var: m}
+                    else:
+                        r2 = r
+                    yield from assign(k + 1, r2, used | {m.id})
+
+            yield from assign(0, row, frozenset())
+
     # -- query execution --------------------------------------------------
     def execute(self, query: str | Query,
                 optimize: bool = True,
@@ -608,6 +734,8 @@ class CypherEngine:
         rows: list[dict] = [{}] if _rows is None else _rows
         for pat in q.matches:
             rows = [r2 for r in rows for r2 in self._match_path(pat, r)]
+        for hp in q.hyper_matches:
+            rows = [r2 for r in rows for r2 in self._match_hyper(hp, r)]
         for pat in q.optional_matches:
             rows = [r2 for r in rows
                     for r2 in self._optional_match(pat, r)]
@@ -617,7 +745,8 @@ class CypherEngine:
         # mutations. Zero rows out of MATCH means zero executions
         # (standard Cypher); only a stage with no MATCH at all runs its
         # CREATE/MERGE once on the empty binding.
-        matched_any = bool(q.matches or q.optional_matches)
+        matched_any = bool(q.matches or q.optional_matches
+                           or q.hyper_matches)
         base = rows if matched_any else (rows or [{}])
         for pat in q.creates:
             for r in base:

@@ -364,3 +364,106 @@ def test_order_by_mixed_expr_and_alias_precedence():
     rows = execute_cypher(
         g, "MATCH (n:P) RETURN n.y AS f ORDER BY n.x, f")
     assert [r["f"] for r in rows] == [5, 7, 1, 9]
+
+
+# --- round 4: hyperedge patterns (parser.rs:259-284 grammar, executed) ---
+
+def _hyper_graph():
+    from ruvector_tpu.graph import PropertyGraph
+
+    g = PropertyGraph()
+    for n, labels in [("p", ["Person"]), ("a1", ["Account"]),
+                      ("a2", ["Account"]), ("m", ["Merchant"]),
+                      ("x", ["Person"])]:
+        g.add_node(n, labels)
+    g.add_hyperedge(["p", "a1", "a2", "m"], "TRANSACTION", amount=100)
+    g.add_hyperedge(["x", "a1", "m"], "TRANSACTION", amount=7)
+    g.add_hyperedge(["p", "a1"], "OWNS")
+    return g
+
+
+def test_hyperedge_pattern_parses_and_matches():
+    """The reference's own (ignored) test query, executed for real:
+    MATCH (a)-[r:TRANSACTION]->(b, c, d) RETURN ...
+    (comparison: parser.rs test_parse_hyperedge is #[ignore]d)."""
+    from ruvector_tpu.graph.cypher import execute_cypher, parse_cypher
+
+    q = parse_cypher(
+        "MATCH (a)-[r:TRANSACTION]->(b, c, d) RETURN a, r, b, c, d")
+    assert len(q.hyper_matches) == 1
+    hp = q.hyper_matches[0]
+    assert hp.arity == 4 and hp.types == ["TRANSACTION"]
+
+    g = _hyper_graph()
+    rows = execute_cypher(
+        g, "MATCH (p:Person)-[r:TRANSACTION]->(b:Account, c:Account, "
+           "d:Merchant) RETURN p, r")
+    # only the order-4 hyperedge has two distinct Accounts + a Merchant;
+    # (b, c) can be assigned 2 ways -> 2 rows, same hyperedge
+    assert len(rows) == 2
+    assert all(r["r"].properties["amount"] == 100 for r in rows)
+    assert all(r["p"].id == "p" for r in rows)
+
+
+def test_hyperedge_subset_and_props_and_where():
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = _hyper_graph()
+    # NOTE a single-target (a)-[r:T]->(b) stays a BINARY edge pattern
+    # (grammar identical to the reference's): subset semantics applies
+    # to N-ary patterns, where a hyperedge may have MORE members than
+    # the pattern names. Both TRANSACTION hyperedges contain
+    # (Person, Account, Merchant) distinct triples:
+    rows = execute_cypher(
+        g, "MATCH (p:Person)-[r:TRANSACTION]->(a:Account, m:Merchant) "
+           "RETURN r.amount AS amt ORDER BY amt")
+    assert [r["amt"] for r in rows] == [7, 100, 100]     # a1; then a1|a2
+    # property map on the hyperedge filters
+    rows = execute_cypher(
+        g, "MATCH (p:Person)-[r:TRANSACTION {amount: 7}]->"
+           "(a:Account, m:Merchant) RETURN p")
+    assert len(rows) == 1 and rows[0]["p"].id == "x"
+    # WHERE over the hyperedge binding
+    rows = execute_cypher(
+        g, "MATCH (p:Person)-[r:TRANSACTION]->(a:Account, m:Merchant) "
+           "WHERE r.amount > 50 RETURN p, a, m")
+    assert {r["p"].id for r in rows} == {"p"}
+
+
+def test_hyperedge_joins_with_binary_match_and_injectivity():
+    from ruvector_tpu.graph.cypher import execute_cypher
+
+    g = _hyper_graph()
+    g.add_edge("p", "a1", type="OWNS_E")
+    # var consistency: `a` bound by the binary MATCH constrains the
+    # hyperedge assignment
+    rows = execute_cypher(
+        g, "MATCH (p:Person)-[:OWNS_E]->(a) "
+           "MATCH (p)-[r:TRANSACTION]->(a, m:Merchant) RETURN r, a, m")
+    # p and a are pre-bound ("p", "a1"); only the order-4 hyperedge
+    # contains BOTH (the order-3 one has x, not p)
+    assert len(rows) == 1
+    assert rows[0]["a"].id == "a1" and rows[0]["m"].id == "m"
+    assert rows[0]["r"].properties["amount"] == 100
+    # injectivity: two Account targets cannot both bind a1 in the
+    # order-3 hyperedge {x, a1, m}
+    rows = execute_cypher(
+        g, "MATCH (x:Person {})-[r:TRANSACTION {amount: 7}]->"
+           "(u:Account, v:Account) RETURN u, v")
+    assert rows == []
+
+
+def test_hyperedge_pattern_rejections():
+    import pytest
+
+    from ruvector_tpu.graph.cypher import CypherSyntaxError, parse_cypher
+
+    for bad in [
+        "MATCH (a)-[r]->(b, c) RETURN a",                  # no type
+        "MATCH (a)-[r:T*2]->(b, c) RETURN a",              # var-length
+        "MATCH (a)-[r:T]->(b, c)-[:U]->(d) RETURN a",      # chained
+        "CREATE (a)-[r:T]->(b, c)",                        # CREATE
+        "OPTIONAL MATCH (a)-[r:T]->(b, c) RETURN a",       # OPTIONAL
+    ]:
+        with pytest.raises(CypherSyntaxError):
+            parse_cypher(bad)
