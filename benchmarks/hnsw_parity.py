@@ -70,10 +70,16 @@ def run_distribution(kind: str, n=10_000, d=384, nq=1_000):
                    + rng.normal(size=(nq, d))).astype(np.float32)
 
     cfg = HnswConfig(dim=d, m=32, ef_construction=200, ef_search=100)
-    idx = HnswIndex(cfg)
-    t0 = time.perf_counter()
-    idx.add_batch(base, num_threads=os.cpu_count() or 4)
-    t_build = time.perf_counter() - t0
+    # median-of-3 builds: these 4 vCPUs are shared, and single-run build
+    # times spread +-15-20% (observed 5,450-7,126 inserts/s for one
+    # binary); the median is the honest, reproducible figure
+    builds = []
+    for _ in range(3):
+        idx = HnswIndex(cfg)
+        t0 = time.perf_counter()
+        idx.add_batch(base, num_threads=os.cpu_count() or 4)
+        builds.append(time.perf_counter() - t0)
+    t_build = sorted(builds)[1]
     truth = exact_topk(base, queries, 100)
 
     sweep = {}

@@ -145,6 +145,66 @@ struct Hnsw {
         return s;
     }
 
+
+    // Interleaved 2-row threshold screen: both rows' 128-d chunks are
+    // computed together (4 independent FMA chains hide the VPU latency
+    // that a single row's 2 chains cannot); each row exits its own
+    // chunk loop independently, so an early-abandoning row never drags
+    // the other through the full vector (the failure mode of the 4-row
+    // all-or-nothing variant). Results match dist_thresh exactly.
+    void dist_thresh2(const float* __restrict q,
+                      const float* __restrict a,
+                      const float* __restrict b,
+                      float thresh, float* da, float* db) const {
+#if defined(__AVX512F__)
+        float sa = 0, sb = 0;
+        int64_t i = 0;
+        bool la = true, lb = true;
+        for (; i + 128 <= dim && (la || lb); i += 128) {
+            __m512 a0 = _mm512_setzero_ps(), a1 = _mm512_setzero_ps();
+            __m512 b0 = _mm512_setzero_ps(), b1 = _mm512_setzero_ps();
+            if (la && lb) {
+                for (int j = 0; j < 128; j += 32) {
+                    __m512 qa0 = _mm512_loadu_ps(q + i + j);
+                    __m512 qa1 = _mm512_loadu_ps(q + i + j + 16);
+                    __m512 d0 = _mm512_sub_ps(qa0, _mm512_loadu_ps(a + i + j));
+                    __m512 d1 = _mm512_sub_ps(qa1, _mm512_loadu_ps(a + i + j + 16));
+                    __m512 e0 = _mm512_sub_ps(qa0, _mm512_loadu_ps(b + i + j));
+                    __m512 e1 = _mm512_sub_ps(qa1, _mm512_loadu_ps(b + i + j + 16));
+                    a0 = _mm512_fmadd_ps(d0, d0, a0);
+                    a1 = _mm512_fmadd_ps(d1, d1, a1);
+                    b0 = _mm512_fmadd_ps(e0, e0, b0);
+                    b1 = _mm512_fmadd_ps(e1, e1, b1);
+                }
+                sa += _mm512_reduce_add_ps(_mm512_add_ps(a0, a1));
+                sb += _mm512_reduce_add_ps(_mm512_add_ps(b0, b1));
+                la = sa < thresh; lb = sb < thresh;
+            } else {
+                const float* v = la ? a : b;
+                float* s = la ? &sa : &sb;
+                for (int j = 0; j < 128; j += 32) {
+                    __m512 d0 = _mm512_sub_ps(_mm512_loadu_ps(q + i + j),
+                                              _mm512_loadu_ps(v + i + j));
+                    __m512 d1 = _mm512_sub_ps(_mm512_loadu_ps(q + i + j + 16),
+                                              _mm512_loadu_ps(v + i + j + 16));
+                    a0 = _mm512_fmadd_ps(d0, d0, a0);
+                    a1 = _mm512_fmadd_ps(d1, d1, a1);
+                }
+                *s += _mm512_reduce_add_ps(_mm512_add_ps(a0, a1));
+                if (la) la = sa < thresh; else lb = sb < thresh;
+            }
+        }
+        for (; i < dim && (la || lb); ++i) {
+            if (la) { float d = q[i] - a[i]; sa += d * d; }
+            if (lb) { float d = q[i] - b[i]; sb += d * d; }
+        }
+        *da = sa; *db = sb;
+#else
+        *da = dist_thresh(q, a, thresh);
+        *db = dist_thresh(q, b, thresh);
+#endif
+    }
+
     const float* vec(int32_t id) const { return data.data() + id * dim; }
 
     // copy a node's neighbor list under its lock (concurrent back-link
@@ -236,20 +296,31 @@ struct Hnsw {
                 __builtin_prefetch(p + 128);
                 __builtin_prefetch(p + 192);
             }
-            for (int32_t nb : tocheck) {
-                // once the beam is full, abandon the distance as soon as
-                // the partial sum crosses the beam's worst entry.
-                // (A 4-row interleaved variant was tried and LOST here:
-                // with ~70% of rows abandoning after one chunk, a single
-                // surviving row drags three dead ones through the full
-                // vector — per-row early exit beats cross-row ILP.)
-                float d = (int64_t)best_v.size() < ef
-                    ? dist(q, vec(nb))
-                    : dist_thresh(q, vec(nb), best_v.front().first);
+            size_t ti = 0;
+            while (ti < tocheck.size()) {
+                float d0, d1;
+                int32_t n0 = tocheck[ti], n1 = -1;
+                if ((int64_t)best_v.size() < ef) {
+                    d0 = dist(q, vec(n0));
+                    ti += 1;
+                } else if (ti + 1 < tocheck.size()) {
+                    n1 = tocheck[ti + 1];
+                    dist_thresh2(q, vec(n0), vec(n1),
+                                 best_v.front().first, &d0, &d1);
+                    ti += 2;
+                } else {
+                    d0 = dist_thresh(q, vec(n0), best_v.front().first);
+                    ti += 1;
+                }
                 if ((int64_t)best_v.size() < ef
-                    || d < best_v.front().first) {
-                    best_push(d, nb);
-                    cand_push(d, nb);
+                    || d0 < best_v.front().first) {
+                    best_push(d0, n0);
+                    cand_push(d0, n0);
+                    if ((int64_t)best_v.size() > ef) best_pop();
+                }
+                if (n1 >= 0 && d1 < best_v.front().first) {
+                    best_push(d1, n1);
+                    cand_push(d1, n1);
                     if ((int64_t)best_v.size() > ef) best_pop();
                 }
             }
