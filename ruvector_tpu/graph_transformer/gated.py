@@ -210,9 +210,11 @@ def _neighbor_mix(h, bdg: BlockDenseGraph, w_gnn):
         local = h
     else:
         local = flat[bdg.local_ids]                  # [nB, T, D]
+    # operands in h.dtype (casting a bf16 wdense to f32 is a 9.5 GB HBM
+    # temp at 10M nodes); the MXU still accumulates f32 for bf16 inputs
     agg = jnp.einsum(
-        "nbt,ntd->nbd", bdg.wdense.astype(jnp.float32), local,
-        preferred_element_type=jnp.float32)
+        "nbt,ntd->nbd", bdg.wdense.astype(h.dtype), local,
+        preferred_element_type=jnp.float32).astype(h.dtype)
     return linear_apply(w_gnn, agg)
 
 
@@ -435,13 +437,44 @@ def _use_fused_attn(cfg, b, d):
         and d % 128 == 0 and b % 8 == 0)
 
 
+def _ffn_apply(p, h2, pad, out_dtype):
+    """Pre-norm FFN, chunked over blocks when nB is large: the [nB, B,
+    ffn_mult*D] gelu hidden is 9.5 GB (bf16) at 10M nodes — chunking
+    bounds it to ~1 GB while each chunk's matmul stays MXU-sized
+    (>=100k rows). Small nB (tests, <=4096 blocks) takes the straight
+    path; both are numerically identical (same ops, same order)."""
+    nb = h2.shape[0]
+
+    def f(hh, pp):
+        mid = jax.nn.gelu(linear_apply(p["ffn_in"], hh)).astype(out_dtype)
+        # pad is 0/1 — exact in any dtype; an f32 pad would promote the
+        # whole product (and the residual stream) back to f32
+        return (linear_apply(p["ffn_out"], mid).astype(out_dtype)
+                * pp[..., None].astype(out_dtype))
+
+    if nb <= 4096:
+        return f(h2, pad)
+    c = max(cc for cc in range(1, 4097) if nb % cc == 0)
+    return jax.lax.map(
+        lambda args: f(*args),
+        (h2.reshape(nb // c, c, *h2.shape[1:]),
+         pad.reshape(nb // c, c, pad.shape[1])),
+    ).reshape(nb, *h2.shape[1:])
+
+
 def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     """keep_p: BIT-PACKED gate masks [nB, ceil(B/32), B] uint32
     (pack_keep). The fused kernel unpacks per block in VMEM; the XLA
     fallback unpacks here (test shapes only — at scale the fused path
-    is what runs, and the [nB, B, B] bool never exists in HBM)."""
+    is what runs, and the [nB, B, B] bool never exists in HBM).
+
+    Every materialized tensor stays in x.dtype: layer_norm_apply
+    promotes bf16 inputs to f32 (f32 gamma/beta), which at 10M nodes is
+    a 4.77 GB temp PER LN — the .astype folds the cast into the LN
+    fusion so the f32 tensor never reaches HBM (f32 inputs: no-op)."""
     pad = bdg.node_pad
-    h = layer_norm_apply(p["ln1"], x)
+    dt = x.dtype
+    h = layer_norm_apply(p["ln1"], x).astype(dt)
     if fused and _use_fused_attn(cfg, bdg.block, x.shape[-1]):
         A, Wvo = fold_gated_attention_params(p, cfg)
         x = x + gated_block_attention(
@@ -450,12 +483,11 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     else:
         keep = unpack_keep(keep_p, bdg.block)
         x = x + _attention_with_keep(h, pad, keep, p, cfg, attn_chunk)
-    g = layer_norm_apply(p["ln_g"], x)
-    x = x + _neighbor_mix(g, bdg, p["w_gnn"]) * pad[..., None]
-    h2 = layer_norm_apply(p["ln2"], x)
-    x = x + linear_apply(
-        p["ffn_out"], jax.nn.gelu(linear_apply(p["ffn_in"], h2))
-    ) * pad[..., None]
+    g = layer_norm_apply(p["ln_g"], x).astype(dt)
+    x = x + (_neighbor_mix(g, bdg, p["w_gnn"]).astype(dt)
+             * pad[..., None].astype(dt))
+    h2 = layer_norm_apply(p["ln2"], x).astype(dt)
+    x = x + _ffn_apply(p, h2, pad, dt)
     return x
 
 
@@ -474,7 +506,7 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
     fused = _use_fused_attn(cfg, b, x.shape[-1])
     keeps, sigs = [], []
     for p in params:
-        h = layer_norm_apply(p["ln1"], x)
+        h = layer_norm_apply(p["ln1"], x).astype(x.dtype)
         c = max(cc for cc in range(1, min(cfg.gate_chunk, nb) + 1)
                 if nb % cc == 0)
 
@@ -544,7 +576,7 @@ def gated_graph_transformer_step(
     ages = state.get("age", jnp.zeros((len(params), nb), jnp.int32))
     fused = _use_fused_attn(cfg, b, x.shape[-1])
     for li, p in enumerate(params):
-        h = layer_norm_apply(p["ln1"], x)
+        h = layer_norm_apply(p["ln1"], x).astype(x.dtype)
         A_sig = _fold_sig_params(p, cfg)
         if fused:
             sig = _signature_fused_x(h, A_sig, bdg.node_pad, cfg)

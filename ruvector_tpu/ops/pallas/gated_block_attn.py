@@ -140,7 +140,10 @@ def _fwd_pallas(x, keep_io, pad3, A_cat, Wvo_cat, compute_bf16):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, b, d), lambda k: (k, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, b, d), jnp.float32),
+        # out in x.dtype: a hard-f32 output is a 4.77 GB HBM temp at 10M
+        # nodes when the residual stream is bf16 (in-kernel accumulate
+        # stays f32 either way)
+        out_shape=jax.ShapeDtypeStruct((nb, b, d), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=nb * b * h * b),
