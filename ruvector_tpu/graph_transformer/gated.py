@@ -437,12 +437,23 @@ def _use_fused_attn(cfg, b, d):
         and d % 128 == 0 and b % 8 == 0)
 
 
+# blocks-per-program bound for the big-graph chunked paths below. At
+# 10M nodes (39,062 blocks) the full-width inter-sublayer temps (LN
+# outputs, attention out, gelu hidden at 2.4-9.5 GB each) cannot all be
+# live next to the 4.8 GB edge tables in 15.75 GB of HBM; under the
+# bound each temp is <=0.5 GB while every chunk's matmul keeps >=100k
+# rows (MXU-sized). Tests monkeypatch this to force the chunked route
+# on small graphs.
+_CHUNK_NB = 4096
+
+
 def _ffn_apply(p, h2, pad, out_dtype):
     """Pre-norm FFN, chunked over blocks when nB is large: the [nB, B,
     ffn_mult*D] gelu hidden is 9.5 GB (bf16) at 10M nodes — chunking
     bounds it to ~1 GB while each chunk's matmul stays MXU-sized
-    (>=100k rows). Small nB (tests, <=4096 blocks) takes the straight
-    path; both are numerically identical (same ops, same order)."""
+    (>=100k rows). Small nB (tests, <=_CHUNK_NB blocks) takes the
+    straight path; both are numerically identical (same ops, same
+    order)."""
     nb = h2.shape[0]
 
     def f(hh, pp):
@@ -452,9 +463,9 @@ def _ffn_apply(p, h2, pad, out_dtype):
         return (linear_apply(p["ffn_out"], mid).astype(out_dtype)
                 * pp[..., None].astype(out_dtype))
 
-    if nb <= 4096:
+    if nb <= _CHUNK_NB:
         return f(h2, pad)
-    c = max(cc for cc in range(1, 4097) if nb % cc == 0)
+    c = max(cc for cc in range(1, _CHUNK_NB + 1) if nb % cc == 0)
     return jax.lax.map(
         lambda args: f(*args),
         (h2.reshape(nb // c, c, *h2.shape[1:]),
@@ -474,8 +485,41 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     fusion so the f32 tensor never reaches HBM (f32 inputs: no-op)."""
     pad = bdg.node_pad
     dt = x.dtype
+    nb = x.shape[0]
+    use_fused = fused and _use_fused_attn(cfg, bdg.block, x.shape[-1])
+    if use_fused and nb > _CHUNK_NB and bdg.table == bdg.block:
+        # Halo-free big graphs (cross-partition edges stay inside the
+        # 256-node block, bdg.table == block): EVERY sublayer is block-
+        # local, so the whole layer chunks over blocks — no full-width
+        # [nB, B, D] temp ever exists between sublayers. At 10M nodes
+        # the unchunked layer peaks ~15 GB next to the persistent edge
+        # tables and OOMs; chunked it peaks ~10 GB.
+        A, Wvo = fold_gated_attention_params(p, cfg)
+        cbf = cfg.compute_dtype == "bfloat16"
+        c = max(cc for cc in range(1, _CHUNK_NB + 1) if nb % cc == 0)
+
+        def one_chunk(args):
+            xc, kc, pc, wc = args
+            hc = layer_norm_apply(p["ln1"], xc).astype(dt)
+            xc = xc + gated_block_attention(hc, kc, pc, A, Wvo,
+                                            compute_bf16=cbf)
+            gc = layer_norm_apply(p["ln_g"], xc).astype(dt)
+            aggc = jnp.einsum(
+                "nbt,ntd->nbd", wc.astype(dt), gc,
+                preferred_element_type=jnp.float32).astype(dt)
+            xc = xc + (linear_apply(p["w_gnn"], aggc).astype(dt)
+                       * pc[..., None].astype(dt))
+            h2c = layer_norm_apply(p["ln2"], xc).astype(dt)
+            return xc + _ffn_apply(p, h2c, pc, dt)
+
+        def rc(t):
+            return t.reshape(nb // c, c, *t.shape[1:])
+
+        return jax.lax.map(
+            one_chunk, (rc(x), rc(keep_p), rc(pad), rc(bdg.wdense)),
+        ).reshape(nb, *x.shape[1:])
     h = layer_norm_apply(p["ln1"], x).astype(dt)
-    if fused and _use_fused_attn(cfg, bdg.block, x.shape[-1]):
+    if use_fused:
         A, Wvo = fold_gated_attention_params(p, cfg)
         x = x + gated_block_attention(
             h, keep_p, pad, A, Wvo,

@@ -561,3 +561,33 @@ def test_bf16_residual_stream_keeps_dtype_and_tracks_f32():
     scale = float(jnp.max(jnp.abs(out_f))) + 1e-9
     err = float(jnp.max(jnp.abs(out_b.astype(jnp.float32) - out_f)))
     assert err / scale < 0.1, (err, scale)
+
+
+def test_chunked_whole_layer_matches_straight(monkeypatch):
+    """Halo-free big graphs chunk the ENTIRE layer over blocks (every
+    sublayer is block-local when bdg.table == block) to bound HBM temps
+    at 10M nodes; the chunked program must match the straight one."""
+    import ruvector_tpu.graph_transformer.gated as g
+
+    n, d, block = 512, 32, 128   # table pads to 128-lane multiples, so
+    rng = np.random.default_rng(7)  # halo-free needs block >= 128
+    # self-contained blocks: neighbors within the same block
+    base = (np.arange(n)[:, None] // block) * block
+    idx = (base + rng.integers(0, block, (n, 8))).astype(np.int32)
+    mask = np.ones((n, 8), np.float32)
+    ew = rng.uniform(0.1, 1.0, (n, 8)).astype(np.float32)
+    bdg = build_block_dense(idx, mask, ew, block=block)
+    assert bdg.table == bdg.block, "graph must be halo-free for this test"
+
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=4, num_layers=1,
+                                      fused_gate_attn="always")
+    p = gated_graph_transformer_init(jax.random.key(0), cfg)[0]
+    x = jnp.asarray(rng.normal(size=(bdg.n_blocks, block, d))
+                    .astype(np.float32))
+    kp = g.pack_keep(jnp.ones((bdg.n_blocks, block, block), bool))
+
+    straight = g._layer_with_keep(p, cfg, x, bdg, kp, fused=True)
+    monkeypatch.setattr(g, "_CHUNK_NB", 2)   # force the chunked route
+    chunked = g._layer_with_keep(p, cfg, x, bdg, kp, fused=True)
+    np.testing.assert_allclose(np.asarray(straight), np.asarray(chunked),
+                               atol=2e-5)
