@@ -498,6 +498,11 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
         cbf = cfg.compute_dtype == "bfloat16"
         c = max(cc for cc in range(1, _CHUNK_NB + 1) if nb % cc == 0)
 
+        # checkpoint per chunk: the scan VJP would otherwise stack
+        # every body intermediate (incl. the [c, B, 4D] gelu hidden)
+        # back to full width — exactly the temps chunking removes.
+        # Recompute per chunk on the backward pass instead.
+        @jax.checkpoint
         def one_chunk(args):
             xc, kc, pc, wc = args
             hc = layer_norm_apply(p["ln1"], xc).astype(dt)
