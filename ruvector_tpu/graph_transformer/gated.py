@@ -185,21 +185,14 @@ def _gated_attention_block(h, node_pad, wq, wk, wv, wo, cfg):
             preferred_element_type=jnp.float32)
         return out, (cost > 0, cost)
 
-    # largest divisor of nb that fits the memory budget (static shapes:
-    # lax.map needs equal chunks; falling back to chunk=nb would blow the
-    # [chunk, H, B, B] gate buffers at 1M-node scale)
-    chunk = max(c for c in range(1, min(cfg.gate_chunk, nb) + 1)
-                if nb % c == 0)
-    def reshape_c(x):
-        return x.reshape(nb // chunk, chunk, *x.shape[1:])
-    out, (applied, cost) = jax.lax.map(
-        one_chunk,
-        (reshape_c(q), reshape_c(k), reshape_c(v), reshape_c(node_pad)))
-    out = out.reshape(nb, hh, b, dh).transpose(0, 2, 1, 3).reshape(nb, b, d)
+    # ceil-chunked lax.map bounds the [chunk, H, B, B] gate buffers at
+    # 1M-node scale (chunk=nb would blow them)
+    out, (applied, cost) = _ceil_chunked_map(
+        one_chunk, (q, k, v, node_pad), nb, cfg.gate_chunk)
+    out = out.transpose(0, 2, 1, 3).reshape(nb, b, d)
     out = jnp.einsum(
         "nbd,de->nbe", out, wo, preferred_element_type=jnp.float32)
-    return out * node_pad[..., None], (
-        applied.reshape(nb, hh), cost.reshape(nb, hh))
+    return out * node_pad[..., None], (applied, cost)
 
 
 def _neighbor_mix(h, bdg: BlockDenseGraph, w_gnn):
@@ -417,14 +410,9 @@ def _attention_with_keep(h, node_pad, keep, p, cfg, chunk):
         return jnp.einsum("chqk,chkd->chqd", attn.astype(cdt), vc,
                           preferred_element_type=jnp.float32)
 
-    c = max(cc for cc in range(1, min(chunk, nb) + 1) if nb % cc == 0)
-
-    def rc(x):
-        return x.reshape(nb // c, c, *x.shape[1:])
-
-    out = jax.lax.map(
-        one_chunk, (rc(q), rc(k), rc(v), rc(node_pad), rc(keep)))
-    out = out.reshape(nb, hh, b, dh).transpose(0, 2, 1, 3).reshape(nb, b, d)
+    out = _ceil_chunked_map(one_chunk, (q, k, v, node_pad, keep), nb,
+                            chunk)
+    out = out.transpose(0, 2, 1, 3).reshape(nb, b, d)
     out = jnp.einsum("nbd,de->nbe", out, p["wo"],
                      preferred_element_type=jnp.float32)
     return out * node_pad[..., None]
@@ -447,6 +435,34 @@ def _use_fused_attn(cfg, b, d):
 _CHUNK_NB = 4096
 
 
+def _ceil_chunked_map(f, args, nb, chunk):
+    """lax.map over ceil(nb/chunk) equal chunks of the leading block axis.
+
+    Pads every arg with zero blocks up to a multiple of min(chunk, nb)
+    and slices the outputs back to nb. The bodies here are block-local
+    and mask padding rows themselves, so zero blocks are inert (their
+    outputs are discarded by the slice). This replaces the old
+    largest-divisor rule, which silently serialized when nB had no
+    divisor near the chunk bound (nB prime -> chunk 1 -> nB unit-sized
+    lax.map steps at exactly the 10M-node scale this path targets)."""
+    c = min(chunk, nb)
+    n_pad = -nb % c
+
+    def pad0(t):
+        if n_pad == 0:
+            return t
+        return jnp.concatenate(
+            [t, jnp.zeros((n_pad, *t.shape[1:]), t.dtype)], axis=0)
+
+    def rc(t):
+        return t.reshape((nb + n_pad) // c, c, *t.shape[1:])
+
+    out = jax.lax.map(f, jax.tree.map(lambda t: rc(pad0(t)), args))
+    return jax.tree.map(
+        lambda t: t.reshape(t.shape[0] * t.shape[1], *t.shape[2:])[:nb],
+        out)
+
+
 def _ffn_apply(p, h2, pad, out_dtype):
     """Pre-norm FFN, chunked over blocks when nB is large: the [nB, B,
     ffn_mult*D] gelu hidden is 9.5 GB (bf16) at 10M nodes — chunking
@@ -465,12 +481,8 @@ def _ffn_apply(p, h2, pad, out_dtype):
 
     if nb <= _CHUNK_NB:
         return f(h2, pad)
-    c = max(cc for cc in range(1, _CHUNK_NB + 1) if nb % cc == 0)
-    return jax.lax.map(
-        lambda args: f(*args),
-        (h2.reshape(nb // c, c, *h2.shape[1:]),
-         pad.reshape(nb // c, c, pad.shape[1])),
-    ).reshape(nb, *h2.shape[1:])
+    return _ceil_chunked_map(lambda args: f(*args), (h2, pad), nb,
+                             _CHUNK_NB)
 
 
 def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
@@ -496,7 +508,6 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
         # tables and OOMs; chunked it peaks ~10 GB.
         A, Wvo = fold_gated_attention_params(p, cfg)
         cbf = cfg.compute_dtype == "bfloat16"
-        c = max(cc for cc in range(1, _CHUNK_NB + 1) if nb % cc == 0)
 
         # checkpoint per chunk: the scan VJP would otherwise stack
         # every body intermediate (incl. the [c, B, 4D] gelu hidden)
@@ -517,12 +528,8 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
             h2c = layer_norm_apply(p["ln2"], xc).astype(dt)
             return xc + _ffn_apply(p, h2c, pc, dt)
 
-        def rc(t):
-            return t.reshape(nb // c, c, *t.shape[1:])
-
-        return jax.lax.map(
-            one_chunk, (rc(x), rc(keep_p), rc(pad), rc(bdg.wdense)),
-        ).reshape(nb, *x.shape[1:])
+        return _ceil_chunked_map(
+            one_chunk, (x, keep_p, pad, bdg.wdense), nb, _CHUNK_NB)
     h = layer_norm_apply(p["ln1"], x).astype(dt)
     if use_fused:
         A, Wvo = fold_gated_attention_params(p, cfg)
@@ -531,7 +538,11 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
             compute_bf16=cfg.compute_dtype == "bfloat16")
     else:
         keep = unpack_keep(keep_p, bdg.block)
-        x = x + _attention_with_keep(h, pad, keep, p, cfg, attn_chunk)
+        # .astype(dt): _attention_with_keep returns f32 — without the
+        # cast a bf16 residual stream silently promotes to f32 here,
+        # violating the keep-x.dtype invariant the fused branch pins
+        x = x + _attention_with_keep(
+            h, pad, keep, p, cfg, attn_chunk).astype(dt)
     g = layer_norm_apply(p["ln_g"], x).astype(dt)
     x = x + (_neighbor_mix(g, bdg, p["w_gnn"]).astype(dt)
              * pad[..., None].astype(dt))
@@ -556,12 +567,6 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
     keeps, sigs = [], []
     for p in params:
         h = layer_norm_apply(p["ln1"], x).astype(x.dtype)
-        c = max(cc for cc in range(1, min(cfg.gate_chunk, nb) + 1)
-                if nb % cc == 0)
-
-        def rc(t):
-            return t.reshape(nb // c, c, *t.shape[1:])
-
         # pooled logits are (re)built per chunk inside the map body —
         # the full [nB, B, B] tensor never exists in HBM. The A-folded
         # form (X A_sig X^T) skips the q/k projections entirely; it is
@@ -570,11 +575,11 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
         A_sig = _fold_sig_params(p, cfg)
         # pack INSIDE the chunked map: the full [nB, B, B] bool never
         # exists in HBM (at 10M nodes it is 5.1 GB; packed it is 0.16)
-        keep = jax.lax.map(
+        keep = _ceil_chunked_map(
             lambda args: pack_keep(jax.vmap(
                 lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
                 _pooled_from_x(args[0], args[1], A_sig))),
-            (rc(h), rc(bdg.node_pad))).reshape(nb, -(-b // 32), b)
+            (h, bdg.node_pad), nb, cfg.gate_chunk)
         keeps.append(keep)
         if fused:
             sigs.append(_signature_fused_x(h, A_sig, bdg.node_pad, cfg))

@@ -320,7 +320,8 @@ def gated_block_attention(x, keep_packed, pad, A, Wvo, *,
     pad:         [nB, B]        1 for real nodes
     A:           [H, D, D]      Wq_h @ Wk_h^T * scale (head-folded)
     Wvo:         [H, D, D]      Wv_h @ Wo_h (value+output folded)
-    returns [nB, B, D] f32 == _attention_with_keep(...) to ~1e-4.
+    returns [nB, B, D] in x.dtype == _attention_with_keep(...) to ~1e-4
+    (in-kernel accumulation is f32; only the output IO rounds).
 
     Differentiable: a custom_vjp recomputes scores in VMEM on the
     backward pass and returns (dx, dA, dWvo); keep (integer) gets a

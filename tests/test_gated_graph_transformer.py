@@ -491,11 +491,13 @@ def test_max_gate_age_escalation_holds_under_saturating_drift():
     assert max(max_ages[6:]) <= cfg.max_gate_age, max_ages
 
 
-def test_chunked_ffn_matches_straight_path():
+def test_chunked_ffn_matches_straight_path(monkeypatch):
     """_ffn_apply chunks over blocks above the nB threshold purely to
     bound the [nB, B, ffn_mult*D] gelu hidden (9.5 GB bf16 at 10M
-    nodes); the chunked program must be numerically identical."""
-    from ruvector_tpu.graph_transformer.gated import _ffn_apply
+    nodes); the REAL chunked branch (driven by monkeypatching the
+    threshold, nb=6 with chunk 4 -> ceil-padded to 8) must be
+    numerically identical."""
+    import ruvector_tpu.graph_transformer.gated as g
 
     nb, b, d = 6, 16, 32
     rng = np.random.default_rng(5)
@@ -504,27 +506,12 @@ def test_chunked_ffn_matches_straight_path():
                       .astype(np.float32))
     cfg = GatedGraphTransformerConfig(dim=d)
     p = gated_graph_transformer_init(jax.random.key(3), cfg)[0]
-    straight = _ffn_apply(p, h2, pad, h2.dtype)
+    straight = g._ffn_apply(p, h2, pad, h2.dtype)
 
-    import unittest.mock as mock
-    # force the chunked route by shrinking the threshold: patch the
-    # constant via a tiny wrapper (nb=6 -> chunks of 3 with limit 4)
-    import ruvector_tpu.graph_transformer.gated as g
-
-    src_nb = nb
-    def chunked(p, h2, pad, out_dtype):
-        c = max(cc for cc in range(1, 4) if src_nb % cc == 0)  # = 3
-        f = lambda hh, pp: (g.linear_apply(
-            p["ffn_out"], jax.nn.gelu(
-                g.linear_apply(p["ffn_in"], hh))).astype(out_dtype)
-            * pp[..., None])
-        return jax.lax.map(
-            lambda args: f(*args),
-            (h2.reshape(src_nb // c, c, *h2.shape[1:]),
-             pad.reshape(src_nb // c, c, pad.shape[1])),
-        ).reshape(src_nb, *h2.shape[1:])
-
-    out_c = chunked(p, h2, pad, h2.dtype)
+    # nb=6 has no divisor in [4, 6) — the old largest-divisor rule would
+    # have serialized into chunks of 2; ceil-chunking pads 6 -> 8
+    monkeypatch.setattr(g, "_CHUNK_NB", 4)
+    out_c = g._ffn_apply(p, h2, pad, h2.dtype)
     np.testing.assert_allclose(np.asarray(straight), np.asarray(out_c),
                                atol=1e-6)
 
@@ -537,7 +524,6 @@ def test_bf16_residual_stream_keeps_dtype_and_tracks_f32():
     from ruvector_tpu.graph_transformer.gated import (
         gate_state_init, gated_graph_transformer_step)
     import dataclasses
-    import ml_dtypes
 
     n, d = 128, 32
     bdg32 = _graph(n, 8, block=32)
@@ -591,3 +577,41 @@ def test_chunked_whole_layer_matches_straight(monkeypatch):
     chunked = g._layer_with_keep(p, cfg, x, bdg, kp, fused=True)
     np.testing.assert_allclose(np.asarray(straight), np.asarray(chunked),
                                atol=2e-5)
+
+
+def test_chunked_whole_layer_grad_parity(monkeypatch):
+    """value_and_grad through the chunked whole-layer route (checkpointed
+    ceil-chunked lax.map, incl. a NON-divisible nB that exercises the
+    zero-block padding) must match the straight path's loss and grads."""
+    import ruvector_tpu.graph_transformer.gated as g
+
+    n, d, block = 640, 32, 128           # nb=5: not a multiple of chunk 2
+    rng = np.random.default_rng(9)
+    base = (np.arange(n)[:, None] // block) * block
+    idx = (base + rng.integers(0, block, (n, 8))).astype(np.int32)
+    mask = np.ones((n, 8), np.float32)
+    ew = rng.uniform(0.1, 1.0, (n, 8)).astype(np.float32)
+    bdg = build_block_dense(idx, mask, ew, block=block)
+    assert bdg.table == bdg.block and bdg.n_blocks == 5
+
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=4, num_layers=1,
+                                      fused_gate_attn="always")
+    p = gated_graph_transformer_init(jax.random.key(0), cfg)[0]
+    x = jnp.asarray(rng.normal(size=(bdg.n_blocks, block, d))
+                    .astype(np.float32))
+    kp = g.pack_keep(jnp.ones((bdg.n_blocks, block, block), bool))
+
+    def loss(p, x):
+        out = g._layer_with_keep(p, cfg, x, bdg, kp, fused=True)
+        return jnp.sum(out * out) / out.size
+
+    v_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+    monkeypatch.setattr(g, "_CHUNK_NB", 2)
+    v_c, g_c = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(float(v_s), float(v_c), rtol=2e-5)
+    flat_s, _ = jax.tree_util.tree_flatten(g_s)
+    flat_c, _ = jax.tree_util.tree_flatten(g_c)
+    for a, b in zip(flat_s, flat_c):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=6e-5 * scale)
