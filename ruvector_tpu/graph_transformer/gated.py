@@ -322,6 +322,36 @@ def _signature_fused_x(h, A_sig, node_pad, cfg):
     return jnp.sum(rsum, axis=1) / jnp.maximum(jnp.sum(rcnt, axis=1), 1.0)
 
 
+def _signature_from_x(x, p, A_sig, node_pad, cfg):
+    """Signature straight from the residual stream: the LN1 is folded
+    into the reduction kernel, so the step path never materializes the
+    [nB, B, D] normalized tensor (it existed in HBM purely to feed
+    drift detection — ~1 GB write+read per layer per step at 1M)."""
+    from ruvector_tpu.ops.pallas.gated_block_attn import (
+        block_gate_signature_ln_x,
+    )
+
+    rsum, rcnt = block_gate_signature_ln_x(
+        x, node_pad, A_sig, p["ln1"]["gamma"], p["ln1"]["beta"],
+        eps=cfg.eps, compute_bf16=cfg.compute_dtype == "bfloat16")
+    return jnp.sum(rsum, axis=1) / jnp.maximum(jnp.sum(rcnt, axis=1), 1.0)
+
+
+def _solve_gates_kernel(x_sel, pad_sel, A_sig, p, cfg):
+    """Batched gate solve via the VMEM-resident push-relabel kernel
+    (ops/pallas/mincut_gate_block): LN1 folded in, logits built
+    in-kernel, masks emitted bit-packed. Returns keep [K, W, B] u32."""
+    from ruvector_tpu.ops.pallas.mincut_gate_block import (
+        mincut_gate_block_from_x,
+    )
+
+    keep, _ = mincut_gate_block_from_x(
+        x_sel, pad_sel, A_sig, lam=cfg.lam, eps=cfg.eps,
+        ln=(p["ln1"]["gamma"], p["ln1"]["beta"]),
+        compute_bf16=cfg.compute_dtype == "bfloat16")
+    return keep
+
+
 def _pooled_from_x(h_sel, pad_sel, A_sig):
     """Pooled (head-mean) logits for a subset of partitions, straight
     from pre-norm features: X (Wq Wk^T / (sqrt(dh) H)) X^T with -1.0 on
@@ -485,6 +515,90 @@ def _ffn_apply(p, h2, pad, out_dtype):
                              _CHUNK_NB)
 
 
+def _layer_body_halo_free(cfg, p, x, keep_p, pad, wdense):
+    """The XLA sublayer composition of one gated layer on a HALO-FREE
+    graph (local table == block, so neighbor mix is one block-local
+    einsum). This is the fused-layer kernel's reference semantics AND
+    its backward recompute path: straight below _CHUNK_NB blocks,
+    checkpointed ceil-chunked above (bounding the inter-sublayer temps
+    exactly as before)."""
+    dt = x.dtype
+    nb = x.shape[0]
+    cbf = cfg.compute_dtype == "bfloat16"
+    A, Wvo = fold_gated_attention_params(p, cfg)
+
+    def body(xc, kc, pc, wc):
+        hc = layer_norm_apply(p["ln1"], xc).astype(dt)
+        if _use_fused_attn(cfg, xc.shape[1], xc.shape[-1]):
+            xc = xc + gated_block_attention(hc, kc, pc, A, Wvo,
+                                            compute_bf16=cbf)
+        else:
+            xc = xc + _attention_with_keep(
+                hc, pc, unpack_keep(kc, xc.shape[1]), p, cfg,
+                512).astype(dt)
+        gc = layer_norm_apply(p["ln_g"], xc).astype(dt)
+        aggc = jnp.einsum(
+            "nbt,ntd->nbd", wc.astype(dt), gc,
+            preferred_element_type=jnp.float32).astype(dt)
+        xc = xc + (linear_apply(p["w_gnn"], aggc).astype(dt)
+                   * pc[..., None].astype(dt))
+        h2c = layer_norm_apply(p["ln2"], xc).astype(dt)
+        return xc + _ffn_apply(p, h2c, pc, dt)
+
+    if nb <= _CHUNK_NB:
+        return body(x, keep_p, pad, wdense)
+    # checkpoint per chunk: the scan VJP would otherwise stack every
+    # body intermediate (incl. the [c, B, 4D] gelu hidden) back to full
+    # width — exactly the temps chunking removes.
+    ck = jax.checkpoint(lambda args: body(*args))
+    return _ceil_chunked_map(ck, (x, keep_p, pad, wdense), nb, _CHUNK_NB)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_layer_halo_free(cfg, p, x, keep_p, pad, wdense):
+    """One-kernel gated layer forward (ops/pallas/gated_block_layer):
+    LN1 + gated MHA + LN_g + neighbor mix + LN2 + FFN in a single
+    Pallas pass — no inter-sublayer HBM tensor, no chunked lax.map at
+    10M nodes. Backward recomputes through _layer_body_halo_free (the
+    fused-attention custom_vjp inside keeps it flash-style), so
+    training memory equals the round-4 path."""
+    from ruvector_tpu.ops.pallas.gated_block_layer import (
+        fold_gated_layer_params,
+        gated_block_layer,
+    )
+
+    folded = fold_gated_layer_params(p, cfg)
+    return gated_block_layer(x, keep_p, pad, wdense, folded,
+                             compute_bf16=cfg.compute_dtype == "bfloat16")
+
+
+def _fused_layer_fwd(cfg, p, x, keep_p, pad, wdense):
+    return _fused_layer_halo_free(cfg, p, x, keep_p, pad, wdense), (
+        p, x, keep_p, pad, wdense)
+
+
+def _fused_layer_bwd(cfg, res, g):
+    import numpy as np
+
+    p, x, keep_p, pad, wdense = res
+    _, vjp = jax.vjp(
+        lambda p_, x_, w_: _layer_body_halo_free(
+            cfg, p_, x_, keep_p, pad, w_), p, x, wdense)
+    dp, dx, dw = vjp(g.astype(x.dtype))
+    return (dp, dx, np.zeros(keep_p.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(pad), dw)
+
+
+_fused_layer_halo_free.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def _use_fused_layer(cfg, bdg, d):
+    """Whole-layer fusion requires every sublayer to be block-local:
+    halo-free graphs only (tests monkeypatch this to drive the XLA
+    sublayer routes)."""
+    return bdg.table == bdg.block
+
+
 def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     """keep_p: BIT-PACKED gate masks [nB, ceil(B/32), B] uint32
     (pack_keep). The fused kernel unpacks per block in VMEM; the XLA
@@ -499,37 +613,16 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     dt = x.dtype
     nb = x.shape[0]
     use_fused = fused and _use_fused_attn(cfg, bdg.block, x.shape[-1])
-    if use_fused and nb > _CHUNK_NB and bdg.table == bdg.block:
-        # Halo-free big graphs (cross-partition edges stay inside the
-        # 256-node block, bdg.table == block): EVERY sublayer is block-
-        # local, so the whole layer chunks over blocks — no full-width
-        # [nB, B, D] temp ever exists between sublayers. At 10M nodes
-        # the unchunked layer peaks ~15 GB next to the persistent edge
-        # tables and OOMs; chunked it peaks ~10 GB.
-        A, Wvo = fold_gated_attention_params(p, cfg)
-        cbf = cfg.compute_dtype == "bfloat16"
-
-        # checkpoint per chunk: the scan VJP would otherwise stack
-        # every body intermediate (incl. the [c, B, 4D] gelu hidden)
-        # back to full width — exactly the temps chunking removes.
-        # Recompute per chunk on the backward pass instead.
-        @jax.checkpoint
-        def one_chunk(args):
-            xc, kc, pc, wc = args
-            hc = layer_norm_apply(p["ln1"], xc).astype(dt)
-            xc = xc + gated_block_attention(hc, kc, pc, A, Wvo,
-                                            compute_bf16=cbf)
-            gc = layer_norm_apply(p["ln_g"], xc).astype(dt)
-            aggc = jnp.einsum(
-                "nbt,ntd->nbd", wc.astype(dt), gc,
-                preferred_element_type=jnp.float32).astype(dt)
-            xc = xc + (linear_apply(p["w_gnn"], aggc).astype(dt)
-                       * pc[..., None].astype(dt))
-            h2c = layer_norm_apply(p["ln2"], xc).astype(dt)
-            return xc + _ffn_apply(p, h2c, pc, dt)
-
-        return _ceil_chunked_map(
-            one_chunk, (x, keep_p, pad, bdg.wdense), nb, _CHUNK_NB)
+    if use_fused and _use_fused_layer(cfg, bdg, x.shape[-1]):
+        # halo-free: the WHOLE layer runs as one Pallas kernel
+        return _fused_layer_halo_free(cfg, p, x, keep_p, pad, bdg.wdense)
+    if use_fused and bdg.table == bdg.block:
+        # halo-free but fused-layer kernel disabled (monkeypatched in
+        # tests / future non-kernel configs): the XLA composition,
+        # ceil-chunked above _CHUNK_NB blocks to bound the
+        # inter-sublayer temps (the unchunked layer peaks ~15 GB at 10M
+        # nodes next to the persistent edge tables and OOMs)
+        return _layer_body_halo_free(cfg, p, x, keep_p, pad, bdg.wdense)
     h = layer_norm_apply(p["ln1"], x).astype(dt)
     if use_fused:
         A, Wvo = fold_gated_attention_params(p, cfg)
@@ -564,28 +657,39 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
     nb, b = bdg.n_blocks, bdg.block
     x = fpad.reshape(nb, b, -1)
     fused = _use_fused_attn(cfg, b, x.shape[-1])
+    gate_kernel = fused and b % 32 == 0
     keeps, sigs = [], []
     for p in params:
-        h = layer_norm_apply(p["ln1"], x).astype(x.dtype)
-        # pooled logits are (re)built per chunk inside the map body —
-        # the full [nB, B, B] tensor never exists in HBM. The A-folded
-        # form (X A_sig X^T) skips the q/k projections entirely; it is
-        # the SAME function the step's solve path uses, so budget-capped
-        # re-solves reproduce init masks exactly.
         A_sig = _fold_sig_params(p, cfg)
-        # pack INSIDE the chunked map: the full [nB, B, B] bool never
-        # exists in HBM (at 10M nodes it is 5.1 GB; packed it is 0.16)
-        keep = _ceil_chunked_map(
-            lambda args: pack_keep(jax.vmap(
-                lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
-                _pooled_from_x(args[0], args[1], A_sig))),
-            (h, bdg.node_pad), nb, cfg.gate_chunk)
-        keeps.append(keep)
-        if fused:
-            sigs.append(_signature_fused_x(h, A_sig, bdg.node_pad, cfg))
+        if gate_kernel:
+            # VMEM-resident push-relabel kernel: LN1 + pooled logits +
+            # solve + bit-pack per block, nothing intermediate in HBM;
+            # the grid streams all nB blocks (no chunking needed), and
+            # each block exits its while_loop when ITS solve converges
+            # (the vmap path lock-stepped every chunk to its slowest
+            # partition). SAME function as the step's solve path, so
+            # budget-capped re-solves reproduce init masks exactly.
+            keep = _solve_gates_kernel(x, bdg.node_pad, A_sig, p, cfg)
+            keeps.append(keep)
+            sigs.append(_signature_from_x(x, p, A_sig, bdg.node_pad, cfg))
         else:
-            sigs.append(_gate_signature(
-                _pooled_from_x(h, bdg.node_pad, A_sig), cfg.eps))
+            h = layer_norm_apply(p["ln1"], x).astype(x.dtype)
+            # pooled logits are (re)built per chunk inside the map body
+            # — the full [nB, B, B] tensor never exists in HBM; packing
+            # INSIDE the chunked map keeps the bool mask out of HBM too
+            # (at 10M nodes it is 5.1 GB; packed it is 0.16)
+            keep = _ceil_chunked_map(
+                lambda args: pack_keep(jax.vmap(
+                    lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
+                    _pooled_from_x(args[0], args[1], A_sig))),
+                (h, bdg.node_pad), nb, cfg.gate_chunk)
+            keeps.append(keep)
+            if fused:
+                sigs.append(_signature_fused_x(h, A_sig, bdg.node_pad,
+                                               cfg))
+            else:
+                sigs.append(_gate_signature(
+                    _pooled_from_x(h, bdg.node_pad, A_sig), cfg.eps))
         x = _layer_with_keep(p, cfg, x, bdg, keep, fused=True)
     if cfg.max_gate_age > 0:
         # stagger initial ages: synchronized age-0 masks would all hit
@@ -629,14 +733,35 @@ def gated_graph_transformer_step(
     # age defaults cover pre-round-4 states (pure-hysteresis semantics)
     ages = state.get("age", jnp.zeros((len(params), nb), jnp.int32))
     fused = _use_fused_attn(cfg, b, x.shape[-1])
+    gate_kernel = fused and b % 32 == 0
     for li, p in enumerate(params):
-        h = layer_norm_apply(p["ln1"], x).astype(x.dtype)
         A_sig = _fold_sig_params(p, cfg)
-        if fused:
-            sig = _signature_fused_x(h, A_sig, bdg.node_pad, cfg)
+        if gate_kernel:
+            # LN1 folded into the signature and solve kernels: the
+            # normalized [nB, B, D] tensor never exists in HBM
+            sig = _signature_from_x(x, p, A_sig, bdg.node_pad, cfg)
+
+            def solve_masks(idx, p=p, A_sig=A_sig, x=x):
+                return _solve_gates_kernel(
+                    jnp.take(x, idx, axis=0),
+                    jnp.take(bdg.node_pad, idx, axis=0), A_sig, p, cfg)
         else:
-            sig = _gate_signature(
-                _pooled_from_x(h, bdg.node_pad, A_sig), cfg.eps)
+            h = layer_norm_apply(p["ln1"], x).astype(x.dtype)
+            if fused:
+                sig = _signature_fused_x(h, A_sig, bdg.node_pad, cfg)
+            else:
+                sig = _gate_signature(
+                    _pooled_from_x(h, bdg.node_pad, A_sig), cfg.eps)
+
+            def solve_masks(idx, h=h, A_sig=A_sig):
+                # pooled logits only for the selected partitions — the
+                # full [nB, B, B] tensor is never materialized
+                sub = _pooled_from_x(
+                    jnp.take(h, idx, axis=0),
+                    jnp.take(bdg.node_pad, idx, axis=0), A_sig)
+                return pack_keep(jax.vmap(
+                    lambda m: mincut_gate_device(m, cfg.lam,
+                                                 cfg.eps)[0])(sub))
         prev_sig = state["sig"][li]
         drift = jnp.abs(sig - prev_sig)
         flagged = drift > cfg.hysteresis_band * (jnp.abs(prev_sig) + 1e-6)
@@ -653,14 +778,7 @@ def gated_graph_transformer_step(
                               age.astype(jnp.float32) * 1e6 + drift, -1.0)
             _, idx = jax.lax.top_k(score, max_resolve)
             sel = jnp.take(flagged, idx)                   # [k] bool
-            # pooled logits only for the selected partitions — the full
-            # [nB, B, B] tensor is never materialized (round 3 built and
-            # carried ~1 GB/layer through HBM at 1M nodes)
-            sub = _pooled_from_x(
-                jnp.take(h, idx, axis=0),
-                jnp.take(bdg.node_pad, idx, axis=0), A_sig)  # [k, B, B]
-            keep_k = pack_keep(jax.vmap(
-                lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(sub))
+            keep_k = solve_masks(idx)
             old_k = jnp.take(keep_prev, idx, axis=0)
             keep_k = jnp.where(sel[:, None, None], keep_k, old_k)
             keep_l = keep_prev.at[idx].set(keep_k)
@@ -696,12 +814,7 @@ def gated_graph_transformer_step(
                     -1.0)
                 _, idx = jax.lax.top_k(score, max_resolve)
                 sel = jnp.take(overflow, idx)
-                sub = _pooled_from_x(
-                    jnp.take(h, idx, axis=0),
-                    jnp.take(bdg.node_pad, idx, axis=0), A_sig)
-                keep_k = pack_keep(jax.vmap(
-                    lambda m: mincut_gate_device(m, cfg.lam, cfg.eps)[0])(
-                    sub))
+                keep_k = solve_masks(idx)
                 old_k = jnp.take(keep_prev, idx, axis=0)
                 keep_k = jnp.where(sel[:, None, None], keep_k, old_k)
                 keep_o = keep_prev.at[idx].set(keep_k)

@@ -456,6 +456,73 @@ def block_gate_signature_x(x, pad, A_sig, *, eps: float,
     return out[:, 0], out[:, 1]
 
 
+def _make_sig_ln_x_kernel(eps: float, compute_bf16: bool):
+    def kernel(x_ref, pad_ref, As_ref, g_ref, b_ref, out_ref):
+        f32 = jnp.float32
+        cdt = jnp.bfloat16 if compute_bf16 else f32
+        X = x_ref[0].astype(f32)                         # [B, D]
+        mu = jnp.mean(X, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(X - mu), axis=-1, keepdims=True)
+        H = ((X - mu) * jax.lax.rsqrt(var + 1e-5) * g_ref[0]
+             + b_ref[0]).astype(cdt)
+        qs = jax.lax.dot_general(
+            H, As_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                  # [B, D]
+        s = jax.lax.dot_general(
+            qs.astype(cdt), H.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                  # [B, B]
+        pad_row = pad_ref[0].astype(f32)                 # [1, B]
+        valid = pad_row.T * pad_row
+        pos = (s > eps) & (valid > 0)
+        clamped = jnp.where(pos, s, 0.0)
+        rsum = jnp.sum(clamped, axis=1)[None, :]
+        rcnt = jnp.sum(pos.astype(f32), axis=1)[None, :]
+        out_ref[0] = jnp.concatenate(
+            [rsum, rcnt, jnp.zeros((6, s.shape[0]), f32)], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "compute_bf16"))
+def block_gate_signature_ln_x(x, pad, A_sig, gamma, beta, *, eps: float,
+                              compute_bf16: bool):
+    """Gate-signature reduction straight from the RESIDUAL stream.
+
+    Same reduction as block_gate_signature_x, with the pre-norm LN1
+    folded in (h = LN(x) * gamma + beta, rounded to the compute dtype
+    like gated.py's layer_norm_apply(...).astype(dt)) — the step path's
+    only remaining use of the materialized [nB, B, D] h tensor was this
+    signature, so folding the LN deletes a full-stream HBM write+read
+    per layer per step (~1 GB at 1M nodes).
+    """
+    nb, b, d = x.shape
+    cst2 = lambda i: (0, 0)      # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, b, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), cst2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), cst2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), cst2, memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        _make_sig_ln_x_kernel(eps, compute_bf16),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * b * d * (b + d),
+            bytes_accessed=x.size * x.dtype.itemsize + nb * b * 32,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(x, pad[:, None, :], A_sig, gamma.reshape(1, d).astype(jnp.float32),
+      beta.reshape(1, d).astype(jnp.float32))
+    return out[:, 0], out[:, 1]
+
+
 def fold_gated_attention_params(p, cfg):
     """Head-fold the gated-GT attention weights for the kernel.
 

@@ -572,11 +572,20 @@ def test_chunked_whole_layer_matches_straight(monkeypatch):
                     .astype(np.float32))
     kp = g.pack_keep(jnp.ones((bdg.n_blocks, block, block), bool))
 
+    # disable the fused-layer kernel so the XLA sublayer routes run
+    monkeypatch.setattr(g, "_use_fused_layer", lambda *a: False)
     straight = g._layer_with_keep(p, cfg, x, bdg, kp, fused=True)
     monkeypatch.setattr(g, "_CHUNK_NB", 2)   # force the chunked route
     chunked = g._layer_with_keep(p, cfg, x, bdg, kp, fused=True)
     np.testing.assert_allclose(np.asarray(straight), np.asarray(chunked),
                                atol=2e-5)
+
+    # and the ONE-KERNEL fused layer must match the XLA composition
+    monkeypatch.setattr(g, "_CHUNK_NB", 4096)
+    fused_out = g._fused_layer_halo_free(cfg, p, x, kp, bdg.node_pad,
+                                         bdg.wdense)
+    np.testing.assert_allclose(np.asarray(straight), np.asarray(fused_out),
+                               atol=3e-5)
 
 
 def test_chunked_whole_layer_grad_parity(monkeypatch):
@@ -605,13 +614,24 @@ def test_chunked_whole_layer_grad_parity(monkeypatch):
         out = g._layer_with_keep(p, cfg, x, bdg, kp, fused=True)
         return jnp.sum(out * out) / out.size
 
+    def assert_grads_close(ga, gb, tol):
+        flat_a, _ = jax.tree_util.tree_flatten(ga)
+        flat_b, _ = jax.tree_util.tree_flatten(gb)
+        for a, b in zip(flat_a, flat_b):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-9
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=tol * scale)
+
+    # the DEFAULT route: one-kernel forward + recompute backward
+    v_k, g_k = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+
+    # XLA straight vs ceil-chunked routes
+    monkeypatch.setattr(g, "_use_fused_layer", lambda *a: False)
     v_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
     monkeypatch.setattr(g, "_CHUNK_NB", 2)
     v_c, g_c = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
     np.testing.assert_allclose(float(v_s), float(v_c), rtol=2e-5)
-    flat_s, _ = jax.tree_util.tree_flatten(g_s)
-    flat_c, _ = jax.tree_util.tree_flatten(g_c)
-    for a, b in zip(flat_s, flat_c):
-        scale = float(jnp.max(jnp.abs(a))) + 1e-9
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=6e-5 * scale)
+    assert_grads_close(g_s, g_c, 6e-5)
+    # fused-layer kernel value and custom_vjp grads match the XLA path
+    np.testing.assert_allclose(float(v_k), float(v_s), rtol=3e-5)
+    assert_grads_close(g_k, g_s, 6e-5)
