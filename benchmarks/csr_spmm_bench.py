@@ -76,23 +76,35 @@ def main():
     npk = 12_288
     fk, ik, wk = feats[:npk], idxj[:npk] % npk, (ewj * maskj)[:npk]
     ek = int(mask[:npk].sum())
-    try:
-        got = spmm_pallas(fk, ik, wk, tile_b=64, interpret=not on_tpu)
-        ref_k = spmm_padded(fk, ik, wk, jnp.ones_like(wk))
-        err = float(jnp.abs(got - ref_k).max())
-        assert err < 1e-3, err
-        dt = device_time(
-            lambda f: spmm_pallas(f, ik, wk, tile_b=64,
-                                  interpret=not on_tpu), fk)
-        reg["spmm_pallas_edges_per_s"] = round(ek / dt, 0)
-        reg["spmm_pallas_note"] = (
-            f"measured on a {npk}-node slice (scalar-prefetch SMEM cap "
-            "~250k edges). Gather-fused kernel is DMA-DESCRIPTOR bound: "
-            "one 512B row copy per edge -> ~7M edges/s ceiling "
-            "regardless of bandwidth. Measured to justify the layout-"
-            "transform (block-dense/bucketed) design, not to compete.")
-    except Exception as e:  # pragma: no cover - kernel optional off-TPU
-        reg["spmm_pallas_edges_per_s"] = f"error: {str(e)[:100]}"
+    # transient tunnel failures (remote-compile HTTP 500, the r4
+    # artifact's failure mode) retry; a persistent failure RAISES so no
+    # artifact ever records an error string as a measurement (VERDICT
+    # r4 #8 — a final all-numeric guard also runs before writing)
+    for attempt in range(3):
+        try:
+            got = spmm_pallas(fk, ik, wk, tile_b=64, interpret=not on_tpu)
+            ref_k = spmm_padded(fk, ik, wk, jnp.ones_like(wk))
+            err = float(jnp.abs(got - ref_k).max())
+            assert err < 1e-3, err
+            dt = device_time(
+                lambda f: spmm_pallas(f, ik, wk, tile_b=64,
+                                      interpret=not on_tpu), fk)
+            reg["spmm_pallas_edges_per_s"] = round(ek / dt, 0)
+            reg["spmm_pallas_note"] = (
+                f"measured on a {npk}-node slice (scalar-prefetch SMEM "
+                "cap ~250k edges). Gather-fused kernel is DMA-DESCRIPTOR "
+                "bound: one 512B row copy per edge -> ~7M edges/s "
+                "ceiling regardless of bandwidth. Measured to justify "
+                "the layout-transform (block-dense/bucketed) design, "
+                "not to compete.")
+            break
+        except Exception as e:  # pragma: no cover - tunnel flakiness
+            transient = any(s in repr(e) for s in (
+                "HTTP 500", "remote_compile", "INTERNAL", "UNAVAILABLE"))
+            if not transient or attempt == 2:
+                raise
+            print(f"spmm_pallas attempt {attempt} transient failure, "
+                  f"retrying: {e!r}", file=sys.stderr)
 
     # CSR segment-sum oracle
     src = np.repeat(np.arange(n, dtype=np.int64), m)[mask.reshape(-1) > 0]
@@ -162,8 +174,15 @@ def main():
         "to bucketing; a scalar gather-fused kernel cannot beat either "
         "(one DMA descriptor per edge ~= 7M edges/s, measured).")
 
+    # all-numeric guard: every *_edges_per_s value must be a number
+    bad = [k for sec in out.values() if isinstance(sec, dict)
+           for k, v in sec.items()
+           if k.endswith("_edges_per_s") and not isinstance(v, (int, float))]
+    if bad:
+        raise SystemExit(f"non-numeric measurement rows: {bad}")
+
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "CSR_SPMM_r04.json")
+        os.path.abspath(__file__))), "CSR_SPMM_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

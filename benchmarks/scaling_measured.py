@@ -32,6 +32,7 @@ environment pre-imports jax, so env vars alone are too late).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -41,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_DEV = 8
+N_DEV = int(os.environ.get("RUVECTOR_SCALING_NDEV", "8"))
 
 
 def _force_cpu():
@@ -72,6 +73,14 @@ def bench(fn, *args, iters=3):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    # r5 protocol (VERDICT r4 #5): >=250k nodes, shards <= physical
+    # cores so each virtual device maps to a real core and the overlap
+    # structure can actually hide exchange latency behind interior work
+    ap.add_argument("--nodes", type=int, default=250_880)
+    ap.add_argument("--shards", type=int, nargs="+", default=None)
+    ap.add_argument("--out", default="SCALING_MEASURED_r05.json")
+    args = ap.parse_args()
     _force_cpu()
 
     import jax
@@ -98,7 +107,10 @@ def main():
         pad_features_for_plan,
     )
 
-    n, d, m = 25_088, 128, 16      # CLUSTER-aligned
+    ncores0 = os.cpu_count() or 4
+    shard_counts = args.shards or sorted({1} | {
+        s for s in (2, 4, 8) if s <= ncores0})
+    n, d, m = args.nodes - args.nodes % 512, 128, 16   # CLUSTER-aligned
     feats_np, idx, mask, ew = gen_cluster_graph(n, d, m)
     graph = NeighborGraph(jnp.asarray(idx), jnp.asarray(mask),
                           jnp.asarray(ew))
@@ -117,7 +129,7 @@ def main():
                        "that bounds real-chip efficiency from below",
                "rows": {}}
     t1 = {}
-    for s in (1, 2, 4, 8):
+    for s in shard_counts:
         mesh = make_mesh(s)
         plan, perm = build_halo_plan(graph, s, reorder="cluster")
         fwd = make_sharded_layer_forward(cfg, plan, mesh)
@@ -167,7 +179,7 @@ def main():
             results["analytic_model"] = json.load(f)
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_MEASURED_r04.json")
+        os.path.abspath(__file__))), args.out)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results["rows"], indent=1))

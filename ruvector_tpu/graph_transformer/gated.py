@@ -644,6 +644,36 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     return x
 
 
+def check_gate_age_feasibility(cfg: GatedGraphTransformerConfig, nb: int,
+                               max_resolve: int | None = None) -> bool:
+    """The hard staleness bound (max_gate_age) holds under saturating
+    drift only when nB <= 2 * budget * max_gate_age (the escalation
+    pass doubles the per-step budget on bound-threatening steps;
+    GATE_STALENESS_r04 measured the bound at exactly this edge). A
+    config outside the window silently CANNOT honor its bound, and
+    max_gate_age=0 (the default, pure-hysteresis reference semantics)
+    bounds nothing at all. Returns True when the bound is enforceable;
+    warns and returns False otherwise (VERDICT r4 #9)."""
+    import warnings
+
+    if cfg.max_gate_age <= 0:
+        return False          # reference hysteresis: unbounded by design
+    budget = max_resolve if max_resolve is not None else max(
+        1, int(nb * cfg.max_resolve_frac))
+    if nb > 2 * budget * cfg.max_gate_age:
+        warnings.warn(
+            f"gate staleness bound INFEASIBLE: nB={nb} > 2*budget"
+            f"({budget})*max_gate_age({cfg.max_gate_age}) — under "
+            f"saturating drift the realized mask age can exceed the "
+            f"bound. Raise max_resolve_frac to >= "
+            f"{1 / (2 * cfg.max_gate_age):.4f} "
+            f"(budget >= {-(-nb // (2 * cfg.max_gate_age))}) or "
+            f"max_gate_age to >= {-(-nb // (2 * budget))}.",
+            stacklevel=3)
+        return False
+    return True
+
+
 def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
     """Solve every partition's gate once (chunked lax.map to bound the
     [c, B, B] push-relabel buffers) and record the signatures. Returns
@@ -655,6 +685,7 @@ def gate_state_init(params, cfg: GatedGraphTransformerConfig, fpad, bdg):
             "granularity — gating.rs's single-matrix semantics; use the "
             "stateless apply for per_head mode")
     nb, b = bdg.n_blocks, bdg.block
+    check_gate_age_feasibility(cfg, nb)
     x = fpad.reshape(nb, b, -1)
     fused = _use_fused_attn(cfg, b, x.shape[-1])
     gate_kernel = fused and b % 32 == 0
@@ -727,6 +758,7 @@ def gated_graph_transformer_step(
     if max_resolve is None:
         max_resolve = max(1, int(nb * cfg.max_resolve_frac))
     max_resolve = min(max_resolve, nb)
+    check_gate_age_feasibility(cfg, nb, max_resolve)
     x = fpad.reshape(nb, b, -1)
     new_keep, new_sig, new_age = [], [], []
     resolved = jnp.zeros((), jnp.int32)

@@ -452,6 +452,51 @@ def test_max_gate_age_forces_refresh_without_drift():
                                   np.asarray(state["keep"]))
 
 
+def test_gate_age_feasibility_guard():
+    """A config whose bound cannot be honored (nB > 2*budget*max_gate_age)
+    must WARN at init/step time instead of silently shipping unbounded
+    staleness; feasible configs and the pure-hysteresis default stay
+    silent (VERDICT r4 #9)."""
+    import dataclasses
+    import warnings
+
+    from ruvector_tpu.graph_transformer.gated import (
+        check_gate_age_feasibility,
+        gate_state_init,
+    )
+
+    base = GatedGraphTransformerConfig(dim=32, num_heads=4, num_layers=1)
+    # infeasible: nb=64, budget=max(1, 64/16)=4, age=2 -> 2*4*2=16 < 64
+    bad = dataclasses.replace(base, max_gate_age=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert check_gate_age_feasibility(bad, 64) is False
+    assert any("INFEASIBLE" in str(w.message) for w in caught)
+
+    # feasible: age=8 -> 2*4*8=64 >= 64; and default age=0 never warns
+    good = dataclasses.replace(base, max_gate_age=8)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert check_gate_age_feasibility(good, 64) is True
+        assert check_gate_age_feasibility(base, 64) is False
+    assert not caught
+
+    # the guard fires from gate_state_init on a real graph
+    n, d = 128, 32
+    bdg = _graph(n, 8, block=32)          # 4 blocks
+    cfg = dataclasses.replace(
+        GatedGraphTransformerConfig(dim=d, num_heads=4, num_layers=1,
+                                    max_resolve_frac=1 / 4),
+        max_gate_age=1)                   # 2*1*1=2 < 4 blocks
+    params = gated_graph_transformer_init(jax.random.key(0), cfg)
+    feats = np.random.default_rng(1).normal(size=(n, d)).astype(np.float32)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gate_state_init(params, cfg, fpad, bdg)
+    assert any("INFEASIBLE" in str(w.message) for w in caught)
+
+
 def test_max_gate_age_escalation_holds_under_saturating_drift():
     """When every partition re-flags every step and the primary budget
     alone would let ages reach ceil(nB/budget), the escalation pass
