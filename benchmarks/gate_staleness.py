@@ -144,7 +144,34 @@ def main():
                           rows[f"age{age_bound}_budget{budget}"]}),
               flush=True)
 
-    keys = list(rows)
+    # infeasible-config row (VERDICT r4 #9): a bound the escalation pass
+    # provably cannot honor (nb > 2*budget*age) must WARN at init/step —
+    # recorded here so the guard is artifact-visible, not just tested
+    import warnings
+
+    from ruvector_tpu.graph_transformer.gated import (
+        check_gate_age_feasibility,
+    )
+
+    bad_budget = max(1, nb // 64)
+    bad_cfg = GatedGraphTransformerConfig(
+        dim=d, num_layers=2, compute_dtype="bfloat16", max_gate_age=4)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        feasible = check_gate_age_feasibility(bad_cfg, nb, bad_budget)
+    rows[f"INFEASIBLE_age4_budget{bad_budget}"] = {
+        "budget_per_layer": bad_budget,
+        "feasibility_window": f"nb({nb}) > 2*budget({bad_budget})*age(4)"
+                              f" = {2 * bad_budget * 4}",
+        "guard_warned": bool(caught),
+        "guard_message": str(caught[0].message)[:160] if caught else None,
+        "note": "config rejected by check_gate_age_feasibility — not run;"
+                " the guard fires from gate_state_init/step on such"
+                " configs (tests/test_gated_graph_transformer.py)",
+    }
+    assert not feasible and caught, "feasibility guard must fire"
+
+    keys = [k for k in rows if not k.startswith("INFEASIBLE")]
     meds = [rows[k]["rel_output_divergence_median"] for k in keys]
     payload = {
         "config": "gated GT staleness under sustained drift, "
@@ -159,7 +186,7 @@ def main():
             if rows[k]["age_bound_ok"] is not None)),
     }
     out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "GATE_STALENESS_r04.json")
+        os.path.abspath(__file__))), "GATE_STALENESS_r05.json")
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload, indent=1))

@@ -82,38 +82,50 @@ def run_distribution(kind: str, n=10_000, d=384, nq=1_000):
     t_build = sorted(builds)[1]
     truth = exact_topk(base, queries, 100)
 
+    # QPS measured AT EVERY swept ef (VERDICT r4 #6: QPS was published
+    # only at ef=100, where uniform-data recall@10 is ~0.78 — no
+    # recall-matched comparison existed against the reference's QPS rows)
+    nthreads = os.cpu_count() or 4
     sweep = {}
     for ef in (100, 200, 400):
         ids, _ = idx.search_batch(queries, k=100, ef=ef,
-                                  num_threads=os.cpu_count() or 4)
+                                  num_threads=nthreads)
+        t0 = time.perf_counter()
+        idx.search_batch(queries, k=100, ef=ef, num_threads=nthreads)
+        t_mt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx.search_batch(queries, k=100, ef=ef, num_threads=1)
+        t_1t = time.perf_counter() - t0
+        lats = []
+        for q in queries[:200]:
+            t0 = time.perf_counter()
+            idx.search(q, k=10, ef=ef)
+            lats.append(time.perf_counter() - t0)
+        lats = np.sort(lats)
         sweep[f"ef={ef}"] = {
             "recall@1": round(recall_at(ids, truth, 1), 4),
             "recall@10": round(recall_at(ids, truth, 10), 4),
             "recall@100": round(recall_at(ids, truth, 100), 4),
+            "qps_1thread": round(nq / t_1t),
+            "qps_multithread": round(nq / t_mt),
+            "p50_ms": round(float(lats[len(lats) // 2]) * 1e3, 3),
+            "p99_ms": round(float(lats[int(len(lats) * 0.99)]) * 1e3, 3),
         }
 
-    t0 = time.perf_counter()
-    idx.search_batch(queries, k=100, ef=100, num_threads=1)
-    t_q1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    idx.search_batch(queries, k=100, ef=100,
-                     num_threads=os.cpu_count() or 4)
-    t_qmt = time.perf_counter() - t0
-
-    lats = []
-    for q in queries[:200]:
-        t0 = time.perf_counter()
-        idx.search(q, k=10, ef=100)
-        lats.append(time.perf_counter() - t0)
-    lats = np.sort(lats)
+    # recall-matched operating point: the lowest swept ef reaching
+    # recall@10 >= 0.95, and its measured QPS
+    matched = next((sweep[f"ef={ef}"] | {"ef": ef}
+                    for ef in (100, 200, 400)
+                    if sweep[f"ef={ef}"]["recall@10"] >= 0.95), None)
     return {
         "build_s": round(t_build, 2),
         "inserts_per_s": round(n / t_build),
         "recall_sweep": sweep,
-        "qps_1thread": round(nq / t_q1),
-        "qps_multithread": round(nq / t_qmt),
-        "p50_ms": round(float(lats[len(lats) // 2]) * 1e3, 3),
-        "p99_ms": round(float(lats[int(len(lats) * 0.99)]) * 1e3, 3),
+        "qps_at_recall10_ge_0.95": matched,
+        "qps_1thread": sweep["ef=100"]["qps_1thread"],
+        "qps_multithread": sweep["ef=100"]["qps_multithread"],
+        "p50_ms": sweep["ef=100"]["p50_ms"],
+        "p99_ms": sweep["ef=100"]["p99_ms"],
     }
 
 
@@ -133,9 +145,18 @@ def main():
         "threads": os.cpu_count(),
         "clustered": run_distribution("clustered"),
         "uniform": run_distribution("uniform"),
+        # the reference's 50k x 384 multithread row (3,597 QPS, p50
+        # 2.86 ms at 16 threads on M4 Pro — latency_benchmark.md:85-99);
+        # ours is measured on 4 shared vCPUs with per-ef QPS so the
+        # recall-matched comparison is explicit
+        "uniform_50k": {
+            "reference": {"qps_16thread": 3597, "p50_ms": 2.86,
+                          "hardware": "Apple M4 Pro, 16 threads"},
+            **run_distribution("uniform", n=50_000),
+        },
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "HNSW_PARITY_r03.json")
+        os.path.abspath(__file__))), "HNSW_PARITY_r05.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload, indent=1))

@@ -822,8 +822,35 @@ struct Solver {
     int32_t n;
     int pool_size = 8;
     std::unordered_map<int64_t, double> w;   // key(min,max) -> weight
-    std::vector<std::unordered_map<int32_t, double>> nbr;
+    // flat small-vector adjacency (round 5): the per-node unordered_map
+    // was the 1M-scale bottleneck — every ball repair / NOI scan walked
+    // heap-scattered hash nodes (DRAM+TLB miss per neighbor; per-update
+    // cost grew 26us -> 172us from 20k to 1M purely from locality).
+    // Mean degree is ~2.6, so linear find beats hashing outright and
+    // iteration is one contiguous read. pair.first/.second keeps every
+    // iteration site source-identical to the map version.
+    std::vector<std::vector<std::pair<int32_t, double>>> nbr;
     std::vector<double> deg;
+
+    static double* find_nbr(std::vector<std::pair<int32_t, double>>& a,
+                            int32_t v) {
+        for (auto& p : a)
+            if (p.first == v) return &p.second;
+        return nullptr;
+    }
+    void nbr_add(int32_t u, int32_t v, double ww) {      // += (insert)
+        double* p = find_nbr(nbr[u], v);
+        if (p) *p += ww; else nbr[u].push_back({v, ww});
+    }
+    void nbr_set(int32_t u, int32_t v, double ww) {      // = (insert)
+        double* p = find_nbr(nbr[u], v);
+        if (p) *p = ww; else nbr[u].push_back({v, ww});
+    }
+    void nbr_erase(int32_t u, int32_t v) {               // swap-pop
+        auto& a = nbr[u];
+        for (size_t i = 0; i < a.size(); ++i)
+            if (a[i].first == v) { a[i] = a.back(); a.pop_back(); return; }
+    }
     double value_ = 0.0;
     std::vector<uint8_t> side_;
     std::vector<Cand> pool;
@@ -1349,6 +1376,14 @@ struct Solver {
     // If the ball exhausts the whole component the local answer IS the
     // exact repair. Returns true when the repair is fully handled.
     int64_t st_ball = 0;
+    // epoch-stamped ball membership (round 5): the per-repair
+    // unordered_map cost one heap build + hash probes per neighbor on
+    // EVERY decrease; the stamp array is O(1) per probe with no
+    // allocation, and only the first repair pays the O(n) sizing
+    std::vector<int32_t> ball_pos;
+    std::vector<uint32_t> ball_epoch;
+    uint32_t ball_cur = 0;
+
     bool ball_repair(int32_t u, int32_t v) {
         // escalate: a tiny ball certifies the common intra-cluster case
         // (any local path of capacity >= lambda suffices) at ~1/20 the
@@ -1356,12 +1391,19 @@ struct Solver {
         return ball_repair_cap(u, v, 128) || ball_repair_cap(u, v, 2048);
     }
     bool ball_repair_cap(int32_t u, int32_t v, size_t cap) {
+        if (ball_pos.empty()) {
+            ball_pos.assign(n, -1);
+            ball_epoch.assign(n, 0);
+        }
+        ++ball_cur;
         std::vector<int32_t> ball;
-        std::unordered_map<int32_t, int32_t> id;
         ball.reserve(cap + 8);
         std::queue<int32_t> q;
+        auto seen = [&](int32_t x) { return ball_epoch[x] == ball_cur; };
         auto push = [&](int32_t x) {
-            if (id.emplace(x, (int32_t)ball.size()).second) {
+            if (!seen(x)) {
+                ball_epoch[x] = ball_cur;
+                ball_pos[x] = (int32_t)ball.size();
                 ball.push_back(x);
                 q.push(x);
             }
@@ -1374,7 +1416,7 @@ struct Solver {
             q.pop();
             for (auto& kv : nbr[x]) {
                 if (kv.second <= EPS) continue;
-                if (id.count(kv.first)) continue;
+                if (seen(kv.first)) continue;
                 if (ball.size() >= cap) { whole = false; break; }
                 push(kv.first);
             }
@@ -1383,17 +1425,16 @@ struct Solver {
         Dinic d((int32_t)ball.size());
         for (size_t i = 0; i < ball.size(); ++i)
             for (auto& kv : nbr[ball[i]]) {
-                auto it = id.find(kv.first);
-                if (it != id.end() && kv.second > EPS
+                if (seen(kv.first) && kv.second > EPS
                         && ball[i] < kv.first)
-                    d.add((int32_t)i, it->second, kv.second);
+                    d.add((int32_t)i, ball_pos[kv.first], kv.second);
             }
-        double flow = d.max_flow(id[u], id[v],
+        double flow = d.max_flow(ball_pos[u], ball_pos[v],
                                  whole ? 1e300 : value_ - EPS);
         if (flow >= value_ - EPS) { ++st_ball; return true; }  // certified
         if (!whole) return false;           // inconclusive -> full Dinic
         // ball == whole component: the local cut is the exact repair
-        auto r = d.reachable(id[u]);
+        auto r = d.reachable(ball_pos[u]);
         std::vector<uint8_t> side(n, 0);
         for (size_t i = 0; i < ball.size(); ++i)
             if (r[i]) side[ball[i]] = 1;
@@ -1433,8 +1474,8 @@ struct Solver {
         int64_t k = key(u, v, n);
         w[k] += ww;
         master_patch(k, w[k]);
-        nbr[u][v] += ww;
-        nbr[v][u] += ww;
+        nbr_add(u, v, ww);
+        nbr_add(v, u, ww);
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
         deg[u] += ww;
         deg[v] += ww;
@@ -1457,8 +1498,8 @@ struct Solver {
         double ww = it->second;
         w.erase(it);
         master_patch(k, 0.0);   // cap 0 == absent: master stays valid
-        nbr[u].erase(v);
-        nbr[v].erase(u);
+        nbr_erase(u, v);
+        nbr_erase(v, u);
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
         deg[u] -= ww;
         deg[v] -= ww;
@@ -1478,8 +1519,8 @@ struct Solver {
         if (std::abs(delta) < 1e-15) return;
         it->second = ww;
         master_patch(k, ww);
-        nbr[u][v] = ww;
-        nbr[v][u] = ww;
+        nbr_set(u, v, ww);
+        nbr_set(v, u, ww);
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
         deg[u] += delta;
         deg[v] += delta;
