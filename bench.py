@@ -55,7 +55,11 @@ import time
 
 import numpy as np
 
-BUDGET_S = float(os.environ.get("RUVECTOR_BENCH_BUDGET_S", "420"))
+# 240s: the r4 driver log shows FOUR attempts all at rc=124, so each
+# attempt's budget may be small — emit early and rely on the /tmp kNN +
+# compile caches to make later attempts fast (a warm attempt completes
+# the full protocol in ~40s)
+BUDGET_S = float(os.environ.get("RUVECTOR_BENCH_BUDGET_S", "240"))
 _T0 = time.monotonic()
 
 # best-available result, refined as phases complete; the watchdog (or the
@@ -162,7 +166,7 @@ def main():
             break
         except Exception as e:
             print(f"fused path attempt {attempt}: {e!r}", file=sys.stderr)
-            if not (_transient(e) and attempt == 0 and _remaining() > 120):
+            if not (_transient(e) and attempt == 0 and _remaining() > 90):
                 break
     if dt is None and _remaining() > 60:
         try:
