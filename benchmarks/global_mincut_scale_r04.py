@@ -111,9 +111,12 @@ def scale_row(n_cl, cluster, stream_steps, query_every, seed=0):
 
 def main():
     out = {
-        "config": "global dynamic min-cut at scale, round 4 "
-                  "(NOI recompute + escalating ball-certificate repairs)",
+        "config": "global dynamic min-cut at scale, round 5 "
+                  "(flat adjacency + epoch-stamped ball scratch; NOI "
+                  "recompute + escalating ball-certificate repairs)",
         "r03_20k": {"first_query_s": 38.097, "stream_updates_per_s": 823},
+        "r04": {"20k_updates_per_s": 37663, "500k_updates_per_s": 7832,
+                "1m_updates_per_s": 5815, "1m_first_query_s": 1.369},
     }
     print("20k row...", flush=True)
     out["scale_20k"] = scale_row(400, 50, 100_000, 1, seed=0)
@@ -126,7 +129,7 @@ def main():
     print(json.dumps(out["scale_1m"]), flush=True)
 
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "GLOBAL_MINCUT_SCALE_r04.json")
+        os.path.abspath(__file__))), "GLOBAL_MINCUT_SCALE_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
