@@ -133,6 +133,25 @@ def main():
             p["ffn_out"], jax.nn.gelu(linear_apply(p["ffn_in"], h2)))
     t("ffn", ffn, x)
 
+    # --- round-5 kernels -------------------------------------------------
+    from ruvector_tpu.graph_transformer.gated import (  # noqa: E402
+        _fused_layer_halo_free,
+        _signature_from_x,
+        _solve_gates_kernel,
+    )
+
+    t("signature_ln_x",
+      lambda xx: _signature_from_x(xx, p, A_sig, pad, cfg), x)
+    t("gate_solve_kernel",
+      lambda xx: _solve_gates_kernel(xx[:max_resolve], pad[:max_resolve],
+                                     A_sig, p, cfg),
+      x, short=2, long=12)
+    if bdg.table == bdg.block:
+        t("fused_layer_kernel",
+          lambda xx: _fused_layer_halo_free(cfg, p, xx, keep, pad,
+                                            bdg.wdense),
+          x, no_perturb=())
+
     def full(f, s):
         out, s2, nres = gated_graph_transformer_step(
             params, cfg, f, bdg, s, max_resolve=max_resolve)
@@ -146,7 +165,7 @@ def main():
                "note": "per-LAYER components except full_step (2 layers)"}
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "CONFIG5_PROFILE_r04.json")
+        "CONFIG5_PROFILE_r05.json")
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))

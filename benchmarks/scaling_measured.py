@@ -57,7 +57,7 @@ def _force_cpu():
     jax.config.update("jax_platforms", "cpu")
 
 
-def bench(fn, *args, iters=3):
+def bench(fn, *args, iters=2):
     import jax
 
     out = fn(*args)
@@ -155,7 +155,7 @@ def main():
             return loss
 
         print(f"s={s}: benching train...", flush=True)
-        t_train = bench(train_once, params, opt_state, f_in, neg, iters=2)
+        t_train = bench(train_once, params, opt_state, f_in, neg, iters=1)
 
         row = {
             "seq_ms": round(t_seq * 1e3, 2),
