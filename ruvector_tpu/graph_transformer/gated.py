@@ -466,31 +466,45 @@ _CHUNK_NB = 4096
 
 
 def _ceil_chunked_map(f, args, nb, chunk):
-    """lax.map over ceil(nb/chunk) equal chunks of the leading block axis.
+    """Chunked map over the leading block axis in ceil(nb/chunk) steps.
 
-    Pads every arg with zero blocks up to a multiple of min(chunk, nb)
-    and slices the outputs back to nb. The bodies here are block-local
-    and mask padding rows themselves, so zero blocks are inert (their
-    outputs are discarded by the slice). This replaces the old
-    largest-divisor rule, which silently serialized when nB had no
-    divisor near the chunk bound (nB prime -> chunk 1 -> nB unit-sized
-    lax.map steps at exactly the 10M-node scale this path targets)."""
+    Replaces the old largest-divisor rule, which silently serialized
+    when nB had no divisor near the chunk bound (nB prime -> chunk 1 ->
+    nB unit-sized lax.map steps at exactly the 10M-node scale this path
+    targets). A non-divisible nb is handled by CLAMPING the last
+    chunk's start to nb - c (it re-processes up to c-1 overlap blocks):
+    bodies here are block-local, so the overlap rows recompute the same
+    values and the dynamic_update_slice chain keeps exactly one
+    contribution per row in both the forward and the VJP (the
+    overwritten window's cotangent is zeroed by the later update).
+
+    Zero-copy by construction: a lax.scan body dynamic-slices the FULL
+    input arrays — the pad-with-zeros variant this replaces
+    concatenated full padded COPIES of every operand, which at 10M
+    nodes put a second 4.77 GB wdense (plus padded x copies) next to
+    the originals and OOMed the train step."""
     c = min(chunk, nb)
-    n_pad = -nb % c
+    n_chunks = -(-nb // c)
+    if n_chunks == 1:
+        return f(args)
+    starts = jnp.asarray(
+        [min(i * c, nb - c) for i in range(n_chunks)], jnp.int32)
+    out_struct = jax.eval_shape(f, jax.tree.map(
+        lambda t: jax.ShapeDtypeStruct((c, *t.shape[1:]), t.dtype), args))
+    buf0 = jax.tree.map(
+        lambda s: jnp.zeros((nb, *s.shape[1:]), s.dtype), out_struct)
 
-    def pad0(t):
-        if n_pad == 0:
-            return t
-        return jnp.concatenate(
-            [t, jnp.zeros((n_pad, *t.shape[1:]), t.dtype)], axis=0)
+    def body(buf, start):
+        sl = jax.tree.map(
+            lambda t: jax.lax.dynamic_slice_in_dim(t, start, c, 0), args)
+        out = f(sl)
+        buf = jax.tree.map(
+            lambda b, o: jax.lax.dynamic_update_slice_in_dim(
+                b, o, start, 0), buf, out)
+        return buf, None
 
-    def rc(t):
-        return t.reshape((nb + n_pad) // c, c, *t.shape[1:])
-
-    out = jax.lax.map(f, jax.tree.map(lambda t: rc(pad0(t)), args))
-    return jax.tree.map(
-        lambda t: t.reshape(t.shape[0] * t.shape[1], *t.shape[2:])[:nb],
-        out)
+    buf, _ = jax.lax.scan(body, buf0, starts)
+    return buf
 
 
 def _ffn_apply(p, h2, pad, out_dtype):
