@@ -494,13 +494,22 @@ def _ceil_chunked_map(f, args, nb, chunk):
     buf0 = jax.tree.map(
         lambda s: jnp.zeros((nb, *s.shape[1:]), s.dtype), out_struct)
 
-    def body(buf, start):
+    # checkpoint the SLICING together with the body, with `args` closed
+    # over: the scan VJP then saves only the per-iteration `start`
+    # scalar and re-slices from the (loop-invariant) full arrays on the
+    # backward pass. Slicing inside the scanned body proper would make
+    # each iteration's sliced operands scan residuals — stacked back to
+    # a full-size copy of every input (a second 5 GB wdense at 10M).
+    @jax.checkpoint
+    def chunk_out(start):
         sl = jax.tree.map(
             lambda t: jax.lax.dynamic_slice_in_dim(t, start, c, 0), args)
-        out = f(sl)
+        return f(sl)
+
+    def body(buf, start):
         buf = jax.tree.map(
             lambda b, o: jax.lax.dynamic_update_slice_in_dim(
-                b, o, start, 0), buf, out)
+                b, o, start, 0), buf, chunk_out(start))
         return buf, None
 
     buf, _ = jax.lax.scan(body, buf0, starts)
