@@ -604,12 +604,18 @@ def _fused_layer_bwd(cfg, res, g):
     import numpy as np
 
     p, x, keep_p, pad, wdense = res
+    # wdense is DATA (the graph), not a parameter: differentiating wrt
+    # it makes the vjp treat the 4.77 GB (10M-node) edge table as a
+    # primal residual inside the train scan — XLA then materializes a
+    # full copy per loop body plus the d_wdense accumulator, which is
+    # exactly the 10M OOM. Zero cotangent matches the gate/pad stance
+    # (the reference's graph is likewise not trained through).
     _, vjp = jax.vjp(
-        lambda p_, x_, w_: _layer_body_halo_free(
-            cfg, p_, x_, keep_p, pad, w_), p, x, wdense)
-    dp, dx, dw = vjp(g.astype(x.dtype))
+        lambda p_, x_: _layer_body_halo_free(
+            cfg, p_, x_, keep_p, pad, wdense), p, x)
+    dp, dx = vjp(g.astype(x.dtype))
     return (dp, dx, np.zeros(keep_p.shape, dtype=jax.dtypes.float0),
-            jnp.zeros_like(pad), dw)
+            jnp.zeros_like(pad), jnp.zeros_like(wdense))
 
 
 _fused_layer_halo_free.defvjp(_fused_layer_fwd, _fused_layer_bwd)
