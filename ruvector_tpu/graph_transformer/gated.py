@@ -644,7 +644,21 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     use_fused = fused and _use_fused_attn(cfg, bdg.block, x.shape[-1])
     if use_fused and _use_fused_layer(cfg, bdg, x.shape[-1]):
         # halo-free: the WHOLE layer runs as one Pallas kernel
-        return _fused_layer_halo_free(cfg, p, x, keep_p, pad, bdg.wdense)
+        if nb <= _CHUNK_NB:
+            return _fused_layer_halo_free(cfg, p, x, keep_p, pad,
+                                          bdg.wdense)
+        # >_CHUNK_NB (10M nodes): the same kernel, driven through the
+        # checkpointed ceil-chunked map. The forward is still all-kernel
+        # (a scan of ~10 grid launches == one big grid); the point is
+        # the TRAIN backward: carried at full width, the custom_vjp's
+        # residual tuple made XLA materialize a second 4.77 GB wdense
+        # copy inside the train scan (the r5 10M OOM) — chunked, each
+        # chunk's residuals are re-sliced from loop-invariant closures
+        # and the transient is one 0.5 GB chunk.
+        return _ceil_chunked_map(
+            lambda a: _fused_layer_halo_free(cfg, p, a[0], a[1], a[2],
+                                             a[3]),
+            (x, keep_p, pad, bdg.wdense), nb, _CHUNK_NB)
     if use_fused and bdg.table == bdg.block:
         # halo-free but fused-layer kernel disabled (monkeypatched in
         # tests / future non-kernel configs): the XLA composition,

@@ -1239,12 +1239,138 @@ struct Solver {
         master_valid = true;
     }
 
+    // --- contracted s-t fallback (round 5) -------------------------------
+    // The rare full-graph repair flows dominated the 1M stream (19 of
+    // 20k updates = 3.6 s of 3.8 s: each paid a 20 MB capacity memcpy +
+    // Dinic phases over 1.3M edges). Padberg-Rinaldi observation: an
+    // edge with w >= bound cannot cross any cut of total value < bound,
+    // and the caller only cares about cuts BELOW stop_above — so every
+    // edge with w > stop_above + EPS contracts (union-find), which on
+    // clustered graphs collapses whole clusters into supernodes and
+    // leaves ~|bridges| edges. Exactness: every cut with value <=
+    // stop_above survives contraction, heavy edges are never saturated
+    // by a flow < their weight, so the canonical residual reachability
+    // (identical for every max flow) expands group-wise to the
+    // uncontracted answer. Worst case (nothing contracts) degrades to
+    // the old full-graph flow.
+    std::vector<int32_t> uf;
+    int32_t uf_find(int32_t x) {
+        while (uf[x] != x) { uf[x] = uf[uf[x]]; x = uf[x]; }
+        return x;
+    }
+
+    // --- cached contraction (round 5, the "hierarchical pool" layer) --
+    // The contraction partition (components of the >bound subgraph) is
+    // STABLE across a reweight stream: weights rarely cross the bound
+    // and the bound (value_) rarely moves. So the contracted multigraph
+    // is maintained incrementally — con_patch is O(1) per update — and
+    // a repair flow runs on the ~|bridges|-edge cached graph instead of
+    // paying two O(E) passes per fallback.
+    bool con_valid = false;
+    double con_bound = 0;
+    int32_t con_ng = 0;
+    std::vector<int32_t> con_gid_of;          // node -> group (-1 unseen)
+    std::unordered_map<int64_t, double> con_cw;
+
+    static int64_t gkey(int32_t a, int32_t b, int32_t n) {
+        return a < b ? (int64_t)a * n + b : (int64_t)b * n + a;
+    }
+
+    void con_patch(int32_t u, int32_t v, double oldw, double neww) {
+        if (!con_valid) return;
+        bool oh = oldw > con_bound, nh = neww > con_bound;
+        if (oh != nh) { con_valid = false; return; }  // class change
+        if (oh) return;                // heavy->heavy: groups unchanged
+        int32_t ga = con_gid_of[u], gb = con_gid_of[v];
+        if (ga < 0 || gb < 0) { con_valid = false; return; }
+        if (ga == gb) return;          // intra-group light edge
+        int64_t k = gkey(ga, gb, n);
+        double& e = con_cw[k];
+        e += neww - oldw;
+        if (e <= EPS) con_cw.erase(k);
+    }
+
+    void con_build(double bound) {
+        // master CSR iteration, NOT the `w` hash map: two walks of a
+        // 1.3M-entry unordered_map cost MORE than the flow they
+        // replaced; the arc arrays are contiguous and master_patch
+        // keeps cap0 current: edge k = (arc_to[2k+1], arc_to[2k],
+        // cap0[2k])
+        ensure_master();
+        const size_t me = master.arc_to.size() / 2;
+        uf.resize(n);
+        for (int32_t i = 0; i < n; ++i) uf[i] = i;
+        for (size_t k = 0; k < me; ++k) {
+            if (cap0[2 * k] > bound) {
+                int32_t ra = uf_find(master.arc_to[2 * k + 1]);
+                int32_t rb = uf_find(master.arc_to[2 * k]);
+                if (ra != rb) uf[ra] = rb;
+            }
+        }
+        std::unordered_map<int32_t, int32_t> gid;
+        auto id_of = [&](int32_t x) {
+            int32_t r = uf_find(x);
+            auto it = gid.emplace(r, (int32_t)gid.size());
+            return it.first->second;
+        };
+        con_cw.clear();
+        for (size_t k = 0; k < me; ++k) {
+            double wk = cap0[2 * k];
+            if (wk <= EPS) continue;                   // deleted edge
+            int32_t a = master.arc_to[2 * k + 1];
+            int32_t b = master.arc_to[2 * k];
+            if (wk > bound) { (void)id_of(a); continue; }
+            int32_t ga = id_of(a), gb = id_of(b);
+            if (ga == gb) continue;
+            con_cw[gkey(ga, gb, n)] += wk;
+        }
+        con_gid_of.assign(n, -1);
+        for (int32_t i = 0; i < n; ++i) {
+            if (deg[i] <= EPS) continue;
+            auto it = gid.find(uf_find(i));
+            if (it != gid.end()) con_gid_of[i] = it->second;
+        }
+        con_ng = (int32_t)gid.size();
+        con_bound = bound;
+        con_valid = true;
+    }
+
     void st_cut(int32_t u, int32_t v, double& flow,
                 std::vector<uint8_t>& side, double stop_above = 1e300) {
+        ++st_flow;
+        if (stop_above < 1e299) {
+            const double bound = stop_above + EPS;
+            if (!con_valid || con_bound != bound)
+                con_build(bound);
+            int32_t su = con_gid_of[u], sv = con_gid_of[v];
+            if (su < 0 || sv < 0) {           // node unseen at build
+                con_build(bound);
+                su = con_gid_of[u]; sv = con_gid_of[v];
+            }
+            if (su == sv || su < 0 || sv < 0) {
+                // same >bound component: any u-v cut crosses a >bound
+                // edge, so lambda(u, v) > stop_above — exact no-change
+                flow = stop_above * 2 + 1.0;
+                side.assign(n, 0);
+                return;
+            }
+            Dinic d(con_ng);
+            for (auto& kv : con_cw)
+                d.add((int32_t)(kv.first / n), (int32_t)(kv.first % n),
+                      kv.second);
+            flow = d.max_flow(su, sv, stop_above);
+            if (flow >= stop_above) { side.assign(n, 0); return; }
+            auto r = d.reachable(su);
+            side.assign(n, 0);
+            for (int32_t i = 0; i < n; ++i)
+                if (deg[i] > EPS && con_gid_of[i] >= 0
+                        && r[con_gid_of[i]])
+                    side[i] = 1;
+            return;
+        }
         ensure_master();
         master.cap = cap0;
         flow = master.max_flow(u, v, stop_above);
-        ++st_flow;
         if (flow >= stop_above) { side.assign(n, 0); return; }
         auto r = master.reachable(u);
         side.assign(n, 0);
@@ -1472,8 +1598,11 @@ struct Solver {
         if (u == v || ww <= EPS || u < 0 || v < 0 || u >= n || v >= n)
             return;
         int64_t k = key(u, v, n);
+        double oldw = 0.0;
+        { auto itw = w.find(k); if (itw != w.end()) oldw = itw->second; }
         w[k] += ww;
         master_patch(k, w[k]);
+        con_patch(u, v, oldw, oldw + ww);
         nbr_add(u, v, ww);
         nbr_add(v, u, ww);
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
@@ -1498,6 +1627,7 @@ struct Solver {
         double ww = it->second;
         w.erase(it);
         master_patch(k, 0.0);   // cap 0 == absent: master stays valid
+        con_patch(u, v, ww, 0.0);
         nbr_erase(u, v);
         nbr_erase(v, u);
         bool u_was = deg[u] > EPS, v_was = deg[v] > EPS;
@@ -1517,6 +1647,7 @@ struct Solver {
         if (it == w.end()) { insert_edge(u, v, ww); return; }
         double delta = ww - it->second;
         if (std::abs(delta) < 1e-15) return;
+        con_patch(u, v, it->second, ww);
         it->second = ww;
         master_patch(k, ww);
         nbr_set(u, v, ww);
