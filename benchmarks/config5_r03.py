@@ -137,13 +137,27 @@ def main():
 
     # --- drift forward: perturb features each iter so gates re-solve
     # up to the budget (the realistic evolving-embedding loop) ---
+    def perturb(f, sub):
+        if not big:
+            return f + 0.1 * jax.random.normal(sub, f.shape, f.dtype)
+        # 10M: chunk the noise generation — the threefry bit tensor for
+        # a full-width normal() is a [n, d] uint32 transient (5.1 GB)
+        # that tips the drift loop over HBM next to the carried f/f2
+        nchunks = 8
+        rows = f.shape[0] // nchunks
+        ks = jax.random.split(sub, nchunks)
+        return jax.lax.map(
+            lambda a: a[0] + 0.1 * jax.random.normal(
+                a[1], a[0].shape, a[0].dtype),
+            (f.reshape(nchunks, rows, -1), ks)).reshape(f.shape)
+
     def make_drift(n_it):
         @jax.jit
         def loop(p, f, s, key, g):
             def body(carry, _):
                 f, s, key, acc = carry
                 key, sub = jax.random.split(key)
-                f2 = f + 0.1 * jax.random.normal(sub, f.shape, f.dtype)
+                f2 = perturb(f, sub)
                 out, s2, nres = gated_graph_transformer_step(
                     p, cfg, f2, g, s, max_resolve=max_resolve)
                 return (f2, s2, key, acc + jnp.sum(out) * 1e-38), nres

@@ -1182,14 +1182,84 @@ struct Solver {
             pool.push_back({0.0, side_});
             return;
         }
-        double best;
+
+        // --- PR1 pre-contraction (round 5) ------------------------------
+        // lambda_hat = min active degree (the singleton cut of the
+        // min-degree node) upper-bounds the optimum; any edge with
+        // w >= lambda_hat crosses no cut of total < lambda_hat, so all
+        // such edges contract before NOI runs. On clustered graphs this
+        // collapses every cluster to a supernode (1M nodes -> ~10k) and
+        // the scan runs on the bridge graph; if the optimum equals
+        // lambda_hat the recorded singleton candidate IS an optimal
+        // partition, so exactness holds in every case.
+        int32_t argmin = act[0];
+        for (int32_t a : act)
+            if (deg[a] < deg[argmin]) argmin = a;
+        const double lam_hat = deg[argmin];
+        std::vector<uint8_t> single_side(n, 0);
+        single_side[argmin] = 1;
+
+        uf.resize(n);
+        for (int32_t a : act) uf[a] = a;
+        for (int32_t a : act)
+            for (auto& kv : nbr[a])
+                if (a < kv.first && kv.second >= lam_hat) {
+                    int32_t ra = uf_find(a), rb = uf_find(kv.first);
+                    if (ra != rb) uf[ra] = rb;
+                }
+        std::unordered_map<int32_t, int32_t> gid;
+        for (int32_t a : act)
+            gid.emplace(uf_find(a), (int32_t)gid.size());
+        int32_t ng = (int32_t)gid.size();
+
+        double best = 1e300;
         std::vector<uint8_t> best_side;
         std::vector<Cand> phases;
-        noi_mincut(act, best, best_side, phases);
-        value_ = best;
-        side_ = best_side;
+        if (ng >= 2) {
+            Solver tmp(ng);
+            std::vector<int32_t> groups(ng);
+            for (auto& kv : gid) groups[kv.second] = kv.second;
+            for (int32_t a : act) {
+                int32_t ga = gid[uf_find(a)];
+                for (auto& kv : nbr[a]) {
+                    if (a >= kv.first || kv.second <= EPS) continue;
+                    int32_t gb = gid[uf_find(kv.first)];
+                    if (ga == gb) continue;
+                    tmp.nbr_add(ga, gb, kv.second);
+                    tmp.nbr_add(gb, ga, kv.second);
+                    tmp.deg[ga] += kv.second;
+                    tmp.deg[gb] += kv.second;
+                }
+            }
+            std::vector<Cand> phases_c;
+            std::vector<uint8_t> best_c;
+            tmp.noi_mincut(groups, best, best_c, phases_c);
+            // expand contracted sides to node sides
+            auto expand = [&](const std::vector<uint8_t>& cs) {
+                std::vector<uint8_t> s(n, 0);
+                for (int32_t a : act)
+                    if (cs[gid[uf_find(a)]]) s[a] = 1;
+                return s;
+            };
+            best_side = expand(best_c);
+            for (auto& pc : phases_c)
+                phases.push_back({pc.v, expand(pc.side)});
+        }
+
+        if (lam_hat <= best + EPS) {
+            value_ = lam_hat;
+            side_ = single_side;
+        } else {
+            value_ = best;
+            side_ = best_side;
+        }
         pool.push_back({value_, side_});
-        // phases arrive value-sorted from noi_mincut
+        // merge the singleton + NOI candidates, value-sorted, deduped
+        if (best < 1e300 && lam_hat <= best + EPS)
+            phases.insert(phases.begin(), {best, best_side});
+        phases.push_back({lam_hat, single_side});
+        std::sort(phases.begin(), phases.end(),
+                  [](const Cand& a, const Cand& b) { return a.v < b.v; });
         for (auto& p : phases) {
             if ((int)pool.size() >= pool_size) break;
             bool dup = false;
