@@ -20,6 +20,7 @@ Run: python benchmarks/config5_r03.py [--nodes N]
 
 from __future__ import annotations
 
+import functools
 import argparse
 import json
 import os
@@ -152,7 +153,10 @@ def main():
             (f.reshape(nchunks, rows, -1), ks)).reshape(f.shape)
 
     def make_drift(n_it):
-        @jax.jit
+        # donate f + state: the scan-init copies of the carried features
+        # (2.38 GB) and keep state (0.61 GB) were exactly the 10M drift
+        # program's HBM deficit; each call gets throwaway copies below
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
         def loop(p, f, s, key, g):
             def body(carry, _):
                 f, s, key, acc = carry
@@ -170,12 +174,20 @@ def main():
     d_short, d_long = max(1, k // 2), max(1, k // 2) + k
     g_s, g_l = make_drift(d_short), make_drift(d_long)
     key = jax.random.key(7)
-    float(g_s(params, fpad, state2, key, bdg)[0])
-    float(g_l(params, fpad, state2, key, bdg)[0])
-    t0 = time.perf_counter(); float(g_s(params, fpad, state2, key, bdg)[0])
+
+    def run_drift(fn):
+        # fresh donated copies per call (the copy cost is identical for
+        # the short and long loops, so the difference timing cancels it)
+        f_dr = jnp.copy(fpad)
+        s_dr = jax.tree_util.tree_map(jnp.copy, state2)
+        return fn(params, f_dr, s_dr, key, bdg)
+
+    float(run_drift(g_s)[0])
+    float(run_drift(g_l)[0])
+    t0 = time.perf_counter(); float(run_drift(g_s)[0])
     t_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    a, nres_drift = g_l(params, fpad, state2, key, bdg)
+    a, nres_drift = run_drift(g_l)
     float(a)
     t_l = time.perf_counter() - t0
     fwd_drift_s = max(t_l - t_s, 1e-9) / (d_long - d_short)
