@@ -933,10 +933,60 @@ def gated_graph_transformer_apply_with_masks(
     return x.reshape(nb * b, -1)
 
 
+def _loss_chunked_halo_free(params, cfg, x, pad, wdense, keep_masks,
+                            tgt):
+    """Whole-model chunked loss for halo-free big graphs: every sublayer
+    (and therefore the WHOLE L-layer network and the loss reduction) is
+    block-local, so the model runs end-to-end per block-chunk. Peak HBM
+    is one chunk's activations instead of L+1 full-width streams plus
+    the loss temp (the 10M train OOMed ~4 GB over budget with full-width
+    buffers even under remat). The scan body is checkpointed with every
+    big array closed over, so backward residuals are the per-chunk start
+    indices; dp accumulates across chunks in the scan vjp."""
+    nb = x.shape[0]
+    c = min(_CHUNK_NB, nb)
+    n_chunks = -(-nb // c)
+    starts = jnp.asarray(
+        [min(i * c, nb - c) for i in range(n_chunks)], jnp.int32)
+    raw = jnp.asarray([i * c for i in range(n_chunks)], jnp.int32)
+
+    @jax.checkpoint
+    def chunk_sums(start, raw_start):
+        sl = lambda t: jax.lax.dynamic_slice_in_dim(t, start, c, 0)  # noqa: E731
+        xc, pc, wc, tc = sl(x), sl(pad), sl(wdense), sl(tgt)
+        # rows already covered by an earlier chunk (the clamped last
+        # chunk overlaps) contribute zero
+        fresh = (start + jnp.arange(c, dtype=jnp.int32)
+                 >= raw_start).astype(jnp.float32)
+        for li, p in enumerate(params):
+            kc = jax.lax.dynamic_slice_in_dim(keep_masks[li], start, c, 0)
+            xc = _fused_layer_halo_free(
+                cfg, p, xc, jax.lax.stop_gradient(kc), pc, wc)
+        err = ((xc - tc).astype(jnp.float32)
+               * pc[..., None] * fresh[:, None, None])
+        return (jnp.sum(err * err),
+                jnp.sum(pc * fresh[:, None]))
+
+    def body(carry, st):
+        es, ps = chunk_sums(st[0], st[1])
+        return (carry[0] + es, carry[1] + ps), None
+
+    (err_sum, pad_sum), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+        (starts, raw))
+    return err_sum / jnp.maximum(pad_sum, 1.0)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def gated_graph_transformer_loss_with_masks(
     params, cfg, fpad, bdg, keep_masks, targets,
 ):
+    nb, b = bdg.n_blocks, bdg.block
+    if (nb > _CHUNK_NB and _use_fused_attn(cfg, b, cfg.dim)
+            and _use_fused_layer(cfg, bdg, cfg.dim)):
+        return _loss_chunked_halo_free(
+            params, cfg, fpad.reshape(nb, b, -1), bdg.node_pad,
+            bdg.wdense, keep_masks, targets.reshape(nb, b, -1))
     out = gated_graph_transformer_apply_with_masks(
         params, cfg, fpad, bdg, keep_masks)
     pad = bdg.node_pad.reshape(-1, 1)

@@ -680,3 +680,42 @@ def test_chunked_whole_layer_grad_parity(monkeypatch):
     # fused-layer kernel value and custom_vjp grads match the XLA path
     np.testing.assert_allclose(float(v_k), float(v_s), rtol=3e-5)
     assert_grads_close(g_k, g_s, 6e-5)
+
+
+def test_chunked_whole_model_loss_parity(monkeypatch):
+    """The whole-model chunked loss (halo-free big graphs run the full
+    L-layer network + reduction per block-chunk) must match the straight
+    loss in value AND parameter gradients, including at a non-divisible
+    nB where the clamped last chunk overlaps."""
+    import ruvector_tpu.graph_transformer.gated as g
+
+    n, d, block = 640, 32, 128           # nb=5, chunk 2: overlap path
+    rng = np.random.default_rng(11)
+    base = (np.arange(n)[:, None] // block) * block
+    idx = (base + rng.integers(0, block, (n, 8))).astype(np.int32)
+    bdg = build_block_dense(idx, np.ones((n, 8), np.float32),
+                            rng.uniform(0.1, 1.0, (n, 8)).astype(np.float32),
+                            block=block)
+    assert bdg.table == bdg.block and bdg.n_blocks == 5
+
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=4, num_layers=2,
+                                      fused_gate_attn="always")
+    params = gated_graph_transformer_init(jax.random.key(0), cfg)
+    fpad = bdg.pad_features(jnp.asarray(
+        rng.normal(size=(n, d)).astype(np.float32)))
+    st = g.gate_state_init(params, cfg, fpad, bdg)
+    tgt = jnp.asarray(rng.normal(size=fpad.shape).astype(np.float32))
+
+    def loss(p):
+        return g.gated_graph_transformer_loss_with_masks(
+            p, cfg, fpad, bdg, st["keep"], tgt)
+
+    v_s, g_s = jax.value_and_grad(loss)(params)
+    monkeypatch.setattr(g, "_CHUNK_NB", 2)
+    v_c, g_c = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(v_s), float(v_c), rtol=3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_c)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=6e-5 * scale)
