@@ -224,8 +224,9 @@ def main():
 
     edges = float(n * DEGREE * args.layers)
     payload = {
-        "config": "mincut-gated graph transformer w/ temporal gate reuse, "
-                  "1M-node partitioned graph (BASELINE config 5, r3)",
+        "config": f"mincut-gated graph transformer w/ temporal gate "
+                  f"reuse, {n}-node partitioned graph (BASELINE "
+                  f"config 5)",
         "backend": jax.devices()[0].platform,
         "nodes": n, "dim": d, "layers": args.layers, "heads": 4,
         "partition": BLOCK, "partitions": bdg.n_blocks,
