@@ -643,10 +643,15 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     nb = x.shape[0]
     use_fused = fused and _use_fused_attn(cfg, bdg.block, x.shape[-1])
     if use_fused and _use_fused_layer(cfg, bdg, x.shape[-1]):
-        # halo-free: the WHOLE layer runs as one Pallas kernel
+        # halo-free: the WHOLE layer runs as one Pallas kernel. In bf16
+        # compute mode the kernel casts wdense to bf16 in VMEM anyway —
+        # pre-casting it halves the kernel's HBM edge-table read
+        # (1.02 GB/layer f32 at 1M; XLA CSEs the cast across layers)
+        wd = bdg.wdense
+        if cfg.compute_dtype == "bfloat16" and wd.dtype != jnp.bfloat16:
+            wd = wd.astype(jnp.bfloat16)
         if nb <= _CHUNK_NB:
-            return _fused_layer_halo_free(cfg, p, x, keep_p, pad,
-                                          bdg.wdense)
+            return _fused_layer_halo_free(cfg, p, x, keep_p, pad, wd)
         # >_CHUNK_NB (10M nodes): the same kernel, driven through the
         # checkpointed ceil-chunked map. The forward is still all-kernel
         # (a scan of ~10 grid launches == one big grid); the point is
@@ -658,7 +663,7 @@ def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
         return _ceil_chunked_map(
             lambda a: _fused_layer_halo_free(cfg, p, a[0], a[1], a[2],
                                              a[3]),
-            (x, keep_p, pad, bdg.wdense), nb, _CHUNK_NB)
+            (x, keep_p, pad, wd), nb, _CHUNK_NB)
     if use_fused and bdg.table == bdg.block:
         # halo-free but fused-layer kernel disabled (monkeypatched in
         # tests / future non-kernel configs): the XLA composition,

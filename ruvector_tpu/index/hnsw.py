@@ -30,7 +30,7 @@ def _load():
     if not (os.path.exists(_LIB_PATH)
             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
              "-pthread", _SRC, "-o", _LIB_PATH],
             check=True, capture_output=True, timeout=120,
         )

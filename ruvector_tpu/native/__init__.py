@@ -27,7 +27,7 @@ def _build() -> bool:
         return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
              "-pthread", _SRC, "-o", _LIB],
             check=True, capture_output=True, timeout=120,
         )

@@ -91,10 +91,16 @@ def _make_layer_kernel(heads: int, ln_eps: float, compute_bf16: bool):
                 q_h.astype(cdt), hT, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)            # [B, B]
             s = jnp.where(keepb, s, -1e30)
-            smax = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
-            pu = jnp.exp(s - smax) * keepb
-            inv = 1.0 / jnp.maximum(
-                jnp.sum(pu, axis=-1, keepdims=True), 1e-10)
+            smax = jnp.max(s, axis=-1, keepdims=True)
+            # exp(-1e30 - smax) underflows to exactly 0 for masked
+            # entries, so no [B, B] keepb multiply; rows with NO kept
+            # entries (smax == -1e30 -> exp(0) == 1 everywhere) are
+            # zeroed by the [B, 1] row-validity factor instead
+            pu = jnp.exp(s - jnp.maximum(smax, -1e30))
+            inv = jnp.where(smax > -1e29,
+                            1.0 / jnp.maximum(
+                                jnp.sum(pu, axis=-1, keepdims=True),
+                                1e-10), 0.0)
             attn = attn + jax.lax.dot_general(
                 pu.astype(cdt), y_h.astype(cdt), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32) * inv
