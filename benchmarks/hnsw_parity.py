@@ -87,7 +87,9 @@ def run_distribution(kind: str, n=10_000, d=384, nq=1_000):
     # recall-matched comparison existed against the reference's QPS rows)
     nthreads = os.cpu_count() or 4
     sweep = {}
-    for ef in (100, 200, 400):
+    # larger uniform corpora need deeper beams to reach recall 0.95
+    efs = (100, 200, 400) if n <= 10_000 else (100, 200, 400, 800, 1600)
+    for ef in efs:
         ids, _ = idx.search_batch(queries, k=100, ef=ef,
                                   num_threads=nthreads)
         t0 = time.perf_counter()
@@ -115,7 +117,7 @@ def run_distribution(kind: str, n=10_000, d=384, nq=1_000):
     # recall-matched operating point: the lowest swept ef reaching
     # recall@10 >= 0.95, and its measured QPS
     matched = next((sweep[f"ef={ef}"] | {"ef": ef}
-                    for ef in (100, 200, 400)
+                    for ef in efs
                     if sweep[f"ef={ef}"]["recall@10"] >= 0.95), None)
     return {
         "build_s": round(t_build, 2),
