@@ -88,7 +88,11 @@ def main():
                               (4, max(1, nb // 8))):
         cfg = GatedGraphTransformerConfig(
             dim=d, num_layers=2, compute_dtype="bfloat16",
-            max_gate_age=age_bound)
+            max_gate_age=age_bound,
+            # keep the config's own budget consistent with the step's
+            # max_resolve override, so the feasibility guard sees the
+            # real (feasible) window at init time too
+            max_resolve_frac=budget / nb)
         params = gated_graph_transformer_init(jax.random.key(0), cfg)
         fpad0 = bdg.pad_features(jnp.asarray(feats))
 
