@@ -92,11 +92,11 @@ def main():
             reg["spmm_pallas_edges_per_s"] = round(ek / dt, 0)
             reg["spmm_pallas_note"] = (
                 f"measured on a {npk}-node slice (scalar-prefetch SMEM "
-                "cap ~250k edges). Gather-fused kernel is DMA-DESCRIPTOR "
-                "bound: one 512B row copy per edge -> ~7M edges/s "
-                "ceiling regardless of bandwidth. Measured to justify "
-                "the layout-transform (block-dense/bucketed) design, "
-                "not to compete.")
+                "cap ~250k edges). Gather-fused kernel is DMA-"
+                "descriptor bound (one 512B row copy per edge); "
+                "measured ~47M edges/s — 6x below bucketing and 30x "
+                "below block-dense. Measured to justify the layout-"
+                "transform design, not to compete.")
             break
         except Exception as e:  # pragma: no cover - tunnel flakiness
             transient = any(s in repr(e) for s in (
@@ -172,7 +172,7 @@ def main():
         "reads are contiguous. The general path therefore routes "
         "degree<=M graphs to block-dense and unbounded-degree graphs "
         "to bucketing; a scalar gather-fused kernel cannot beat either "
-        "(one DMA descriptor per edge ~= 7M edges/s, measured).")
+        "(DMA-descriptor bound, ~47M edges/s measured).")
 
     # all-numeric guard: every *_edges_per_s value must be a number
     bad = [k for sec in out.values() if isinstance(sec, dict)
