@@ -110,8 +110,52 @@ def main(argv=None):
     mc.add_argument("--source", type=int, default=None)
     mc.add_argument("--sink", type=int, default=None)
     mc.add_argument("--json", action="store_true")
+    sq = sub.add_parser(
+        "sql", help="pgvector/ruvector-compatible SQL shell (or -c one-shot) "
+                    "over the in-process engine")
+    sq.add_argument("-c", "--command", default=None,
+                    help="execute one ';'-separated script and exit")
+    sq.add_argument("-f", "--file", default=None,
+                    help="execute statements from a .sql file and exit")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "sql":
+        from ruvector_tpu.serve.sql import SqlEngine, SqlError
+
+        eng = SqlEngine()
+
+        def _run_script(text: str):
+            try:
+                out = eng.execute(text)
+            except SqlError as exc:
+                print(f"ERROR: {exc}")
+                return
+            if isinstance(out, list):
+                for row in out:
+                    print(json.dumps(row))
+            else:
+                print(out)
+
+        if args.command or args.file:
+            script = args.command or Path(args.file).read_text()
+            _run_script(script)
+            return
+        print("ruvector sql shell — end statements with ';', "
+              "\\q to quit")
+        buf = ""
+        while True:
+            try:
+                line = input("sql> " if not buf else "...> ")
+            except EOFError:
+                break
+            if line.strip() in ("\\q", "quit", "exit"):
+                break
+            buf += line + "\n"
+            if line.rstrip().endswith(";"):
+                _run_script(buf)
+                buf = ""
+        return
 
     if args.cmd == "mcp":
         from ruvector_tpu.serve.mcp import McpServer

@@ -11,7 +11,12 @@ from ruvector_tpu.serve.query import (
     execute_query,
 )
 
+from ruvector_tpu.serve.sql import SqlEngine, SqlError, execute_sql
+
 __all__ = [
+    "SqlEngine",
+    "SqlError",
+    "execute_sql",
     "differentiable_search",
     "hierarchical_forward",
     "softmax_temperature",
