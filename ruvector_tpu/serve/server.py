@@ -26,6 +26,14 @@ class ServerState:
         self.collections: dict[str, VectorDB] = {}
         self.metrics = MetricsRegistry()
         self.lock = threading.Lock()
+        self._sql = None            # lazy SqlEngine for the /sql route
+
+    @property
+    def sql(self):
+        if self._sql is None:
+            from ruvector_tpu.serve.sql import SqlEngine
+            self._sql = SqlEngine()
+        return self._sql
 
 
 def make_handler(state: ServerState):
@@ -137,6 +145,17 @@ def make_handler(state: ServerState):
 
         def do_POST(self):
             parts = self.path.strip("/").split("/")
+            # POST /sql {"sql": "..."} — pgvector/ruvector SQL surface
+            if parts == ["sql"]:
+                from ruvector_tpu.serve.sql import SqlError
+                body = self._read_body()
+                try:
+                    with state.lock:
+                        out = state.sql.execute(body.get("sql", ""))
+                except SqlError as exc:
+                    return self._json(400, {"status": "error",
+                                            "error": str(exc)})
+                return self._json(200, {"result": out})
             # POST /collections/:name/points/scroll — paginated listing
             # with optional payload filter (Qdrant scroll surface)
             if len(parts) == 4 and parts[2] == "points" \

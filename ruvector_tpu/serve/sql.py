@@ -821,6 +821,7 @@ class SqlEngine:
     def __init__(self):
         self.tables: dict[str, _Table] = {}
         self.graphs: dict[str, Any] = {}
+        self._worker = None            # lazy GnnTrainingWorker
         self._fns = dict(SQL_FUNCTIONS)
         self._fns.update({
             # graph surface needs engine state (ruvector_create_graph etc.)
@@ -830,7 +831,96 @@ class SqlEngine:
             "ruvector_add_edge": self._g_add_edge,
             "ruvector_graph_stats": self._g_stats,
             "ruvector_cypher": self._g_cypher,
+            # background GNN training worker (workers/gnn.rs:146-345 surface)
+            "ruvector_gnn_train": self._gnn_train,
+            "ruvector_gnn_worker_status": self._gnn_status,
+            "ruvector_gnn_wait": self._gnn_wait,
+            "ruvector_gnn_model": self._gnn_model,
         })
+
+    def close(self):
+        if self._worker is not None:
+            self._worker.shutdown()
+            self._worker = None
+
+    # -- background GNN training over a table's vector column --------------
+    def _gnn_worker(self):
+        if self._worker is None:
+            from ruvector_tpu.training.worker import GnnTrainingWorker
+            self._worker = GnnTrainingWorker(self._gnn_train_fn)
+        return self._worker
+
+    def _gnn_train_fn(self, table: str, epochs: int):
+        """Contrastive GNN training over the table's first vector column:
+        kNN graph -> RuvectorLayer -> InfoNCE epochs (the per-collection
+        model the reference's `ruvector_gnn_train` worker produces)."""
+        import optax
+
+        from ruvector_tpu.graph.build import build_knn_graph
+        from ruvector_tpu.nn.ruvector_layer import (
+            RuvectorLayerConfig, ruvector_layer_init)
+        from ruvector_tpu.training.train import (
+            TrainConfig, make_train_step, train_epoch)
+
+        t = self._table(table)
+        cname = next(
+            (c for c in t.order if t.columns[c].type == "vector"), None)
+        if cname is None:
+            raise SqlError(f"table {table!r} has no vector column")
+        feats = t.vecs[cname]
+        n, d = feats.shape
+        if n < 4:
+            raise SqlError(f"table {table!r} has too few rows to train ({n})")
+        graph = build_knn_graph(feats, k=min(8, n - 1))
+        layer_cfg = RuvectorLayerConfig(input_dim=d, hidden_dim=d)
+        params = ruvector_layer_init(jax.random.PRNGKey(0), layer_cfg)
+        cfg = TrainConfig(batch_size=min(32, n), n_negatives=min(16, n - 1))
+        step = make_train_step(layer_cfg, optax.adam(cfg.learning_rate), cfg)
+        opt_state = optax.adam(cfg.learning_rate).init(params)
+        rng = np.random.default_rng(0)
+        feats_j = jnp.asarray(feats)
+        loss = 0.0
+        for _ in range(max(1, int(epochs))):
+            params, opt_state, loss = train_epoch(
+                step, params, opt_state, feats_j, graph, cfg, rng)
+        model = {"column": cname, "layer_cfg": layer_cfg,
+                 "params": params, "loss": loss, "rows": n}
+        return model, loss
+
+    def _gnn_train(self, table: str, epochs=1, force=True):
+        self._table(table)   # validate before queueing
+        return int(self._gnn_worker().enqueue(
+            str(table), epochs=int(epochs), force=bool(force)))
+
+    def _gnn_status(self, job_id):
+        job = self._gnn_worker().status(int(job_id))
+        if job is None:
+            raise SqlError(f"unknown job {job_id}")
+        return json.dumps({
+            "job_id": job.job_id, "collection": job.collection,
+            "status": job.status.value, "loss": job.loss,
+            "error": job.error})
+
+    def _gnn_wait(self, job_id, timeout=60.0):
+        self._gnn_worker().wait(int(job_id), float(timeout))
+        return self._gnn_status(job_id)
+
+    def _gnn_model(self, table: str):
+        """Model summary fetch (workers/gnn.rs:345). The full params live on
+        the engine (`engine.gnn_model(table)`); SQL returns the summary."""
+        model = self._gnn_worker().model(str(table))
+        if model is None:
+            raise SqlError(f"no trained model for {table!r}")
+        leaves = jax.tree_util.tree_leaves(model["params"])
+        return json.dumps({
+            "collection": str(table), "column": model["column"],
+            "rows": model["rows"], "loss": model["loss"],
+            "param_count": int(sum(int(np.prod(l.shape)) for l in leaves)),
+        })
+
+    def gnn_model(self, table: str):
+        """Programmatic access to the trained params/config for a table."""
+        return self._gnn_worker().model(str(table))
 
     # -- graph function surface -------------------------------------------
     def _graph(self, name: str):

@@ -217,3 +217,78 @@ def test_cast_and_bare_vector_literal(eng):
     assert rows[0]["id"] == 1
     [row] = eng.execute("SELECT ruvector_dims([1, 2, 3, 4]) AS d")
     assert row["d"] == 4
+
+
+def test_gnn_train_worker_bridge():
+    import json
+    e = SqlEngine()
+    try:
+        e.execute("CREATE TABLE corpus (id int, emb ruvector(8))")
+        rng = np.random.default_rng(11)
+        mat = rng.normal(size=(40, 8)).astype(np.float32)
+        vals = ", ".join(
+            f"({i}, '[{','.join(f'{x:.5f}' for x in mat[i])}]')"
+            for i in range(40))
+        e.execute(f"INSERT INTO corpus VALUES {vals}")
+        [row] = e.execute("SELECT ruvector_gnn_train('corpus', 2) AS job")
+        job = row["job"]
+        [row] = e.execute(
+            f"SELECT ruvector_gnn_wait({job}, 120.0) AS s")
+        status = json.loads(row["s"])
+        assert status["status"] == "done", status
+        assert status["loss"] is not None
+        [row] = e.execute("SELECT ruvector_gnn_model('corpus') AS m")
+        model = json.loads(row["m"])
+        assert model["param_count"] > 0 and model["rows"] == 40
+        # programmatic fetch returns the real pytree
+        full = e.gnn_model("corpus")
+        assert full["column"] == "emb"
+    finally:
+        e.close()
+
+
+def test_gnn_train_errors():
+    e = SqlEngine()
+    try:
+        e.execute("CREATE TABLE s (id int)")
+        with pytest.raises(SqlError):
+            e.execute("SELECT ruvector_gnn_train('missing')")
+        [row] = e.execute("SELECT ruvector_gnn_train('s') AS job")
+        import json
+        [st] = e.execute(
+            f"SELECT ruvector_gnn_wait({row['job']}, 60.0) AS s")
+        assert json.loads(st["s"])["status"] == "failed"  # no vector column
+    finally:
+        e.close()
+
+
+def test_http_sql_route():
+    import json
+    import urllib.request
+    from ruvector_tpu.serve.server import RuvectorServer
+
+    server = RuvectorServer(port=0).start()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def req(payload):
+        r = urllib.request.Request(
+            base + "/sql", data=json.dumps(payload).encode(), method="POST",
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as err:
+            return err.code, json.loads(err.read())
+
+    try:
+        code, _ = req({"sql": "CREATE TABLE t (id int, v ruvector(2))"})
+        assert code == 200
+        code, _ = req({"sql": "INSERT INTO t VALUES (1,'[1,0]'), (2,'[0,1]')"})
+        assert code == 200
+        code, out = req(
+            {"sql": "SELECT id FROM t ORDER BY v <-> '[0,1]' LIMIT 1"})
+        assert code == 200 and out["result"] == [{"id": 2}]
+        code, out = req({"sql": "SELECT * FROM missing"})
+        assert code == 400 and "missing" in out["error"]
+    finally:
+        server.stop()
