@@ -83,7 +83,7 @@ _KEYWORDS = {
     "into", "values", "select", "from", "where", "order", "by", "limit",
     "asc", "desc", "and", "or", "not", "null", "true", "false", "delete",
     "update", "set", "as", "if", "exists", "primary", "key", "default",
-    "in", "is", "offset", "count", "between",
+    "in", "is", "offset", "count", "between", "explain",
 }
 
 
@@ -201,6 +201,11 @@ class OrderItem:
 
 
 @dataclass
+class Explain:
+    stmt: Any
+
+
+@dataclass
 class Select:
     items: list[tuple[Any, str | None]]   # (expr, alias)
     table: str | None
@@ -255,6 +260,8 @@ class _Parser:
 
     # -- statements --------------------------------------------------------
     def statement(self):
+        if self.kw("explain"):
+            return Explain(self.statement())
         if self.kw("create"):
             if self.kw("table"):
                 return self._create_table()
@@ -989,7 +996,47 @@ class SqlEngine:
             return self._update(stmt)
         if isinstance(stmt, Select):
             return self._select(stmt)
+        if isinstance(stmt, Explain):
+            return self._explain(stmt.stmt)
         raise SqlError(f"unhandled statement {stmt}")
+
+    def _explain(self, stmt) -> list[dict]:
+        """EXPLAIN: one row per plan step; for kNN SELECTs, says whether the
+        ORDER BY rides the native HNSW index or the batched device scan."""
+        if not isinstance(stmt, Select):
+            return [{"plan": type(stmt).__name__.lower()}]
+        steps: list[dict] = []
+        if stmt.table is None:
+            return [{"plan": "function scan (no table)"}]
+        t = self._table(stmt.table)
+        n = len(t)
+        filtered = stmt.where is not None
+        steps.append({"plan": f"seq scan on {stmt.table} ({n} rows)"
+                              + (" with filter" if filtered else "")})
+        if stmt.order:
+            first = stmt.order[0]
+            knn = _distance_order_key(first.expr, t)
+            if knn is not None and not first.desc:
+                cname, metric, _ = knn
+                idx = t.indexes.get(cname)
+                k = None if stmt.limit is None else stmt.limit + stmt.offset
+                if (idx is not None and idx.metric_op == metric
+                        and not filtered and k is not None and k < n):
+                    steps.append({"plan": f"hnsw index scan on {cname} "
+                                          f"({metric}, k={k})"})
+                else:
+                    why = ("no index" if idx is None else
+                           "metric mismatch" if idx.metric_op != metric else
+                           "filtered scan set" if filtered else "no limit")
+                    steps.append({"plan": f"batched device distance scan on "
+                                          f"{cname} ({metric}; {why})"})
+            else:
+                steps.append({"plan": "row sort"})
+        if stmt.limit is not None:
+            steps.append({"plan": f"limit {stmt.limit}"
+                                  + (f" offset {stmt.offset}"
+                                     if stmt.offset else "")})
+        return steps
 
     def _table(self, name: str) -> _Table:
         if name not in self.tables:

@@ -292,3 +292,23 @@ def test_http_sql_route():
         assert code == 400 and "missing" in out["error"]
     finally:
         server.stop()
+
+
+def test_explain_reports_index_vs_scan(eng):
+    plan = eng.execute(
+        "EXPLAIN SELECT id FROM items ORDER BY embedding <-> '[1,0,0,0]' "
+        "LIMIT 2")
+    assert any("batched device distance scan" in s["plan"] for s in plan)
+    eng.execute("CREATE INDEX ex ON items USING hnsw (embedding vector_l2_ops)")
+    plan = eng.execute(
+        "EXPLAIN SELECT id FROM items ORDER BY embedding <-> '[1,0,0,0]' "
+        "LIMIT 2")
+    assert any("hnsw index scan" in s["plan"] for s in plan)
+    # filtered query cannot ride the index
+    plan = eng.execute(
+        "EXPLAIN SELECT id FROM items WHERE tag = 'a' "
+        "ORDER BY embedding <-> '[1,0,0,0]' LIMIT 2")
+    assert any("filtered scan set" in s["plan"] for s in plan)
+    # non-select explain
+    plan = eng.execute("EXPLAIN DELETE FROM items WHERE id = 1")
+    assert plan == [{"plan": "delete"}]
