@@ -628,6 +628,33 @@ def _use_fused_layer(cfg, bdg, d):
     return bdg.table == bdg.block
 
 
+# flip to drive the step through the standalone signature pass (parity
+# tests compare both routes)
+_FUSE_NEXT_SIG = True
+
+
+def _layer_with_keep_emit_sig(p, p_next, cfg, x, bdg, keep_p):
+    """Fused layer + the NEXT layer's gate signature in one kernel pass
+    (step path only — forward-only, never differentiated). Mirrors the
+    fused branch of _layer_with_keep; returns (out, sig_next [nB])."""
+    from ruvector_tpu.ops.pallas.gated_block_layer import (
+        fold_gated_layer_params,
+        gated_block_layer_with_sig,
+    )
+
+    wd = bdg.wdense
+    if cfg.compute_dtype == "bfloat16" and wd.dtype != jnp.bfloat16:
+        wd = wd.astype(jnp.bfloat16)
+    folded = fold_gated_layer_params(p, cfg)
+    A_sig_next = _fold_sig_params(p_next, cfg)
+    out, rsum, rcnt = gated_block_layer_with_sig(
+        x, keep_p, bdg.node_pad, wd, folded, A_sig_next,
+        p_next["ln1"]["gamma"], p_next["ln1"]["beta"],
+        compute_bf16=cfg.compute_dtype == "bfloat16", sig_eps=cfg.eps)
+    sig = jnp.sum(rsum, axis=1) / jnp.maximum(jnp.sum(rcnt, axis=1), 1.0)
+    return out, sig
+
+
 def _layer_with_keep(p, cfg, x, bdg, keep_p, attn_chunk=512, fused=False):
     """keep_p: BIT-PACKED gate masks [nB, ceil(B/32), B] uint32
     (pack_keep). The fused kernel unpacks per block in VMEM; the XLA
@@ -814,12 +841,23 @@ def gated_graph_transformer_step(
     ages = state.get("age", jnp.zeros((len(params), nb), jnp.int32))
     fused = _use_fused_attn(cfg, b, x.shape[-1])
     gate_kernel = fused and b % 32 == 0
+    # layer li's fused kernel can emit layer li+1's signature while the
+    # output is still in VMEM (bitwise-equal to _signature_from_x on the
+    # written stream) — the standalone signature pass, a full [nB, B, D]
+    # HBM re-read per layer per step, then only runs for layer 0
+    emit_sig = (_FUSE_NEXT_SIG and gate_kernel
+                and _use_fused_layer(cfg, bdg, x.shape[-1])
+                and nb <= _CHUNK_NB)
+    carried_sig = None
     for li, p in enumerate(params):
         A_sig = _fold_sig_params(p, cfg)
         if gate_kernel:
             # LN1 folded into the signature and solve kernels: the
             # normalized [nB, B, D] tensor never exists in HBM
-            sig = _signature_from_x(x, p, A_sig, bdg.node_pad, cfg)
+            if carried_sig is not None:
+                sig = carried_sig
+            else:
+                sig = _signature_from_x(x, p, A_sig, bdg.node_pad, cfg)
 
             def solve_masks(idx, p=p, A_sig=A_sig, x=x):
                 return _solve_gates_kernel(
@@ -912,7 +950,12 @@ def gated_graph_transformer_step(
         new_keep.append(keep_l)
         new_sig.append(sig_l)
         new_age.append(age_l)
-        x = _layer_with_keep(p, cfg, x, bdg, keep_l, fused=True)
+        if emit_sig and li + 1 < len(params):
+            x, carried_sig = _layer_with_keep_emit_sig(
+                p, params[li + 1], cfg, x, bdg, keep_l)
+        else:
+            carried_sig = None
+            x = _layer_with_keep(p, cfg, x, bdg, keep_l, fused=True)
     new_state = {"keep": jnp.stack(new_keep), "sig": jnp.stack(new_sig),
                  "age": jnp.stack(new_age)}
     return x.reshape(nb * b, -1), new_state, resolved

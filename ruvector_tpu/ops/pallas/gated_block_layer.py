@@ -55,10 +55,16 @@ from ruvector_tpu.ops.pallas.gated_block_attn import (
 )
 
 
-def _make_layer_kernel(heads: int, ln_eps: float, compute_bf16: bool):
+def _make_layer_kernel(heads: int, ln_eps: float, compute_bf16: bool,
+                       sig_eps: float | None = None):
     def kernel(x_ref, keep_ref, pad_ref, wd_ref, A_ref, Wvo_ref,
                ln1g_ref, ln1b_ref, lngg_ref, lngb_ref, ln2g_ref, ln2b_ref,
-               Wg_ref, bg_ref, Wi_ref, bi_ref, Wo_ref, bo_ref, out_ref):
+               Wg_ref, bg_ref, Wi_ref, bi_ref, Wo_ref, bo_ref,
+               *rest):
+        if sig_eps is None:
+            (out_ref,) = rest
+        else:
+            As_ref, sg_ref, sb_ref, out_ref, sig_ref = rest
         f32 = jnp.float32
         cdt = jnp.bfloat16 if compute_bf16 else f32
         x = x_ref[0].astype(f32)                       # [B, D]
@@ -127,6 +133,35 @@ def _make_layer_kernel(heads: int, ln_eps: float, compute_bf16: bool):
             preferred_element_type=f32) + bo_ref[0]
         x = x + ff * pad
         out_ref[0] = x.astype(out_ref.dtype)
+
+        if sig_eps is not None:
+            # NEXT layer's gate signature from the output, while it is
+            # still in VMEM — the separate block_gate_signature_ln_x
+            # pass (a full [nB, B, D] HBM re-read per layer per step)
+            # disappears for every layer but the first. Rounds through
+            # the IO dtype first (the standalone kernel reads the
+            # WRITTEN stream), then the identical LN -> (H As) H^T ->
+            # clamp reduction: bf16-compute mode matches that kernel
+            # bitwise; f32 mode matches the positives SET exactly and
+            # rsum to <=1e-7 relative (dot-chain reassociation), far
+            # inside the 5% hysteresis band it feeds.
+            Xs = x.astype(out_ref.dtype).astype(f32)
+            mu_s = jnp.mean(Xs, axis=-1, keepdims=True)
+            var_s = jnp.mean(jnp.square(Xs - mu_s), axis=-1, keepdims=True)
+            Hs = ((Xs - mu_s) * jax.lax.rsqrt(var_s + 1e-5) * sg_ref[0]
+                  + sb_ref[0]).astype(cdt)
+            qs = jax.lax.dot_general(
+                Hs, As_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)              # [B, D]
+            s = jax.lax.dot_general(
+                qs.astype(cdt), Hs.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)              # [B, B]
+            pos = (s > sig_eps) & (valid > 0)
+            clamped = jnp.where(pos, s, 0.0)
+            rsum = jnp.sum(clamped, axis=1)[None, :]
+            rcnt = jnp.sum(pos.astype(f32), axis=1)[None, :]
+            sig_ref[0] = jnp.concatenate(
+                [rsum, rcnt, jnp.zeros((6, s.shape[0]), f32)], axis=0)
 
     return kernel
 
@@ -209,3 +244,74 @@ def gated_block_layer(x, keep_packed, pad, wdense, folded, *,
         interpret=jax.default_backend() != "tpu",
     )(x, keep_packed, pad[:, None, :], wdense, A_cat, Wvo_cat,
       ln1g, ln1b, lngg, lngb, ln2g, ln2b, Wg, bg, Wi, bi, Wo, bo)
+
+
+@functools.partial(jax.jit, static_argnames=("ln_eps", "compute_bf16",
+                                             "sig_eps"))
+def gated_block_layer_with_sig(x, keep_packed, pad, wdense, folded,
+                               A_sig_next, sig_gamma, sig_beta, *,
+                               ln_eps: float = 1e-5, compute_bf16: bool,
+                               sig_eps: float):
+    """Fused layer that ALSO emits the NEXT layer's gate signature.
+
+    Same computation as gated_block_layer, plus the next layer's
+    block_gate_signature_ln_x reduction (A_sig_next [D, D] =
+    Wq Wk^T/(sqrt(dh) H) of the FOLLOWING layer, with its LN1 rows)
+    evaluated on the output while it is still in VMEM. Returns
+    (out [nB, B, D], rsum [nB, B] f32, rcnt [nB, B] f32); the caller
+    reduces sig = rsum.sum(1)/max(rcnt.sum(1), 1). Forward-only (the
+    temporal-reuse step path — never differentiated).
+    """
+    nb, b, d = x.shape
+    (A_cat, Wvo_cat, ln1g, ln1b, lngg, lngb, ln2g, ln2b,
+     Wg, bg, Wi, bi, Wo, bo) = folded
+    heads = A_cat.shape[1] // d
+    fm = Wi.shape[1] // d
+
+    blk = lambda k: (k, 0, 0)        # noqa: E731
+    cst2 = lambda k: (0, 0)          # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, b, d), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, keep_words(b), b), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, b), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, b), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, heads * d), cst2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, heads * d), cst2, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, d), cst2, memory_space=pltpu.VMEM)] * 6 + [
+        pl.BlockSpec((d, d), cst2, memory_space=pltpu.VMEM),       # Wg
+        pl.BlockSpec((1, d), cst2, memory_space=pltpu.VMEM),       # bg
+        pl.BlockSpec((d, fm * d), cst2, memory_space=pltpu.VMEM),  # Wi
+        pl.BlockSpec((1, fm * d), cst2, memory_space=pltpu.VMEM),  # bi
+        pl.BlockSpec((fm * d, d), cst2, memory_space=pltpu.VMEM),  # Wo
+        pl.BlockSpec((1, d), cst2, memory_space=pltpu.VMEM),       # bo
+        pl.BlockSpec((d, d), cst2, memory_space=pltpu.VMEM),       # A_sig
+        pl.BlockSpec((1, d), cst2, memory_space=pltpu.VMEM),       # sgamma
+        pl.BlockSpec((1, d), cst2, memory_space=pltpu.VMEM),       # sbeta
+    ]
+    flops = 2 * nb * b * (heads * (2 * d + 2 * b) * d
+                          + (b + d) * d + 2 * fm * d * d
+                          + (b + d) * d)                 # + sig reduction
+    bytes_accessed = (2 * x.size * x.dtype.itemsize
+                      + keep_packed.size * 4
+                      + wdense.size * wdense.dtype.itemsize
+                      + nb * b * 8)
+    out, sig = pl.pallas_call(
+        _make_layer_kernel(heads, ln_eps, compute_bf16, sig_eps=sig_eps),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, b, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, b), blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, b, d), x.dtype),
+            jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed,
+            transcendentals=nb * b * (heads * b + fm * d)),
+        interpret=jax.default_backend() != "tpu",
+    )(x, keep_packed, pad[:, None, :], wdense, A_cat, Wvo_cat,
+      ln1g, ln1b, lngg, lngb, ln2g, ln2b, Wg, bg, Wi, bi, Wo, bo,
+      A_sig_next, sig_gamma.reshape(1, -1), sig_beta.reshape(1, -1))
+    return out, sig[:, 0], sig[:, 1]

@@ -719,3 +719,119 @@ def test_chunked_whole_model_loss_parity(monkeypatch):
         scale = float(jnp.max(jnp.abs(a))) + 1e-9
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=6e-5 * scale)
+
+
+def _halo_free_setup(n=512, d=32, block=128, layers=2, seed=13,
+                     compute="float32"):
+    rng = np.random.default_rng(seed)
+    base = (np.arange(n)[:, None] // block) * block
+    idx = (base + rng.integers(0, block, (n, 8))).astype(np.int32)
+    mask = np.ones((n, 8), np.float32)
+    ew = rng.uniform(0.1, 1.0, (n, 8)).astype(np.float32)
+    bdg = build_block_dense(idx, mask, ew, block=block)
+    assert bdg.table == bdg.block
+    cfg = GatedGraphTransformerConfig(dim=d, num_heads=4,
+                                      num_layers=layers,
+                                      fused_gate_attn="always",
+                                      hysteresis_band=0.05,
+                                      compute_dtype=compute)
+    params = gated_graph_transformer_init(jax.random.key(0), cfg)
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    fpad = bdg.pad_features(jnp.asarray(feats))
+    return params, cfg, fpad, bdg, rng
+
+
+def test_layer_kernel_emitted_sig_matches_standalone():
+    """gated_block_layer_with_sig == (gated_block_layer, then the
+    standalone block_gate_signature_ln_x on the written output):
+    bf16-compute mode bitwise; f32 mode positives-set exact and rsum
+    within dot-chain reassociation (<=1e-7 relative — far inside the
+    hysteresis band it feeds)."""
+    import ruvector_tpu.graph_transformer.gated as g
+    from ruvector_tpu.ops.pallas.gated_block_attn import (
+        block_gate_signature_ln_x,
+    )
+    from ruvector_tpu.ops.pallas.gated_block_layer import (
+        fold_gated_layer_params,
+        gated_block_layer,
+        gated_block_layer_with_sig,
+    )
+
+    params, cfg, fpad, bdg, rng = _halo_free_setup()
+    p, p_next = params[0], params[1]
+    x = fpad.reshape(bdg.n_blocks, bdg.block, -1)
+    kp = g.pack_keep(jnp.ones(
+        (bdg.n_blocks, bdg.block, bdg.block), bool))
+    folded = fold_gated_layer_params(p, cfg)
+    A_sig_next = g._fold_sig_params(p_next, cfg)
+    for bf16 in (False, True):
+        ref = gated_block_layer(x, kp, bdg.node_pad, bdg.wdense, folded,
+                                compute_bf16=bf16)
+        out, rsum, rcnt = gated_block_layer_with_sig(
+            x, kp, bdg.node_pad, bdg.wdense, folded, A_sig_next,
+            p_next["ln1"]["gamma"], p_next["ln1"]["beta"],
+            compute_bf16=bf16, sig_eps=cfg.eps)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        rs_ref, rc_ref = block_gate_signature_ln_x(
+            ref.astype(jnp.float32), bdg.node_pad, A_sig_next,
+            p_next["ln1"]["gamma"], p_next["ln1"]["beta"],
+            eps=cfg.eps, compute_bf16=bf16)
+        if bf16:
+            np.testing.assert_array_equal(np.asarray(rsum),
+                                          np.asarray(rs_ref))
+        else:
+            np.testing.assert_allclose(np.asarray(rsum),
+                                       np.asarray(rs_ref), rtol=2e-6)
+        np.testing.assert_array_equal(np.asarray(rcnt),
+                                      np.asarray(rc_ref))
+
+
+def test_step_fused_next_sig_matches_standalone_route(monkeypatch):
+    """The temporal-reuse step with the in-kernel next-layer signature
+    must reproduce the standalone-signature route: bitwise in
+    bf16-compute mode (the config-5 production mode), and to f32
+    reassociation tolerance in f32 mode — on a steady step AND a
+    drifted one, with identical masks/ages/resolve counts."""
+    import ruvector_tpu.graph_transformer.gated as g
+    from ruvector_tpu.graph_transformer.gated import (
+        gate_state_init,
+        gated_graph_transformer_step,
+    )
+
+    import dataclasses
+
+    for compute in ("bfloat16", "float32"):
+        params, cfg, fpad, bdg, rng = _halo_free_setup(compute=compute)
+        state = gate_state_init(params, cfg, fpad, bdg)
+        drifted = fpad + 0.3 * jnp.asarray(
+            rng.normal(size=fpad.shape).astype(np.float32))
+        drifted = drifted * bdg.node_pad.reshape(-1)[:, None]
+        # band=0 on the drifted step so gates actually re-solve (the
+        # emitted layer-1 signature then feeds real refreshes)
+        cfg0 = dataclasses.replace(cfg, hysteresis_band=0.0)
+
+        for inp, c in ((fpad, cfg), (drifted, cfg0)):
+            assert g._FUSE_NEXT_SIG
+            out_f, st_f, n_f = gated_graph_transformer_step(
+                params, c, inp, bdg, state)
+            monkeypatch.setattr(g, "_FUSE_NEXT_SIG", False)
+            out_s, st_s, n_s = gated_graph_transformer_step(
+                params, c, inp, bdg, state)
+            monkeypatch.setattr(g, "_FUSE_NEXT_SIG", True)
+            assert int(n_f) == int(n_s)
+            if inp is drifted:
+                assert int(n_f) > 0
+            for k in ("keep", "age"):
+                np.testing.assert_array_equal(np.asarray(st_f[k]),
+                                              np.asarray(st_s[k]))
+            if compute == "bfloat16":
+                np.testing.assert_array_equal(np.asarray(out_f),
+                                              np.asarray(out_s))
+                np.testing.assert_array_equal(np.asarray(st_f["sig"]),
+                                              np.asarray(st_s["sig"]))
+            else:
+                np.testing.assert_array_equal(np.asarray(out_f),
+                                              np.asarray(out_s))
+                np.testing.assert_allclose(np.asarray(st_f["sig"]),
+                                           np.asarray(st_s["sig"]),
+                                           rtol=2e-6)
