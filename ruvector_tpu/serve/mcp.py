@@ -170,6 +170,20 @@ TOOLS = [
             "required": ["collection"],
         },
     },
+    {
+        "name": "sql",
+        "description": ("Execute pgvector/ruvector-compatible SQL against "
+                        "the in-process engine: ruvector(D) columns, "
+                        "<->/<#>/<=> operators, CREATE INDEX ... USING "
+                        "hnsw, EXPLAIN, ruvector_* functions incl. "
+                        "ruvector_gnn_train. State persists for the "
+                        "session."),
+        "inputSchema": {
+            "type": "object",
+            "properties": {"sql": {"type": "string"}},
+            "required": ["sql"],
+        },
+    },
 ]
 
 
@@ -180,6 +194,15 @@ class McpServer:
         self.collections: dict[str, object] = {}
         self.trained: dict[str, tuple] = {}   # name -> (params list, cfg list)
         self.cache = GnnProgramCache()
+        self._sql = None                      # lazy SqlEngine
+
+    def _sql_tool(self, args):
+        from ruvector_tpu.serve.sql import SqlEngine
+
+        if self._sql is None:
+            self._sql = SqlEngine()
+        out = self._sql.execute(args["sql"])
+        return {"result": out}
 
     # --- tool implementations ---
 
@@ -368,6 +391,7 @@ class McpServer:
                     "train": self._train,
                     "info": self._info,
                     "graph_mincut": self._graph_mincut,
+                    "sql": self._sql_tool,
                 }.get(tool)
                 if fn is None:
                     raise ValueError(f"unknown tool '{tool}'")

@@ -129,3 +129,31 @@ def test_graph_mincut_tool():
                                            "source": 0, "sink": 39}})
     p2 = json.loads(r2["result"]["content"][0]["text"])
     assert p2["mode"] == "s-t" and p2["value"] == 0.0
+
+
+def test_sql_tool():
+    import json
+
+    from ruvector_tpu.serve.mcp import McpServer
+
+    srv = McpServer()
+
+    def call(method, params=None, mid=1):
+        return srv.handle({"jsonrpc": "2.0", "id": mid, "method": method,
+                           "params": params or {}})
+
+    call("initialize")
+    tools = call("tools/list")["result"]["tools"]
+    assert any(t["name"] == "sql" for t in tools)
+    call("tools/call", {"name": "sql", "arguments": {
+        "sql": "CREATE TABLE t (id int, v ruvector(2))"}})
+    call("tools/call", {"name": "sql", "arguments": {
+        "sql": "INSERT INTO t VALUES (1,'[1,0]'), (2,'[0,1]')"}})
+    r = call("tools/call", {"name": "sql", "arguments": {
+        "sql": "SELECT id FROM t ORDER BY v <-> '[0,1]' LIMIT 1"}})
+    payload = json.loads(r["result"]["content"][0]["text"])
+    assert payload["result"] == [{"id": 2}]
+    # SQL errors surface as tool isError, rpc stays up
+    r = call("tools/call", {"name": "sql",
+                            "arguments": {"sql": "SELECT * FROM missing"}})
+    assert r["result"]["isError"] is True
