@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--io", choices=["auto", "bf16", "f32"], default="auto",
+                    help="edge-table/feature dtype; auto = bf16 only >2M "
+                         "nodes (compute is bf16 at every size)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +69,7 @@ def main():
     # >2M nodes: bf16 edge tables + features (the 10M-node f32 tables
     # alone are ~10GB of HBM; bf16 halves every big buffer and the layer
     # computes in bf16 anyway — same protocol as scale_sweep_r03)
-    big = n > 2_000_000
+    big = args.io == "bf16" or (args.io == "auto" and n > 2_000_000)
     t0 = time.time()
     feats, idx, mask, ew = gen_cluster_graph(n, d, DEGREE)
     t_gen = time.time() - t0
