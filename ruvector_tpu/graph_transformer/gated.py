@@ -647,10 +647,22 @@ def _layer_with_keep_emit_sig(p, p_next, cfg, x, bdg, keep_p):
         wd = wd.astype(jnp.bfloat16)
     folded = fold_gated_layer_params(p, cfg)
     A_sig_next = _fold_sig_params(p_next, cfg)
-    out, rsum, rcnt = gated_block_layer_with_sig(
-        x, keep_p, bdg.node_pad, wd, folded, A_sig_next,
-        p_next["ln1"]["gamma"], p_next["ln1"]["beta"],
-        compute_bf16=cfg.compute_dtype == "bfloat16", sig_eps=cfg.eps)
+    nb = x.shape[0]
+
+    def run(xc, kc, pc, wc):
+        return gated_block_layer_with_sig(
+            xc, kc, pc, wc, folded, A_sig_next,
+            p_next["ln1"]["gamma"], p_next["ln1"]["beta"],
+            compute_bf16=cfg.compute_dtype == "bfloat16", sig_eps=cfg.eps)
+
+    if nb <= _CHUNK_NB:
+        out, rsum, rcnt = run(x, keep_p, bdg.node_pad, wd)
+    else:
+        # 10M-scale: the signature is block-local, so the chunked route
+        # emits it per chunk exactly like the straight kernel
+        out, rsum, rcnt = _ceil_chunked_map(
+            lambda a: run(a[0], a[1], a[2], a[3]),
+            (x, keep_p, bdg.node_pad, wd), nb, _CHUNK_NB)
     sig = jnp.sum(rsum, axis=1) / jnp.maximum(jnp.sum(rcnt, axis=1), 1.0)
     return out, sig
 
@@ -846,8 +858,7 @@ def gated_graph_transformer_step(
     # written stream) — the standalone signature pass, a full [nB, B, D]
     # HBM re-read per layer per step, then only runs for layer 0
     emit_sig = (_FUSE_NEXT_SIG and gate_kernel
-                and _use_fused_layer(cfg, bdg, x.shape[-1])
-                and nb <= _CHUNK_NB)
+                and _use_fused_layer(cfg, bdg, x.shape[-1]))
     carried_sig = None
     for li, p in enumerate(params):
         A_sig = _fold_sig_params(p, cfg)

@@ -835,3 +835,34 @@ def test_step_fused_next_sig_matches_standalone_route(monkeypatch):
                 np.testing.assert_allclose(np.asarray(st_f["sig"]),
                                            np.asarray(st_s["sig"]),
                                            rtol=2e-6)
+
+
+def test_step_fused_next_sig_chunked_route(monkeypatch):
+    """The sig-emitting layer driven through the ceil-chunked map
+    (>_CHUNK_NB blocks, incl. the clamped-overlap last chunk at a
+    non-divisible nb) must match the unchunked program exactly."""
+    import ruvector_tpu.graph_transformer.gated as g
+    from ruvector_tpu.graph_transformer.gated import (
+        gate_state_init,
+        gated_graph_transformer_step,
+    )
+
+    # nb = 5 blocks: chunk 2 -> chunks [0:2], [2:4], [3:5] (overlap)
+    params, cfg, fpad, bdg, rng = _halo_free_setup(n=640,
+                                                   compute="bfloat16")
+    assert bdg.n_blocks == 5
+    state = gate_state_init(params, cfg, fpad, bdg)
+    drifted = fpad + 0.3 * jnp.asarray(
+        rng.normal(size=fpad.shape).astype(np.float32))
+    drifted = drifted * bdg.node_pad.reshape(-1)[:, None]
+
+    out_ref, st_ref, n_ref = gated_graph_transformer_step(
+        params, cfg, drifted, bdg, state)
+    monkeypatch.setattr(g, "_CHUNK_NB", 2)
+    out_c, st_c, n_c = gated_graph_transformer_step(
+        params, cfg, drifted, bdg, state)
+    assert int(n_ref) == int(n_c)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_c))
+    for k in ("keep", "sig", "age"):
+        np.testing.assert_array_equal(np.asarray(st_ref[k]),
+                                      np.asarray(st_c[k]))
